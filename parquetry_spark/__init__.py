@@ -1,0 +1,18 @@
+"""parquetry_spark — a from-scratch PySpark-native per-column
+lightweight-compression engine with the query capabilities of
+mutility/parquetry (reference: /root/reference, studied not ported).
+
+Core: distributed encode stages (dictionary, RLE, bit-packing,
+frame-of-reference/delta, FSST-style symbol tables) with a
+statistics-driven codec auto-selector, explicit skew-aware
+partitioning, per-partition lineage/metrics manifests, and
+checkpoint-resumable stages — all expressed as DataFrame ops plus
+Arrow-vectorized pandas UDFs (no per-row Python in the hot path).
+
+Reference semantics covered (SURVEY.md §2): scan, head/tail/offset
+limits, filter, reshape/projection DSL, csv/json/jsonl sinks with
+the reference's temporal rendering, meta/schema surfaces, and the
+transcode (encode/decode) path generalized to explicit codecs.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,12 @@
+"""Codec kernel registry — pure numpy encode/decode pairs.
+
+Importing this package registers all codecs:
+  plain, dict, rle, bitpack (FOR), delta_for, fsst.
+"""
+
+from .base import Codec, codec_names, get_codec  # noqa: F401
+from .dictionary import DICT  # noqa: F401
+from .foref import BITPACK, DELTA_FOR  # noqa: F401
+from .fsst import FSST  # noqa: F401
+from .plain import PLAIN  # noqa: F401
+from .rle import RLE  # noqa: F401

@@ -1,0 +1,186 @@
+"""Codec kernel interface + binary serialization helpers.
+
+Every codec is a pair of pure, numpy-vectorized functions:
+
+    encode(values) -> (payload: bytes, params: dict[str, str])
+    decode(payload, params, count) -> values
+
+`values` is a 1-D numpy array of the column's NON-NULL values
+(validity is handled once, at the engine level, as a packed bitmap
+stored alongside the payload — see engine.py). Codecs never see
+nulls and never loop per row in Python; everything hot is numpy /
+C-level bytes ops.
+
+This generalizes the reference's transparent per-column decode
+(parquetry reads PLAIN / RLE / DELTA_LENGTH_BYTE_ARRAY / dictionary /
+bit-packed pages inside `pq.Read`, /root/reference/main.go:352,
+observable via its meta goldens testdata/meta.txtar:40-88) into
+explicit, addressable encode/decode stages.
+
+Payload layouts are little-endian and self-contained given `params`;
+`params` values are strings because the Spark block schema stores
+them as map<string,string>.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# dtype tags (stored in params["dtype"]) — the logical value type of a column
+# chunk as seen by codecs. Mirrors the reference's logical type table
+# (/root/reference/types.go:9-23) restricted to what Spark columns carry.
+# ---------------------------------------------------------------------------
+
+INT_DTYPES = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"}
+FLOAT_DTYPES = {"float32", "float64"}
+VARLEN_DTYPES = {"str", "bytes"}  # variable-length: strings / binary
+SCALAR_DTYPES = INT_DTYPES | FLOAT_DTYPES | {"bool"}
+
+
+def dtype_tag(arr: np.ndarray) -> str:
+    """Map a numpy array to a dtype tag."""
+    k = arr.dtype.kind
+    if k in ("i", "u", "f", "b"):
+        if k == "b":
+            return "bool"
+        return str(arr.dtype)
+    if k in ("U", "O", "S"):
+        # object arrays of str or bytes; caller distinguishes via is_bytes
+        if len(arr) and isinstance(arr[0], (bytes, bytearray)):
+            return "bytes"
+        return "str"
+    raise TypeError(f"unsupported numpy dtype {arr.dtype!r}")
+
+
+def to_numpy_dtype(tag: str) -> np.dtype:
+    if tag == "bool":
+        return np.dtype(np.bool_)
+    return np.dtype(tag)
+
+
+# ---------------------------------------------------------------------------
+# bit-packing primitives (vectorized; no Python loops)
+# ---------------------------------------------------------------------------
+
+
+def bit_width(max_value: int) -> int:
+    """Bits needed to represent max_value (>=0). width 0 means all zeros."""
+    if max_value < 0:
+        raise ValueError("bit_width needs a non-negative max")
+    return int(max_value).bit_length()
+
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative ints into `width` bits each, MSB-first.
+
+    Vectorized via np.unpackbits/packbits on the big-endian byte view.
+    width == 0 → empty payload (all values are zero).
+    """
+    n = len(values)
+    if width == 0 or n == 0:
+        return b""
+    if width > 64:
+        raise ValueError(f"bit width {width} > 64")
+    v = np.ascontiguousarray(values.astype(">u8"))
+    bits = np.unpackbits(v.view(np.uint8).reshape(n, 8), axis=1)[:, 64 - width :]
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def unpack_bits(payload: bytes, width: int, count: int) -> np.ndarray:
+    """Inverse of pack_bits → uint64 array of length count."""
+    if width == 0 or count == 0:
+        return np.zeros(count, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), count=count * width)
+    bits = bits.reshape(count, width)
+    full = np.zeros((count, 64), dtype=np.uint8)
+    full[:, 64 - width :] = bits
+    return np.packbits(full, axis=1).view(">u8").ravel().astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# plain (uncompressed) serialization of value arrays
+#   fixed-width: raw little-endian buffer
+#   varlen (str/bytes): uint32 lengths buffer + concatenated bytes
+# (the varlen layout is the same idea as Parquet's
+#  DELTA_LENGTH_BYTE_ARRAY: lengths stream + data stream)
+# ---------------------------------------------------------------------------
+
+
+def serialize_values(arr: np.ndarray) -> tuple[bytes, str]:
+    """Serialize any supported array to bytes; returns (payload, dtype_tag)."""
+    tag = dtype_tag(arr)
+    if tag in SCALAR_DTYPES:
+        return np.ascontiguousarray(arr).astype(to_numpy_dtype(tag)).tobytes(), tag
+    # varlen
+    if tag == "str":
+        data = [s.encode("utf-8") for s in arr]
+    else:
+        data = [bytes(b) for b in arr]
+    lens = np.fromiter((len(b) for b in data), dtype=np.uint32, count=len(data))
+    return struct.pack("<I", len(data)) + lens.tobytes() + b"".join(data), tag
+
+
+def deserialize_values(payload: bytes, tag: str, count: int) -> np.ndarray:
+    """Inverse of serialize_values."""
+    if tag in SCALAR_DTYPES:
+        return np.frombuffer(payload, dtype=to_numpy_dtype(tag), count=count).copy()
+    (n,) = struct.unpack_from("<I", payload, 0)
+    lens = np.frombuffer(payload, dtype=np.uint32, count=n, offset=4)
+    data = payload[4 + 4 * n :]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    mv = memoryview(data)
+    chunks = [bytes(mv[offsets[i] : offsets[i + 1]]) for i in range(n)]
+    if tag == "str":
+        out = np.empty(n, dtype=object)
+        out[:] = [c.decode("utf-8") for c in chunks]
+    else:
+        out = np.empty(n, dtype=object)
+        out[:] = chunks
+    return out
+
+
+# ---------------------------------------------------------------------------
+# codec registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, "Codec"] = {}
+
+
+class Codec:
+    """A named encode/decode pair. Subclasses implement _encode/_decode."""
+
+    name: str = "?"
+
+    def encode(self, arr: np.ndarray) -> tuple[bytes, dict[str, str]]:
+        payload, params = self._encode(arr)
+        params["codec"] = self.name
+        return payload, params
+
+    def decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        return self._decode(payload, params, count)
+
+    def _encode(self, arr):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def _decode(self, payload, params, count):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+def register(codec: Codec) -> Codec:
+    _REGISTRY[codec.name] = codec
+    return codec
+
+
+def get_codec(name: str) -> Codec:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown codec {name!r}; known: {sorted(_REGISTRY)}") from None
+
+
+def codec_names() -> list[str]:
+    return sorted(_REGISTRY)

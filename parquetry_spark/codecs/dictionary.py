@@ -1,0 +1,53 @@
+"""Dictionary codec — low-cardinality columns (e.g. `lang`, url hosts).
+
+Layout: [u32 dict_len][plain-serialized unique values][bit-packed codes].
+Codes are packed at the minimal bit width for the dictionary size
+(Parquet RLE_DICTIONARY analogue, minus the RLE hybrid — runs of
+codes are better served by the standalone RLE codec, which the
+auto-selector prefers when mean run length is high).
+
+Encode is pd.factorize (C-level hash table); decode is a single
+vectorized `take`.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from .base import (
+    Codec,
+    bit_width,
+    deserialize_values,
+    pack_bits,
+    register,
+    serialize_values,
+    unpack_bits,
+)
+
+
+class DictCodec(Codec):
+    name = "dict"
+
+    def _encode(self, arr: np.ndarray):
+        codes, uniques = pd.factorize(arr, use_na_sentinel=False)
+        uarr = np.asarray(uniques)
+        dict_payload, tag = serialize_values(uarr)
+        width = bit_width(max(len(uarr) - 1, 0))
+        packed = pack_bits(codes.astype(np.uint64), width)
+        payload = struct.pack("<I", len(dict_payload)) + dict_payload + packed
+        return payload, {"dtype": tag, "dict_size": str(len(uarr)), "width": str(width)}
+
+    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        (dlen,) = struct.unpack_from("<I", payload, 0)
+        dict_payload = payload[4 : 4 + dlen]
+        dsize = int(params["dict_size"])
+        width = int(params["width"])
+        uniques = deserialize_values(dict_payload, params["dtype"], dsize)
+        codes = unpack_bits(payload[4 + dlen :], width, count).astype(np.int64)
+        return uniques[codes] if dsize else uniques[:0]
+
+
+DICT = register(DictCodec())

@@ -1,0 +1,109 @@
+"""Frame-of-reference + bit-packing codecs for integer columns.
+
+`bitpack`  : FOR — subtract the block minimum (the frame of
+             reference), bit-pack the non-negative residuals at the
+             minimal width. Parquet bit-pack analogue (the reference
+             decodes these via parquet-go/bitpack, go.mod:18).
+`delta_for`: first-order delta, then FOR+bit-pack of the deltas —
+             the win for sorted/near-sorted int64 such as `warc_ts`
+             epoch-micros after sortWithinPartitions.
+
+Both are int-only; the engine converts timestamps to epoch-micros
+int64 before encode (Spark TimestampType is µs — SURVEY.md §1.3
+nanos note) and back after decode.
+
+Residuals are computed in uint64 wraparound arithmetic so the full
+int64 range round-trips (min can be negative; diffs can overflow
+int64 at the extremes).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import Codec, bit_width, pack_bits, register, unpack_bits
+
+_INT_TAGS = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"}
+
+
+def _as_u64(arr: np.ndarray) -> np.ndarray:
+    return arr.astype(np.int64, copy=False).view(np.uint64) if arr.dtype.kind == "i" else arr.astype(np.uint64)
+
+
+class BitpackCodec(Codec):
+    """FOR + bit-pack: residual = value - min, packed at minimal width."""
+
+    name = "bitpack"
+
+    def _encode(self, arr: np.ndarray):
+        tag = str(arr.dtype)
+        if tag not in _INT_TAGS:
+            raise TypeError(f"bitpack needs an int column, got {tag}")
+        if len(arr) == 0:
+            return struct.pack("<q", 0), {"dtype": tag, "width": "0"}
+        u = _as_u64(arr)
+        ref = u.min() if arr.dtype.kind == "u" else _as_u64(np.array([arr.min()], arr.dtype))[0]
+        resid = u - ref  # uint64 wraparound keeps ordering for same-sign blocks
+        # signed blocks crossing zero: compute residuals from signed min instead
+        if arr.dtype.kind == "i":
+            ref_i = int(arr.min())
+            resid = (arr.astype(np.int64) - ref_i).view(np.uint64)
+            ref = np.uint64(ref_i & 0xFFFFFFFFFFFFFFFF)
+        width = bit_width(int(resid.max()))
+        payload = struct.pack("<Q", int(ref)) + pack_bits(resid, width)
+        return payload, {"dtype": tag, "width": str(width)}
+
+    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        tag = params["dtype"]
+        if count == 0:
+            return np.zeros(0, dtype=tag)
+        (ref,) = struct.unpack_from("<Q", payload, 0)
+        resid = unpack_bits(payload[8:], int(params["width"]), count)
+        vals = (resid + np.uint64(ref)).view(np.int64)  # wraparound-exact
+        return vals.astype(tag) if tag != "int64" else vals.copy()
+
+
+class DeltaForCodec(Codec):
+    """delta → FOR → bit-pack. Layout: [i64 first][i64 delta_ref][packed resid]."""
+
+    name = "delta_for"
+
+    def _encode(self, arr: np.ndarray):
+        tag = str(arr.dtype)
+        if tag not in _INT_TAGS:
+            raise TypeError(f"delta_for needs an int column, got {tag}")
+        n = len(arr)
+        if n == 0:
+            return struct.pack("<qq", 0, 0), {"dtype": tag, "width": "0"}
+        a = arr.astype(np.int64, copy=False)
+        first = int(a[0])
+        deltas = np.diff(a.view(np.uint64))  # wraparound-exact uint64 diffs
+        if len(deltas) == 0:
+            return struct.pack("<qq", first, 0), {"dtype": tag, "width": "0"}
+        dsigned = deltas.view(np.int64)
+        dref = int(dsigned.min())
+        resid = (dsigned - dref).view(np.uint64)
+        width = bit_width(int(resid.max()))
+        payload = struct.pack("<qq", first, dref) + pack_bits(resid, width)
+        return payload, {"dtype": tag, "width": str(width)}
+
+    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        tag = params["dtype"]
+        if count == 0:
+            return np.zeros(0, dtype=tag)
+        first, dref = struct.unpack_from("<qq", payload, 0)
+        out = np.empty(count, dtype=np.uint64)
+        out[0] = np.uint64(first & 0xFFFFFFFFFFFFFFFF)
+        if count > 1:
+            resid = unpack_bits(payload[16:], int(params["width"]), count - 1)
+            deltas = resid + np.uint64(dref & 0xFFFFFFFFFFFFFFFF)
+            np.cumsum(deltas, out=out[1:])  # uint64 wraparound cumsum
+            out[1:] += out[0]
+        vals = out.view(np.int64)
+        return vals.astype(tag) if tag != "int64" else vals.copy()
+
+
+BITPACK = register(BitpackCodec())
+DELTA_FOR = register(DeltaForCodec())

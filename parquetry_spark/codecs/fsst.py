@@ -1,0 +1,300 @@
+"""FSST-style symbol-table codec for text/binary columns — from scratch,
+fully numpy-vectorized (no per-row / per-token Python loops).
+
+FSST (Boncz, Neumann, Leis: "FSST: Fast Random Access String
+Compression", VLDB 2020 — public paper) replaces frequent substrings
+(symbols, length ≤ 8) with 1-byte codes. This implementation keeps
+the core idea — a per-block table of ≤255 trained symbols, greedy
+substitution, lossless round-trip — but re-architects matching for
+numpy SIMD-style execution instead of per-byte greedy parsing:
+
+  encode
+    1. concatenate the block's strings into one byte buffer
+       (row boundaries kept as a bit-packed row-length stream);
+    2. train: for each symbol length L in (8,6,4,3), count windows
+       via sliding uint64 keys + np.unique on a bounded sample; pick
+       the top symbols by gain = (L - OVERHEAD) * count;
+    3. match: per L (longest first), a few phase-aligned vectorized
+       passes — candidates at positions ≡ r (mod L) are mutually
+       non-overlapping by construction, cross-pass overlap is
+       rejected with a prefix-sum occupancy test;
+    4. emit a token stream: bit-packed literal gap lengths,
+       uint8 symbol ids, plus the uncovered bytes as one literal
+       buffer (buf[~covered] — a single boolean index).
+
+  decode
+    scatter/gather with index arithmetic: token output offsets via
+    cumsum, symbol bytes gathered from the symbol buffer with the
+    grouped-ranges idiom, literals placed with one boolean index;
+    then split back into rows at the stored row lengths.
+
+The phase-aligned matcher trades a bounded fraction of matches for
+full vectorization — a deliberate throughput-over-ratio call; the
+auto-selector (selector.py) still verifies FSST wins over plain
+before choosing it.
+
+Reference anchor: parquetry's string columns round-trip through
+Parquet DELTA_LENGTH_BYTE_ARRAY (SURVEY.md §2.3, meta.txtar:40-51);
+FSST is the north rule's strictly-stronger replacement for text.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import Codec, bit_width, pack_bits, register, unpack_bits
+
+SYMBOL_LENGTHS = (8, 6, 4, 3)  # longest first; max 8 fits a uint64 key
+MAX_SYMBOLS = 255
+TOKEN_OVERHEAD = 2.0  # ~1B sym id + ~1B amortized gap-length stream
+TRAIN_SAMPLE_BYTES = 1 << 18  # 256 KiB training sample cap
+PASSES_PER_LENGTH = 3
+
+
+def _window_keys(buf: np.ndarray, L: int) -> np.ndarray:
+    """uint64 keys of all L-byte windows of buf (length n-L+1).
+
+    Key convention: the L window bytes live in the LOW bytes of a
+    big-endian uint64 (high bytes zero) — identical to
+    int.from_bytes(window, "big"), so symbol keys and window keys
+    compare directly. Built with sliding_window_view + a (n,8) pad
+    + '>u8' view: pure C memcpy/compare, no uint64 shift ufuncs
+    (which are ~80× slower in numpy).
+    """
+    n = len(buf)
+    if n < L:
+        return np.zeros(0, dtype=np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(buf, L)
+    if L == 8:
+        return np.ascontiguousarray(w).view(">u8").ravel().astype(np.uint64, copy=False)
+    pad = np.zeros((n - L + 1, 8), dtype=np.uint8)
+    pad[:, 8 - L :] = w
+    return pad.view(">u8").ravel().astype(np.uint64, copy=False)
+
+
+def _all_window_keys(buf: np.ndarray) -> dict[int, np.ndarray]:
+    """Window keys for every symbol length."""
+    return {L: _window_keys(buf, L) for L in SYMBOL_LENGTHS if len(buf) >= L}
+
+
+def train_symbols(buf: np.ndarray) -> list[bytes]:
+    """Pick up to MAX_SYMBOLS frequent substrings from a sample of buf."""
+    sample = buf[:TRAIN_SAMPLE_BYTES]
+    cands: list[tuple[float, int, bytes]] = []
+    for L in SYMBOL_LENGTHS:
+        keys = _window_keys(sample, L)
+        if len(keys) == 0:
+            continue
+        uniq, counts = np.unique(keys, return_counts=True)
+        gain = counts.astype(np.float64) * (L - TOKEN_OVERHEAD)
+        # keep the best few hundred per length; dedupe happens via the
+        # longest-first matcher (a shorter symbol inside a longer one
+        # still earns its keep on leftover positions)
+        top = np.argsort(gain)[::-1][: MAX_SYMBOLS]
+        for i in top:
+            if counts[i] < 4 or gain[i] <= 0:
+                break
+            key = int(uniq[i])
+            sym = key.to_bytes(8, "big")[8 - L :]
+            cands.append((float(gain[i]), L, sym))
+    cands.sort(key=lambda t: -t[0])
+    out, seen = [], set()
+    for _, _, sym in cands:
+        if sym not in seen:
+            seen.add(sym)
+            out.append(sym)
+            if len(out) >= MAX_SYMBOLS:
+                break
+    return out
+
+
+def _match(buf: np.ndarray, symbols: list[bytes]):
+    """Vectorized longest-first phase-aligned matching.
+
+    Returns (positions, sym_ids) sorted by position, plus the covered
+    bool mask over buf.
+    """
+    n = len(buf)
+    covered = np.zeros(n, dtype=bool)
+    any_chosen = False
+    all_pos: list[np.ndarray] = []
+    all_ids: list[np.ndarray] = []
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for L in SYMBOL_LENGTHS:
+        ids = np.array([i for i, s in enumerate(symbols) if len(s) == L], dtype=np.int64)
+        if len(ids):
+            keys = np.array(
+                [int.from_bytes(symbols[i], "big") for i in ids], dtype=np.uint64
+            )
+            order = np.argsort(keys)
+            by_len[L] = (keys[order], ids[order])
+    wkeys_all = _all_window_keys(buf)
+    for L in SYMBOL_LENGTHS:
+        if L not in by_len or n < L:
+            continue
+        skeys, sids = by_len[L]
+        wkeys = wkeys_all[L]
+        pos_in_table = np.searchsorted(skeys, wkeys)
+        pos_in_table[pos_in_table >= len(skeys)] = 0
+        is_match = skeys[pos_in_table] == wkeys
+        cand = np.flatnonzero(is_match)
+        if len(cand) == 0:
+            continue
+        # one occupancy filter per length against all earlier (longer)
+        # matches: candidate [p, p+L) is free iff no covered byte inside
+        if any_chosen:
+            cum = np.cumsum(covered, dtype=np.int32)
+            free = (cum[cand + L - 1] - cum[cand] + covered[cand].astype(np.int32)) == 0
+            cand = cand[free]
+        for _ in range(PASSES_PER_LENGTH):
+            if len(cand) == 0:
+                break
+            # best phase: the residue class with the most candidates;
+            # phase-aligned ⇒ non-overlapping within this pass
+            phases = cand % L
+            best_r = np.bincount(phases, minlength=L).argmax()
+            sel = phases == best_r
+            chosen = cand[sel]
+            all_pos.append(chosen)
+            all_ids.append(sids[pos_in_table[chosen]])
+            covered[_ranges(chosen, np.full(len(chosen), L, dtype=np.int64))] = True
+            any_chosen = True
+            cand = cand[~sel]
+            if len(cand) == 0:
+                break
+            # incremental filter vs the just-chosen batch only:
+            # overlap ⇔ ∃ q ∈ (p-L, p+L) among chosen starts
+            lo = np.searchsorted(chosen, cand - L, side="right")
+            hi = np.searchsorted(chosen, cand + L, side="left")
+            cand = cand[hi <= lo]
+    if not all_pos:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), covered
+    pos = np.concatenate(all_pos)
+    ids = np.concatenate(all_ids)
+    order = np.argsort(pos, kind="stable")
+    return pos[order], ids[order], covered
+
+
+def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Grouped-ranges idiom: concat of [s, s+len) index ranges."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens) + np.repeat(
+        starts, lens
+    )
+
+
+class FsstCodec(Codec):
+    name = "fsst"
+
+    def _encode(self, arr: np.ndarray):
+        is_bytes = len(arr) > 0 and isinstance(arr[0], (bytes, bytearray))
+        if is_bytes:
+            rows = [bytes(b) for b in arr]
+        else:
+            rows = [s.encode("utf-8") for s in arr]
+        row_lens = np.fromiter((len(r) for r in rows), dtype=np.uint64, count=len(rows))
+        blob = b"".join(rows)
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        n = len(buf)
+
+        symbols = train_symbols(buf) if n else []
+        pos, ids, covered = (
+            _match(buf, symbols)
+            if symbols
+            else (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(n, bool))
+        )
+
+        sym_lens_tbl = np.array([len(s) for s in symbols], dtype=np.uint8)
+        tok_lens = sym_lens_tbl[ids].astype(np.int64) if len(ids) else np.zeros(0, np.int64)
+        ends = pos + tok_lens
+        prev_ends = np.concatenate(([0], ends[:-1])) if len(pos) else np.zeros(0, np.int64)
+        gaps = (pos - prev_ends).astype(np.uint64)
+        final_gap = int(n - (ends[-1] if len(ends) else 0))
+        literals = buf[~covered].tobytes()
+
+        gap_w = bit_width(int(gaps.max()) if len(gaps) else 0)
+        row_w = bit_width(int(row_lens.max()) if len(row_lens) else 0)
+        symblob = b"".join(symbols)
+        header = struct.pack(
+            "<IIQB", len(ids), len(symbols), final_gap, gap_w
+        )
+        packed_gaps = pack_bits(gaps, gap_w)
+        packed_rows = pack_bits(row_lens, row_w)
+        payload = b"".join(
+            [
+                header,
+                sym_lens_tbl.tobytes(),
+                symblob,
+                ids.astype(np.uint8).tobytes(),
+                struct.pack("<I", len(packed_gaps)),
+                packed_gaps,
+                struct.pack("<I", len(literals)),
+                literals,
+                packed_rows,
+            ]
+        )
+        return payload, {
+            "dtype": "bytes" if is_bytes else "str",
+            "row_width": str(row_w),
+        }
+
+    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        n_tok, n_sym, final_gap, gap_w = struct.unpack_from("<IIQB", payload, 0)
+        off = struct.calcsize("<IIQB")
+        sym_lens_tbl = np.frombuffer(payload, np.uint8, n_sym, off)
+        off += n_sym
+        sym_offsets = np.zeros(n_sym + 1, dtype=np.int64)
+        np.cumsum(sym_lens_tbl, out=sym_offsets[1:])
+        symbuf = np.frombuffer(payload, np.uint8, int(sym_offsets[-1]), off)
+        off += int(sym_offsets[-1])
+        ids = np.frombuffer(payload, np.uint8, n_tok, off).astype(np.int64)
+        off += n_tok
+        (gp_len,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        gaps = unpack_bits(payload[off : off + gp_len], gap_w, n_tok).astype(np.int64)
+        off += gp_len
+        (lit_len,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        literals = np.frombuffer(payload, np.uint8, lit_len, off)
+        off += lit_len
+        row_lens = unpack_bits(payload[off:], int(params["row_width"]), count).astype(
+            np.int64
+        )
+
+        tok_lens = sym_lens_tbl.astype(np.int64)[ids]
+        n = int(gaps.sum()) + int(tok_lens.sum()) + final_gap
+        out = np.empty(n, dtype=np.uint8)
+        # token output start = prior gaps (incl. own) + prior symbol bytes
+        tok_starts = np.cumsum(gaps) + np.concatenate(
+            ([0], np.cumsum(tok_lens[:-1]))
+        ) if n_tok else np.zeros(0, np.int64)
+        covered = np.zeros(n, dtype=bool)
+        if n_tok:
+            dest = _ranges(tok_starts, tok_lens)
+            src = _ranges(sym_offsets[ids], tok_lens)
+            out[dest] = symbuf[src]
+            covered[dest] = True
+        out[~covered] = literals
+
+        blob = out.tobytes()
+        offsets = np.zeros(count + 1, dtype=np.int64)
+        np.cumsum(row_lens, out=offsets[1:])
+        mv = memoryview(blob)
+        res = np.empty(count, dtype=object)
+        if params["dtype"] == "bytes":
+            res[:] = [bytes(mv[offsets[i] : offsets[i + 1]]) for i in range(count)]
+        else:
+            res[:] = [
+                str(mv[offsets[i] : offsets[i + 1]], "utf-8") for i in range(count)
+            ]
+        return res
+
+
+FSST = register(FsstCodec())

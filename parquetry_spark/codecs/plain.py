@@ -1,0 +1,25 @@
+"""PLAIN codec — uncompressed passthrough (Parquet PLAIN analogue).
+
+The fallback the auto-selector uses when nothing else wins; also the
+sub-serializer other codecs delegate to for their value streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import Codec, deserialize_values, register, serialize_values
+
+
+class PlainCodec(Codec):
+    name = "plain"
+
+    def _encode(self, arr: np.ndarray):
+        payload, tag = serialize_values(arr)
+        return payload, {"dtype": tag}
+
+    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        return deserialize_values(payload, params["dtype"], count)
+
+
+PLAIN = register(PlainCodec())

@@ -1,0 +1,71 @@
+"""RLE codec — run-length encoding for columns with long value runs
+(e.g. `warc_ts` after sortWithinPartitions, sorted `lang`).
+
+Layout: [u32 n_runs][plain-serialized run values][bit-packed run lengths].
+Run detection is one vectorized comparison (arr[1:] != arr[:-1]);
+lengths are bit-packed at the minimal width for the longest run.
+Decode is np.repeat — fully vectorized.
+
+Parquet's RLE covers def-levels/booleans/dict-codes; ours is a
+general value-level RLE (the reference decodes Parquet RLE pages
+transparently at /root/reference/main.go:352; fixtures exercise it
+on optional bools + map levels, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import (
+    Codec,
+    bit_width,
+    deserialize_values,
+    pack_bits,
+    register,
+    serialize_values,
+    unpack_bits,
+)
+
+
+def run_starts(arr: np.ndarray) -> np.ndarray:
+    """Boolean mask of positions where a new run starts."""
+    if len(arr) == 0:
+        return np.zeros(0, dtype=bool)
+    starts = np.ones(len(arr), dtype=bool)
+    if arr.dtype.kind == "O":
+        a = np.asarray(arr[1:])
+        b = np.asarray(arr[:-1])
+        starts[1:] = a != b
+    else:
+        starts[1:] = arr[1:] != arr[:-1]
+    return starts
+
+
+class RleCodec(Codec):
+    name = "rle"
+
+    def _encode(self, arr: np.ndarray):
+        starts = run_starts(arr)
+        idx = np.flatnonzero(starts)
+        values = arr[idx]
+        bounds = np.append(idx, len(arr))
+        lengths = np.diff(bounds).astype(np.uint64)
+        vals_payload, tag = serialize_values(values)
+        width = bit_width(int(lengths.max()) if len(lengths) else 0)
+        payload = (
+            struct.pack("<II", len(idx), len(vals_payload))
+            + vals_payload
+            + pack_bits(lengths, width)
+        )
+        return payload, {"dtype": tag, "len_width": str(width)}
+
+    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        n_runs, vlen = struct.unpack_from("<II", payload, 0)
+        values = deserialize_values(payload[8 : 8 + vlen], params["dtype"], n_runs)
+        lengths = unpack_bits(payload[8 + vlen :], int(params["len_width"]), n_runs)
+        return np.repeat(values, lengths.astype(np.int64))
+
+
+RLE = register(RleCodec())

@@ -1,0 +1,160 @@
+"""Kernel-level round-trip tests — every codec × every supported dtype
+must decode bit-identical (the reference's golden-file exactness,
+/root/reference/testdata/cat.txtar goldens, generalized).
+Pure numpy; no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parquetry_spark.codecs import get_codec
+from parquetry_spark.codecs.base import pack_bits, unpack_bits
+
+rng = np.random.default_rng(42)
+
+
+def roundtrip(codec_name: str, arr: np.ndarray):
+    codec = get_codec(codec_name)
+    payload, params = codec.encode(arr)
+    out = codec.decode(payload, params, len(arr))
+    assert len(out) == len(arr)
+    if arr.dtype.kind == "O":
+        assert list(out) == list(arr)
+    else:
+        assert out.dtype == arr.dtype
+        np.testing.assert_array_equal(out, arr)
+    return payload
+
+
+def obj_array(values) -> np.ndarray:
+    out = np.empty(len(values), dtype=object)
+    out[:] = values
+    return out
+
+
+# ---------------------------------------------------------------- bit pack
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 32, 63, 64])
+def test_pack_bits_roundtrip(width):
+    n = 1000
+    if width == 0:
+        vals = np.zeros(n, dtype=np.uint64)
+    elif width == 64:
+        vals = rng.integers(0, 2**63, n).astype(np.uint64) * 2 + 1
+    else:
+        vals = rng.integers(0, 2**width, n).astype(np.uint64)
+    packed = pack_bits(vals, width)
+    assert len(packed) == (n * width + 7) // 8
+    np.testing.assert_array_equal(unpack_bits(packed, width, n), vals)
+
+
+# ------------------------------------------------------------------- plain
+@pytest.mark.parametrize(
+    "arr",
+    [
+        np.arange(100, dtype=np.int64),
+        np.arange(100, dtype=np.int32),
+        rng.normal(size=50).astype(np.float64),
+        rng.normal(size=50).astype(np.float32),
+        np.array([True, False, True]),
+        obj_array(["a", "", "héllo", "x" * 1000]),
+        obj_array([b"\x00\xff", b"", b"raw\x01bytes"]),
+    ],
+)
+def test_plain_roundtrip(arr):
+    roundtrip("plain", arr)
+
+
+def test_empty_arrays():
+    for name in ("plain", "dict", "rle"):
+        roundtrip(name, obj_array([]))
+        roundtrip(name, np.zeros(0, dtype=np.int64))
+    for name in ("bitpack", "delta_for"):
+        roundtrip(name, np.zeros(0, dtype=np.int64))
+    roundtrip("fsst", obj_array([]))
+
+
+# -------------------------------------------------------------------- dict
+def test_dict_roundtrip_and_ratio():
+    langs = obj_array(list(rng.choice(["en", "de", "fr", "zh", "es"], 10_000)))
+    payload = roundtrip("dict", langs)
+    # 5 uniques → 3-bit codes ≈ 3750 B + dict; far below 20 kB plain
+    assert len(payload) < 6000
+
+
+def test_dict_int():
+    roundtrip("dict", rng.integers(0, 8, 5000))
+
+
+def test_dict_single_value():
+    roundtrip("dict", obj_array(["same"] * 100))
+
+
+# --------------------------------------------------------------------- rle
+def test_rle_roundtrip_and_ratio():
+    arr = np.repeat(np.arange(50, dtype=np.int64), 200)
+    payload = roundtrip("rle", arr)
+    assert len(payload) < 50 * 8 + 100  # ~runs only
+
+
+def test_rle_strings():
+    roundtrip("rle", obj_array(["a"] * 5 + ["b"] * 3 + ["a"] * 2))
+
+
+def test_rle_no_runs():
+    roundtrip("rle", np.arange(1000, dtype=np.int64))
+
+
+# ----------------------------------------------------------- bitpack / FOR
+@pytest.mark.parametrize("dtype", [np.int64, np.int32, np.uint32])
+def test_bitpack_roundtrip(dtype):
+    arr = (rng.integers(1_000_000, 1_000_500, 10_000)).astype(dtype)
+    payload = roundtrip("bitpack", arr)
+    assert len(payload) < 10_000 * 2  # 9-bit residuals ≪ 8 B/value
+
+
+def test_bitpack_negatives_and_extremes():
+    roundtrip("bitpack", np.array([-(2**62), -1, 0, 1, 2**62], dtype=np.int64))
+    roundtrip("bitpack", np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max]))
+
+
+def test_delta_for_sorted_timestamps():
+    base = 1_700_000_000_000_000  # epoch micros
+    ts = base + np.cumsum(rng.integers(0, 1000, 100_000))
+    payload = roundtrip("delta_for", ts.astype(np.int64))
+    assert len(payload) < 100_000 * 2  # ≤10-bit deltas ≪ 8 B/value
+
+
+def test_delta_for_unsorted_and_extremes():
+    roundtrip("delta_for", rng.integers(-(2**40), 2**40, 1000).astype(np.int64))
+    roundtrip(
+        "delta_for",
+        np.array([np.iinfo(np.int64).max, np.iinfo(np.int64).min, 0, -1, 1]),
+    )
+
+
+# -------------------------------------------------------------------- fsst
+def test_fsst_roundtrip_text():
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+    docs = obj_array(
+        [" ".join(rng.choice(words, 50)) for _ in range(200)]
+    )
+    plain_size = sum(len(d) for d in docs)
+    payload = roundtrip("fsst", docs)
+    assert len(payload) < plain_size  # must actually compress redundant text
+
+
+def test_fsst_roundtrip_utf8_and_edge():
+    docs = obj_array(["héllo wörld ünïcode " * 20, "", "a", "\x00\x01 binaryish " * 10])
+    roundtrip("fsst", docs)
+
+
+def test_fsst_bytes():
+    rows = obj_array([b"<html><body>" + bytes(rng.integers(0, 256, 64, dtype=np.uint8)) + b"</body></html>" for _ in range(50)])
+    roundtrip("fsst", rows)
+
+
+def test_fsst_incompressible():
+    rows = obj_array([bytes(rng.integers(0, 256, 100, dtype=np.uint8)) for _ in range(50)])
+    roundtrip("fsst", rows)  # random bytes: correctness only
