@@ -1,0 +1,447 @@
+"""Distributed encode/decode stages — the engine's centerpiece.
+
+Pipeline (SURVEY.md §7.0):
+
+    pages(url, warc_ts, html, text, lang)
+      → assign_part_id (deterministic, salt-aware — partitioning.py)
+      → groupBy(part_id).applyInPandas(encode kernel)   [one shuffle]
+      → blocks DataFrame (one row = one column × one partition)
+      → write parquet + manifest                        [resumable]
+      → decode (applyInPandas) → verify bit-identity
+
+The encode kernel is Arrow-batched: Spark hands each partition's
+rows as ONE pandas DataFrame; inside, everything is numpy — sort by
+(host, ts) for run-friendliness, per-column stats → codec selection
+→ kernel encode → fallback to plain if the prediction loses on
+actual bytes. No per-row Python anywhere (input_hint mandate).
+
+Partition-size discipline: applyInPandas materializes one partition
+per task, so n_parts must keep partitions ≲ a few hundred MB. At
+10^12 docs (~100 TB) that is n_parts ≈ 500k–1M — far beyond the
+2^31 groupBy limit? No: part_id is an int column; groupBy scales to
+billions of keys. The ledger (manifest) is one row per
+partition × column — ~5M rows at that scale, trivially joinable.
+
+Reference parity: per-row-group byte accounting mirrors parquetry's
+`meta` command (/root/reference/main.go:133-140 — TotalByteSize vs
+TotalCompressedSize per row group); our manifest row is its
+distributed generalization (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .codecs import get_codec
+from .codecs.base import serialize_values
+from .partitioning import assign_part_id, salt_counts, sample_host_shares
+from .selector import select_codec
+from .stats import partition_stats
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("nulls", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("validity", T.BinaryType()),
+        T.StructField("params", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ltype", T.StringType()),
+        T.StructField("in_bytes", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+MANIFEST_COLS = [
+    "part_id",
+    "column",
+    "codec",
+    "rows",
+    "nulls",
+    "in_bytes",
+    "out_bytes",
+    "checksum",
+]
+
+
+# ---------------------------------------------------------------------------
+# logical type normalization: pandas/Arrow column → (numpy values, ltype)
+# ---------------------------------------------------------------------------
+
+
+def _normalize(series: pd.Series):
+    """→ (non-null numpy values, notnull bool mask, ltype tag)."""
+    notnull = series.notna().to_numpy()
+    nn = series[series.notna()]
+    dt = series.dtype
+    if isinstance(dt, pd.DatetimeTZDtype) or str(dt).startswith("datetime64"):
+        vals = np.asarray(nn).astype("datetime64[us]").astype(np.int64)
+        return vals, notnull, "timestamp_us"
+    if str(dt) in ("int64", "Int64"):
+        return nn.to_numpy(dtype=np.int64), notnull, "int64"
+    if str(dt) in ("int32", "Int32"):
+        return nn.to_numpy(dtype=np.int32), notnull, "int32"
+    if str(dt) == "float64":
+        # Spark nullable ints arrive as float64+NaN; the ltype must be
+        # decided by the caller via spark_type — handled in encode kernel
+        return nn.to_numpy(dtype=np.float64), notnull, "float64"
+    if str(dt) == "float32":
+        return nn.to_numpy(dtype=np.float32), notnull, "float32"
+    if str(dt) == "bool" or str(dt) == "boolean":
+        return nn.to_numpy(dtype=np.bool_), notnull, "bool"
+    # object: str / bytes / date
+    vals = nn.to_numpy(dtype=object)
+    if len(vals):
+        v0 = vals[0]
+        if isinstance(v0, (bytes, bytearray)):
+            out = np.empty(len(vals), dtype=object)
+            out[:] = [bytes(b) for b in vals]
+            return out, notnull, "bytes"
+        if isinstance(v0, str):
+            return vals, notnull, "str"
+        import datetime as _dt
+
+        if isinstance(v0, _dt.date):
+            days = np.array(
+                [(d - _dt.date(1970, 1, 1)).days for d in vals], dtype=np.int32
+            )
+            return days, notnull, "date"
+    return vals, notnull, "str"
+
+
+_LTYPE_CAST = {
+    "int64": np.int64,
+    "int32": np.int32,
+    "float64": np.float64,
+    "float32": np.float32,
+    "bool": np.bool_,
+}
+
+
+def _denormalize(vals: np.ndarray, notnull: np.ndarray, ltype: str) -> pd.Series:
+    """Inverse of _normalize → pandas Series with nulls restored."""
+    n = len(notnull)
+    if ltype == "timestamp_us":
+        out = np.full(n, np.datetime64("NaT", "us"))
+        out[notnull] = vals.astype("datetime64[us]")
+        return pd.Series(out)
+    if ltype == "date":
+        import datetime as _dt
+
+        out = np.empty(n, dtype=object)
+        epoch = _dt.date(1970, 1, 1)
+        out[notnull] = [epoch + _dt.timedelta(days=int(d)) for d in vals]
+        return pd.Series(out)
+    if ltype in ("str", "bytes"):
+        out = np.empty(n, dtype=object)
+        out[notnull] = vals
+        return pd.Series(out)
+    if notnull.all():
+        return pd.Series(vals.astype(_LTYPE_CAST[ltype]))
+    if ltype in ("float64", "float32"):
+        out = np.full(n, np.nan, dtype=_LTYPE_CAST[ltype])
+        out[notnull] = vals
+        return pd.Series(out)
+    out = np.empty(n, dtype=object)
+    out[notnull] = [v.item() for v in vals]
+    return pd.Series(out)
+
+
+def _int_ltype_for_spark(spark_type: T.DataType, ltype: str) -> str:
+    """Nullable Spark ints arrive as float64; restore the true ltype."""
+    if isinstance(spark_type, T.LongType):
+        return "int64"
+    if isinstance(spark_type, T.IntegerType):
+        return "int32"
+    return ltype
+
+
+def _checksum(in_payload: bytes, notnull: np.ndarray) -> str:
+    h = hashlib.sha256(in_payload)
+    h.update(np.packbits(notnull).tobytes())
+    return h.hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# encode kernel (runs inside applyInPandas — executor side)
+# ---------------------------------------------------------------------------
+
+
+def _make_encode_kernel(columns: list[str], spark_types: dict[str, str], sort_cols: list[str]):
+    def encode_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = int(pdf["part_id"].iloc[0]) if len(pdf) else -1
+        if sort_cols:
+            present = [c for c in sort_cols if c in pdf.columns]
+            if present:
+                pdf = pdf.sort_values(present, kind="stable")
+        rows_out = []
+        for col in columns:
+            series = pdf[col]
+            vals, notnull, ltype = _normalize(series)
+            st = spark_types.get(col, "")
+            if ltype == "float64" and st in ("bigint", "long"):
+                vals, ltype = vals.astype(np.int64), "int64"
+            elif ltype == "float64" and st == "int":
+                vals, ltype = vals.astype(np.int32), "int32"
+            n, nn = len(series), int(notnull.sum())
+            stats = partition_stats(vals)
+            kind = vals.dtype.kind
+            in_payload, _tag = serialize_values(vals)
+            in_bytes = len(in_payload) + (n - nn)  # + null overhead proxy
+            candidates = select_codec(stats, kind)
+            payload, params, codec_name = None, None, "plain"
+            for cand in candidates:
+                try:
+                    p, prm = get_codec(cand).encode(vals)
+                except (TypeError, ValueError):
+                    continue
+                if payload is None or len(p) < len(payload):
+                    payload, params, codec_name = p, prm, cand
+                if cand != "plain" and payload is not None and len(payload) < len(in_payload):
+                    break  # prediction beat plain on real bytes — done
+            validity = b"" if nn == n else np.packbits(notnull).tobytes()
+            rows_out.append(
+                {
+                    "part_id": part_id,
+                    "column": col,
+                    "codec": codec_name,
+                    "rows": n,
+                    "nulls": n - nn,
+                    "payload": payload,
+                    "validity": validity,
+                    "params": params,
+                    "ltype": ltype,
+                    "in_bytes": in_bytes,
+                    "out_bytes": len(payload) + len(validity),
+                    "checksum": _checksum(in_payload, notnull),
+                }
+            )
+        return pd.DataFrame(rows_out, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return encode_kernel
+
+
+def encode_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    n_parts: int = 32,
+    url_col: str | None = "url",
+    ts_col: str | None = "warc_ts",
+    skew_sample: float = 0.05,
+) -> DataFrame:
+    """Distributed encode: pages → blocks DataFrame (lazy).
+
+    One shuffle (groupBy part_id). part_id is a deterministic,
+    salt-aware function of the data (partitioning.py) so reruns and
+    resume see identical partitions.
+    """
+    columns = columns or [c for c in df.columns if c != "part_id"]
+    if url_col and url_col in df.columns:
+        shares = sample_host_shares(df, url_col, skew_sample)
+        salts = salt_counts(shares, n_parts)
+        keyed = assign_part_id(df, n_parts, url_col, salts)
+        sort_cols = [url_col] + ([ts_col] if ts_col and ts_col in df.columns else [])
+    else:
+        first = columns[0]
+        keyed = df.withColumn(
+            "part_id", F.pmod(F.xxhash64(F.col(first)), F.lit(n_parts)).cast("int")
+        )
+        sort_cols = []
+    spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    kernel = _make_encode_kernel(columns, spark_types, sort_cols)
+    return keyed.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_block_row(row: dict) -> pd.Series:
+    codec = get_codec(row["codec"])
+    nn_count = int(row["rows"]) - int(row["nulls"])
+    vals = codec.decode(bytes(row["payload"]), dict(row["params"]), nn_count)
+    if row["validity"]:
+        notnull = np.unpackbits(
+            np.frombuffer(bytes(row["validity"]), dtype=np.uint8),
+            count=int(row["rows"]),
+        ).astype(bool)
+    else:
+        notnull = np.ones(int(row["rows"]), dtype=bool)
+    return _denormalize(np.asarray(vals), notnull, row["ltype"])
+
+
+def _make_decode_kernel(columns: list[str]):
+    def decode_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        series = {}
+        for _, r in pdf.iterrows():  # ≤ one row per column — not per-data-row
+            if r["column"] in columns:
+                series[r["column"]] = _decode_block_row(r)
+        n = len(next(iter(series.values()))) if series else 0
+        data = {"part_id": np.full(n, pdf["part_id"].iloc[0] if len(pdf) else -1)}
+        for c in columns:
+            data[c] = series[c]
+        return pd.DataFrame(data)
+
+    return decode_kernel
+
+
+def decode_blocks(blocks: DataFrame, columns: list[str], ltypes: dict[str, str]) -> DataFrame:
+    """blocks → reconstructed rows (part_id + requested columns).
+
+    Column pruning for free: only the requested columns' block rows
+    are read (a filter on `column` that parquet row-group stats can
+    prune) — encoding one column never decodes the others
+    (SURVEY.md §4.2).
+    """
+    _SPARK_T = {
+        "str": "string",
+        "bytes": "binary",
+        "timestamp_us": "timestamp",
+        "date": "date",
+        "int64": "bigint",
+        "int32": "int",
+        "float64": "double",
+        "float32": "float",
+        "bool": "boolean",
+    }
+    fields = ", ".join(f"`{c}` {_SPARK_T[ltypes[c]]}" for c in columns)
+    schema = f"part_id int, {fields}"
+    pruned = blocks.filter(F.col("column").isin(columns))
+    return pruned.groupBy("part_id").applyInPandas(_make_decode_kernel(columns), schema)
+
+
+# ---------------------------------------------------------------------------
+# persisted runs: blocks + manifest, checkpoint-resume
+# ---------------------------------------------------------------------------
+
+
+def run_encode(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    columns: list[str] | None = None,
+    n_parts: int = 32,
+    url_col: str | None = "url",
+    ts_col: str | None = "warc_ts",
+    stage: str = "encode",
+) -> dict:
+    """Resumable encode run.
+
+    Ledger protocol (SURVEY.md §7.1 M6): blocks land under
+    out_dir/blocks/stage=<stage>/chunk=<part_id-range>, the manifest
+    is appended LAST (write-ahead ordering: a partition is committed
+    iff its manifest row exists). A rerun reads the manifest, skips
+    committed part_ids, encodes only the remainder. Deterministic
+    part assignment keeps the skip-set valid across runs.
+    """
+    blocks_path = os.path.join(out_dir, "blocks", f"stage={stage}")
+    manifest_path = os.path.join(out_dir, "manifest", f"stage={stage}")
+    committed: set[int] = set()
+    try:
+        committed = {
+            r["part_id"]
+            for r in spark.read.parquet(manifest_path).select("part_id").distinct().collect()
+        }
+    except Exception:
+        pass
+
+    columns = columns or [c for c in df.columns if c != "part_id"]
+    blocks = encode_table(df, columns, n_parts, url_col, ts_col)
+    if committed:
+        blocks = blocks.filter(~F.col("part_id").isin(list(committed)))
+    blocks.write.mode("append").parquet(blocks_path)
+
+    written = spark.read.parquet(blocks_path)
+    if committed:
+        written = written.filter(~F.col("part_id").isin(list(committed)))
+    manifest = written.select(*MANIFEST_COLS).withColumns(
+        {
+            "stage": F.lit(stage),
+            "committed_at": F.lit(datetime.now(timezone.utc).isoformat()),
+        }
+    )
+    manifest.write.mode("append").parquet(manifest_path)
+
+    agg = (
+        spark.read.parquet(manifest_path)
+        .agg(
+            F.count("*").alias("blocks"),
+            F.countDistinct("part_id").alias("parts"),
+            F.sum("in_bytes").alias("in_bytes"),
+            F.sum("out_bytes").alias("out_bytes"),
+        )
+        .collect()[0]
+    )
+    return {
+        "blocks_path": blocks_path,
+        "manifest_path": manifest_path,
+        "blocks": agg["blocks"],
+        "parts": agg["parts"],
+        "in_bytes": agg["in_bytes"],
+        "out_bytes": agg["out_bytes"],
+        "ratio": (agg["in_bytes"] or 0) / max(agg["out_bytes"] or 1, 1),
+        "skipped_parts": len(committed),
+    }
+
+
+def verify_roundtrip(
+    spark: SparkSession,
+    original: DataFrame,
+    blocks: DataFrame,
+    key_col: str = "url",
+    check_cols: list[str] | None = None,
+    ltypes: dict[str, str] | None = None,
+) -> dict:
+    """Bit-identity gate (north rule): decode blocks, join on key,
+    count value mismatches per column. Returns {col: mismatches}.
+    """
+    ltypes = ltypes or infer_ltypes(original)
+    check_cols = check_cols or [c for c in original.columns if c != key_col]
+    decoded = decode_blocks(blocks, [key_col] + check_cols, ltypes)
+    o = original.select(key_col, *check_cols)
+    d = decoded.select(key_col, *[F.col(c).alias(f"{c}__dec") for c in check_cols])
+    j = o.join(d, key_col, "full_outer")
+    aggs = [
+        F.sum(
+            (
+                ~(
+                    (F.col(c) == F.col(f"{c}__dec"))
+                    | (F.col(c).isNull() & F.col(f"{c}__dec").isNull())
+                )
+            ).cast("long")
+        ).alias(c)
+        for c in check_cols
+    ]
+    row = j.agg(*aggs).collect()[0].asDict()
+    return {c: int(row[c] or 0) for c in check_cols}
+
+
+def infer_ltypes(df: DataFrame) -> dict[str, str]:
+    _M = {
+        "string": "str",
+        "binary": "bytes",
+        "timestamp": "timestamp_us",
+        "date": "date",
+        "bigint": "int64",
+        "int": "int32",
+        "double": "float64",
+        "float": "float32",
+        "boolean": "bool",
+    }
+    return {
+        f.name: _M[f.dataType.simpleString()]
+        for f in df.schema.fields
+        if f.dataType.simpleString() in _M
+    }

@@ -1,0 +1,176 @@
+"""Deterministic synthetic Common-Crawl-style pages table.
+
+Schema per BASELINE.json input_hint:
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Design goals (SURVEY.md §7.1 M0):
+- deterministic for a given (n_rows, seed) — tests and benches are
+  reproducible with no external data;
+- Zipf-distributed url hosts → real crawl-domain skew for the
+  salting/partitioning path to defuse;
+- warc_ts increases in runs within a host (crawlers fetch a site in
+  bursts) → RLE/delta-friendly after sortWithinPartitions;
+- text has natural-language-like substring redundancy → FSST-able;
+- html wraps text in markup (binary) — redundant, FSST-able;
+- lang is low-cardinality → dictionary-able.
+
+Generation is fully vectorized numpy on the driver for small scales
+and distributed via mapInPandas over a range DataFrame for large
+scales (each partition seeds its own rng from (seed, partition_id),
+so output is deterministic regardless of parallelism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+_LANGS = np.array(["en", "en", "en", "en", "de", "fr", "es", "zh", "ru", "pt"])
+_WORDS = np.array(
+    (
+        "the of and to in is was for on that with as his they at be this have "
+        "from or had by word but what some we can out other were all there when "
+        "up use your how said an each she which do their time if will way about "
+        "many then them write would like so these her long make thing see him "
+        "two has look more day could go come did number sound no most people my "
+        "over know water than call first who may down side been now find any new "
+        "work part take get place made live where after back little only round "
+        "man year came show every good me give our under name very through just "
+        "form sentence great think say help low line differ turn cause much mean "
+        "before move right boy old too same tell does set three want air well "
+        "also play small end put home read hand port large spell add even land "
+        "here must big high such follow act why ask men change went light kind "
+        "off need house picture try us again animal point mother world near "
+        "build self earth father head stand own page should country found answer "
+        "school grow study still learn plant cover food sun four between state "
+        "keep eye never last let thought city tree cross farm hard start might "
+        "story saw far sea draw left late run while press close night real life "
+        "few north open seem together next white children begin got walk example "
+        "ease paper group always music those both mark often letter until mile "
+        "river car feet care second book carry took science eat room friend "
+        "began idea fish mountain stop once base hear horse cut sure watch color "
+        "face wood main enough plain girl usual young ready above ever red list "
+        "though feel talk bird soon body dog family direct pose leave song "
+        "measure door product black short numeral class wind question happen "
+        "complete ship area half rock order fire south problem piece told knew "
+        "pass since top whole king space heard best hour better true during "
+        "hundred five remember step early hold west ground interest reach fast "
+        "verb sing listen six table travel less morning ten simple several "
+        "vowel toward war lay against pattern slow center love person money "
+        "serve appear road map rain rule govern pull cold notice voice unit "
+        "power town fine certain fly fall lead cry dark machine note wait plan "
+        "figure star box noun field rest correct able pound done beauty drive "
+        "stood contain front teach week final gave green oh quick develop ocean "
+        "warm free minute strong special mind behind clear tail produce fact "
+        "street inch multiply nothing course stay wheel full force blue object "
+        "decide surface deep moon island foot system busy test record boat "
+        "common gold possible plane stead dry wonder laugh thousand ago ran "
+        "check game shape equate hot miss brought heat snow tire bring yes "
+        "distant fill east paint language among"
+    ).split()
+)
+_TLDS = np.array([".com", ".org", ".net", ".de", ".io", ".edu", ".co.uk", ".fr"])
+_PATH_WORDS = np.array(
+    "article post page news blog item story doc view index wiki entry topic".split()
+)
+
+BASE_TS_MICROS = 1_690_000_000_000_000  # 2023-07-22T05:46:40Z
+
+
+def _gen_partition(part_id: int, n: int, seed: int, n_hosts: int) -> pd.DataFrame:
+    """Generate n pages deterministically for (seed, part_id)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, part_id]))
+    # Zipf-ranked hosts: P(rank k) ∝ 1/k (head-heavy crawl skew)
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    host_ids = rng.choice(n_hosts, size=n, p=probs)
+    tlds = _TLDS[host_ids % len(_TLDS)]
+    hosts = np.char.add(
+        np.char.add("www.site", host_ids.astype("U10")), tlds.astype("U6")
+    )
+    pw = _PATH_WORDS[rng.integers(0, len(_PATH_WORDS), n)]
+    page_no = rng.integers(0, 100_000, n).astype("U8")
+    urls = np.char.add(
+        np.char.add(np.char.add(np.char.add("https://", hosts), "/"), pw),
+        np.char.add("/", page_no),
+    )
+    # warc_ts: per-host crawl bursts — base time per host + small in-burst
+    # increments; sorted within host to create runs after clustering
+    host_base = (host_ids.astype(np.int64) * 97_003) % 86_400_000_000
+    burst = np.sort(rng.integers(0, 3_600_000_000, n))  # within-partition drift
+    ts_micros = BASE_TS_MICROS + host_base + burst
+    warc_ts = ts_micros.astype("datetime64[us]")
+
+    # text: Zipf-ish word sampling (natural-language redundancy)
+    doc_lens = rng.integers(30, 300, n)
+    total_words = int(doc_lens.sum())
+    word_ranks = np.arange(1, len(_WORDS) + 1, dtype=np.float64)
+    wp = 1.0 / word_ranks
+    wp /= wp.sum()
+    words = _WORDS[rng.choice(len(_WORDS), size=total_words, p=wp)]
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(doc_lens, out=bounds[1:])
+    texts = [" ".join(words[bounds[i] : bounds[i + 1]]) for i in range(n)]
+
+    langs = _LANGS[rng.integers(0, len(_LANGS), n)]
+    htmls = [
+        b"<!DOCTYPE html><html><head><title>page</title></head><body><p>"
+        + t.encode("utf-8")
+        + b"</p></body></html>"
+        for t in texts
+    ]
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": warc_ts,
+            "html": htmls,
+            "text": texts,
+            "lang": langs,
+        }
+    )
+
+
+def gen_pages_pdf(n_rows: int, seed: int = 42, n_hosts: int = 1000) -> pd.DataFrame:
+    """Driver-side single-partition generation (tests, small scales)."""
+    return _gen_partition(0, n_rows, seed, n_hosts)
+
+
+def gen_pages(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    n_hosts: int = 1000,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic generation via mapInPandas.
+
+    Scale note: at 10^12 docs this is the same pattern — a range() of
+    partition ids fanned out to executors; no driver materialization.
+    """
+    sc_parallelism = spark.sparkContext.defaultParallelism
+    n_partitions = n_partitions or min(max(sc_parallelism, 1), max(n_rows // 1000, 1))
+    rows_per = [n_rows // n_partitions] * n_partitions
+    for i in range(n_rows % n_partitions):
+        rows_per[i] += 1
+    plan = spark.createDataFrame(
+        [(i, rows_per[i]) for i in range(n_partitions)], "part_id int, n int"
+    ).repartition(n_partitions, "part_id")
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():  # ≤ a few plan rows per partition
+                yield _gen_partition(int(row.part_id), int(row.n), seed, n_hosts)
+
+    return plan.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def write_pages(
+    spark: SparkSession, path: str, n_rows: int, seed: int = 42, n_hosts: int = 1000
+) -> None:
+    gen_pages(spark, n_rows, seed=seed, n_hosts=n_hosts).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -1,0 +1,96 @@
+"""Skew-aware deterministic partitioning for the encode pipeline.
+
+Crawl-domain skew: url hosts are Zipfian (the head host can be >10%
+of all rows), so `repartition(host)` hot-spots one executor. Policy
+(SURVEY.md §4.3, §7.3):
+
+1. part assignment must be a DETERMINISTIC function of the data, not
+   of Spark's physical split — resume (manifest ledger) and reruns
+   depend on stable (part_id → rows) mapping;
+2. base key = url host (`parse_url`) so a host's pages co-locate →
+   warc_ts runs stay RLE/delta-friendly;
+3. skew relief = salting the hot hosts: a host whose sampled share
+   exceeds `1/n_parts` is split across ceil(share*n_parts) salt
+   buckets, salt chosen deterministically per row (xxhash64(url));
+4. final part_id = pmod(xxhash64(host, salt), n_parts).
+
+All pure Column expressions — no UDFs; Catalyst pushes the hash
+computation into the shuffle map side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_of(url_col):
+    return F.parse_url(url_col, F.lit("HOST"))
+
+
+def sample_host_shares(df: DataFrame, url_col: str = "url", sample: float = 0.05):
+    """Sampled host histogram → dict host -> share (only heavy hitters)."""
+    n = df.count()
+    frac = min(1.0, max(sample, 10_000.0 / max(n, 1)))
+    hist = (
+        df.sample(fraction=frac, seed=11)
+        .groupBy(host_of(F.col(url_col)).alias("host"))
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in hist) or 1
+    return {r["host"]: r["count"] / total for r in hist}
+
+
+def salt_counts(shares: dict[str, float], n_parts: int) -> dict[str, int]:
+    """Hosts needing >1 salt bucket: ceil(share * n_parts), capped."""
+    out = {}
+    for host, share in shares.items():
+        if share > 1.0 / n_parts:
+            out[host] = min(int(share * n_parts) + 1, n_parts)
+    return out
+
+
+def assign_part_id(
+    df: DataFrame,
+    n_parts: int,
+    url_col: str = "url",
+    salts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Add a deterministic `part_id` column (0..n_parts-1)."""
+    host = host_of(F.col(url_col))
+    if salts:
+        # deterministic per-row salt in [0, salt_count(host)); hosts not
+        # in the map get salt 0 → pure host-hash partitioning
+        mapping = F.create_map(
+            *[x for h, c in salts.items() for x in (F.lit(h), F.lit(c))]
+        )
+        n_salts = F.coalesce(F.element_at(mapping, host), F.lit(1))
+        salt = F.pmod(F.xxhash64(F.col(url_col)), n_salts)
+    else:
+        salt = F.lit(0)
+    pid = F.pmod(F.xxhash64(host, salt), F.lit(n_parts)).cast("int")
+    return df.withColumn("part_id", pid)
+
+
+def partition_for_encode(
+    df: DataFrame,
+    n_parts: int,
+    url_col: str = "url",
+    ts_col: str | None = "warc_ts",
+    skew_sample: float = 0.05,
+) -> DataFrame:
+    """Full pre-encode layout: salt-aware part_id, clustered + sorted.
+
+    One shuffle (repartition by part_id); sortWithinPartitions puts
+    each host's pages in timestamp order → maximal runs for RLE /
+    minimal deltas for delta_for (SURVEY.md §7.0 stage diagram).
+    """
+    shares = sample_host_shares(df, url_col, skew_sample)
+    salts = salt_counts(shares, n_parts)
+    out = assign_part_id(df, n_parts, url_col, salts)
+    out = out.repartition(n_parts, "part_id")
+    sort_cols = [host_of(F.col(url_col))]
+    if ts_col:
+        sort_cols.append(F.col(ts_col))
+    return out.sortWithinPartitions(*sort_cols)

@@ -1,0 +1,51 @@
+"""Codec auto-selector — statistics-driven policy (SURVEY.md §7.1 M4).
+
+Policy (thresholds over partition_stats output):
+
+  frac_run ≥ RUN_T                         → rle
+  distinct/n ≤ DICT_T (and small dict)     → dict
+  int with delta_bitwidth < bitwidth       → delta_for   (sorted-ish)
+  int with bitwidth < 8*itemsize*PACK_T    → bitpack     (FOR)
+  str/bytes with avg_len ≥ FSST_MIN_LEN    → fsst
+  otherwise                                → plain
+
+The selector returns a RANKED candidate list; the encode worker
+encodes with the first candidate and falls back to `plain` if the
+candidate fails to beat it on actual bytes (selection is a
+prediction; the byte check is ground truth — mirrors how parquet-go
+falls back from dictionary when the dict page grows too large).
+"""
+
+from __future__ import annotations
+
+DICT_T = 0.2  # distinct/n threshold for dictionary
+DICT_MAX = 1 << 20  # never build dictionaries beyond ~1M entries
+RUN_T = 0.5  # mean fraction of repeated neighbors for RLE
+PACK_T = 0.75  # bitpack must save ≥25% of bits
+FSST_MIN_LEN = 8.0  # short strings: dict/plain beat symbol tables
+
+
+def select_codec(stats: dict[str, float], dtype_kind: str) -> list[str]:
+    """Rank codecs for a column chunk. dtype_kind: numpy kind or 'O'."""
+    n = max(int(stats.get("n", 0)), 1)
+    distinct = float(stats.get("distinct", n))
+    frac_run = float(stats.get("frac_run", 0.0))
+    avg_len = float(stats.get("avg_len", 0.0))
+    bw = int(stats.get("bitwidth", 0))
+    dbw = int(stats.get("delta_bitwidth", 64))
+
+    cands: list[str] = []
+    if frac_run >= RUN_T:
+        cands.append("rle")
+    if distinct / n <= DICT_T and distinct <= DICT_MAX:
+        cands.append("dict")
+    if dtype_kind in ("i", "u"):
+        itembits = 8 * int(stats.get("avg_len", 8))
+        if dbw and dbw < bw:
+            cands.append("delta_for")
+        if bw and bw < itembits * PACK_T:
+            cands.append("bitpack")
+    if dtype_kind == "O" and avg_len >= FSST_MIN_LEN:
+        cands.append("fsst")
+    cands.append("plain")
+    return cands

@@ -1,0 +1,112 @@
+"""Per-column codec statistics — the auto-selector's input.
+
+Two layers:
+
+- `column_stats(df, cols)`: one distributed Spark aggregation over a
+  sample of the table (approx_count_distinct / avg length / run
+  detection via lag) — cheap planning stats, one job, no shuffle
+  beyond the final collect of a handful of rows. Used by the driver
+  to pick candidate codecs before launching the encode stage.
+
+- `partition_stats(pdf_col)`: exact numpy stats inside the encode
+  worker (mapInPandas) over the partition's actual values — the
+  final per-partition codec decision (data can differ per partition;
+  the reference picks encodings per column chunk the same way —
+  parquet-go writer chooses per page, observable in SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def column_stats(df: DataFrame, cols: list[str] | None = None, sample: float = 0.05):
+    """Planning stats: one row per column, computed in one Spark job.
+
+    Returns dict[col] -> {n, approx_distinct, avg_len, frac_run}
+    frac_run = fraction of consecutive equal values in natural order
+    (run-friendliness signal for RLE).
+    """
+    cols = cols or df.columns
+    sdf = df.sample(fraction=min(1.0, sample), seed=7) if sample < 1.0 else df
+    w = Window.orderBy(F.monotonically_increasing_id())
+    aggs = []
+    for c in cols:
+        field = dict(zip(df.columns, df.schema.fields))[c]
+        aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__d"))
+        if isinstance(field.dataType, (T.StringType, T.BinaryType)):
+            aggs.append(F.avg(F.length(c)).alias(f"{c}__len"))
+        else:
+            aggs.append(F.lit(8.0).alias(f"{c}__len"))
+    # run detection on the sample, per column, via lag in one pass
+    lagged = sdf.select(
+        *[
+            (F.col(c) == F.lag(c, 1).over(w)).cast("int").alias(f"{c}__eq")
+            for c in cols
+        ]
+    )
+    run_aggs = [F.avg(f"{c}__eq").alias(f"{c}__run") for c in cols]
+    row = sdf.agg(*aggs).collect()[0].asDict()
+    runs = lagged.agg(*run_aggs).collect()[0].asDict()
+    out = {}
+    for c in cols:
+        out[c] = {
+            "n": row[f"{c}__n"],
+            "approx_distinct": row[f"{c}__d"],
+            "avg_len": float(row[f"{c}__len"] or 0.0),
+            "frac_run": float(runs[f"{c}__run"] or 0.0),
+        }
+    return out
+
+
+def partition_stats(values: np.ndarray) -> dict[str, float]:
+    """Exact numpy stats for one column chunk inside the encode worker."""
+    n = len(values)
+    if n == 0:
+        return {"n": 0, "distinct": 0, "frac_run": 0.0, "avg_len": 0.0, "bitwidth": 0}
+    is_obj = values.dtype.kind == "O"
+    if is_obj:
+        # distinct via pandas factorize-free path: set on a sample cap
+        cap = min(n, 65536)
+        sample = values[:cap]
+        distinct_est = len(set(sample)) * (n / cap)
+        a = np.asarray(values[1:])
+        b = np.asarray(values[:-1])
+        frac_run = float(np.mean(a == b)) if n > 1 else 0.0
+        avg_len = float(np.mean([len(v) for v in sample]))
+        return {
+            "n": n,
+            "distinct": distinct_est,
+            "frac_run": frac_run,
+            "avg_len": avg_len,
+            "bitwidth": 0,
+        }
+    frac_run = float(np.mean(values[1:] == values[:-1])) if n > 1 else 0.0
+    stats = {
+        "n": n,
+        "distinct": 0.0,
+        "frac_run": frac_run,
+        "avg_len": float(values.dtype.itemsize),
+        "bitwidth": 0,
+    }
+    if values.dtype.kind in ("i", "u"):
+        cap = min(n, 262144)
+        sample = values[:cap]
+        stats["distinct"] = float(len(np.unique(sample)) * (n / cap))
+        vmin, vmax = int(values.min()), int(values.max())
+        stats["bitwidth"] = int(vmax - vmin).bit_length()
+        if n > 1:
+            d = np.diff(values.astype(np.int64, copy=False).view(np.uint64)).view(
+                np.int64
+            )
+            dspan = int(d.max()) - int(d.min()) if len(d) else 0
+            stats["delta_bitwidth"] = max(dspan, 0).bit_length()
+    elif values.dtype.kind == "f":
+        cap = min(n, 262144)
+        stats["distinct"] = float(len(np.unique(values[:cap])) * (n / cap))
+    return stats

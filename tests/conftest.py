@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquetry_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("parquetry-tests", cores=4, shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def pages(spark):
+    """Small deterministic CC-style pages table (SURVEY.md §7.1 M0)."""
+    from parquetry_spark.generator import gen_pages
+
+    df = gen_pages(spark, 2000, seed=42, n_hosts=50)
+    df = df.cache()
+    df.count()
+    return df
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")

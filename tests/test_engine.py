@@ -1,0 +1,114 @@
+"""End-to-end Spark encode → decode → bit-identity tests (the
+reference's golden round-trip exactness, distributed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark.engine import (
+    decode_blocks,
+    encode_table,
+    infer_ltypes,
+    run_encode,
+    verify_roundtrip,
+)
+from parquetry_spark.generator import gen_pages_pdf
+
+
+def test_generator_deterministic(spark):
+    a = gen_pages_pdf(100, seed=1)
+    b = gen_pages_pdf(100, seed=1)
+    assert a.equals(b)
+    c = gen_pages_pdf(100, seed=2)
+    assert not a["url"].equals(c["url"])
+
+
+def test_generator_distributed_matches_schema(pages):
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert pages.count() == 2000
+    # zipf skew exists: top host should dominate
+    top = (
+        pages.groupBy(F.parse_url("url", F.lit("HOST")).alias("h"))
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    assert top["count"] > 2000 / 50 * 3
+
+
+def test_encode_decode_bit_identity(spark, pages):
+    blocks = encode_table(pages, n_parts=8).cache()
+    assert blocks.count() == 8 * 5  # every partition × every column
+    mismatches = verify_roundtrip(spark, pages, blocks, key_col="url")
+    assert mismatches == {c: 0 for c in ["warc_ts", "html", "text", "lang"]}
+    blocks.unpersist()
+
+
+def test_encode_compresses(spark, pages):
+    blocks = encode_table(pages, n_parts=8)
+    agg = blocks.agg(
+        F.sum("in_bytes").alias("i"), F.sum("out_bytes").alias("o")
+    ).collect()[0]
+    assert agg["o"] < agg["i"]  # total encoded ≤ plain input bytes
+    per_col = {
+        r["column"]: r
+        for r in blocks.groupBy("column")
+        .agg(F.sum("in_bytes").alias("i"), F.sum("out_bytes").alias("o"))
+        .collect()
+    }
+    # lang: 10 values → dict must crush it
+    assert per_col["lang"]["o"] < per_col["lang"]["i"] / 4
+    # text: FSST must beat plain
+    assert per_col["text"]["o"] < per_col["text"]["i"]
+
+
+def test_codec_choices_sane(spark, pages):
+    chosen = {
+        r["column"]: set(r["codecs"])
+        for r in encode_table(pages, n_parts=8)
+        .groupBy("column")
+        .agg(F.collect_set("codec").alias("codecs"))
+        .collect()
+    }
+    assert chosen["lang"] <= {"dict", "rle"}
+    assert "fsst" in chosen["text"]
+    assert chosen["warc_ts"] <= {"delta_for", "bitpack", "rle", "dict"}
+
+
+def test_resume_skips_committed(spark, pages, tmp_path):
+    out = str(tmp_path / "enc")
+    r1 = run_encode(spark, pages, out, n_parts=8)
+    assert r1["parts"] == 8 and r1["skipped_parts"] == 0
+    r2 = run_encode(spark, pages, out, n_parts=8)
+    assert r2["skipped_parts"] == 8
+    assert r2["blocks"] == r1["blocks"]  # no duplicate blocks appended
+    # decoded result after resume is still bit-identical
+    blocks = spark.read.parquet(r1["blocks_path"])
+    mismatches = verify_roundtrip(spark, pages, blocks, key_col="url")
+    assert all(v == 0 for v in mismatches.values())
+
+
+def test_nullable_columns_roundtrip(spark):
+    pdf = gen_pages_pdf(300, seed=3)
+    pdf.loc[pdf.index % 7 == 0, "text"] = None
+    pdf.loc[pdf.index % 11 == 0, "lang"] = None
+    df = spark.createDataFrame(pdf)
+    blocks = encode_table(df, n_parts=4)
+    mismatches = verify_roundtrip(spark, df, blocks, key_col="url")
+    assert all(v == 0 for v in mismatches.values())
+
+
+def test_decode_column_pruning(spark, pages):
+    """Decoding one column must not touch the others' payloads."""
+    blocks = encode_table(pages, n_parts=8)
+    lt = infer_ltypes(pages)
+    one = decode_blocks(blocks, ["lang"], lt)
+    assert one.columns == ["part_id", "lang"]
+    counts = one.groupBy("lang").count()
+    orig = pages.groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in counts.collect()}
+    want = {r["lang"]: r["count"] for r in orig.collect()}
+    assert got == want
