@@ -1,0 +1,183 @@
+"""CLI — command surface mirroring the reference binary.
+
+parquetry commands (reference main.go:61-111) and their forms here:
+
+    cat|head|tail|to  → python -m parquetry_spark cat FILE... [--head N]
+                        [--tail N] [--where EXPR] [--shape SHAPE]
+                        [--format go|csv|json|jsonl]
+    where EXPR FILE   → python -m parquetry_spark where EXPR FILE...
+    reshape SHAPE F   → python -m parquetry_spark reshape SHAPE FILE...
+    meta FILE         → python -m parquetry_spark meta FILE...
+    schema FILE       → python -m parquetry_spark schema FILE... [--view ...]
+
+Engine commands (the north-rule pipeline, spark-submit friendly):
+
+    encode  --in TABLE --out DIR [--parts N] [--cols a,b]
+    decode  --blocks DIR --cols a,b [--out DIR]
+    verify  --in TABLE --blocks DIR [--key url]
+    gen     --out DIR --rows N [--seed S]
+    report  --out DIR
+
+Pipeline order matches the reference: filter sees the SOURCE schema,
+then reshape, then sink (main.go:176-186; where.txtar:38-39).
+Files are processed one table per file like the reference's eachFile
+loop (main.go:284-291).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--head", type=int, default=None)
+    p.add_argument("--tail", type=int, default=None)
+    p.add_argument("--where", default=None)
+    p.add_argument("--shape", default=None)
+    p.add_argument(
+        "--format", default="go", choices=["go", "csv", "json", "jsonl"]
+    )
+
+
+def _pipeline(spark, path, args):
+    from .parity.filters import where as _where
+    from .parity.limits import head_tail
+    from .parity.shape import reshape as _reshape
+
+    df = spark.read.parquet(path)
+    df = head_tail(df, args.head, args.tail)
+    if args.where:
+        df = _where(df, args.where)  # filter on SOURCE schema
+    if args.shape:
+        df = _reshape(df, args.shape)
+    return df
+
+
+def _emit(df, fmt):
+    from .parity import sinks
+
+    if fmt == "csv":
+        sys.stdout.write(sinks.csv_string(df))
+    elif fmt == "json":
+        sys.stdout.write(sinks.json_string(df))
+    elif fmt == "jsonl":
+        sys.stdout.write(sinks.jsonl_string(df))
+    else:  # go struct-ish text (main.go:261-265 debug sink)
+        for row in sinks.render_temporals(df).collect():
+            body = " ".join(f"{k}:{v}" for k, v in row.asDict().items())
+            sys.stdout.write("{" + body + "}\n")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="parquetry_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name in ("cat", "to"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.add_argument("files", nargs="+")
+    for name in ("head", "tail"):
+        p = sub.add_parser(name)
+        p.add_argument("n", type=int)
+        p.add_argument("files", nargs="+")
+        p.add_argument("--format", default="go", choices=["go", "csv", "json", "jsonl"])
+    p = sub.add_parser("where")
+    p.add_argument("expr")
+    p.add_argument("files", nargs="+")
+    _add_common(p)
+    p = sub.add_parser("reshape")
+    p.add_argument("shapearg")
+    p.add_argument("files", nargs="+")
+    _add_common(p)
+    p = sub.add_parser("meta")
+    p.add_argument("files", nargs="+")
+    p = sub.add_parser("schema")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--view", default="logical", choices=["message", "physical", "logical"])
+
+    p = sub.add_parser("gen")
+    p.add_argument("--out", required=True)
+    p.add_argument("--rows", type=int, required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p = sub.add_parser("encode")
+    p.add_argument("--in", dest="inp", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--parts", type=int, default=32)
+    p.add_argument("--cols", default=None)
+    p = sub.add_parser("verify")
+    p.add_argument("--in", dest="inp", required=True)
+    p.add_argument("--blocks", required=True)
+    p.add_argument("--key", default="url")
+    p = sub.add_parser("report")
+    p.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "meta":
+        from .parity.meta import parquet_meta
+
+        for f in args.files:
+            print(json.dumps(parquet_meta(f), indent=2, default=str))
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("parquetry-cli")
+    try:
+        if args.cmd == "schema":
+            from .parity.meta import schema_views
+
+            for f in args.files:
+                print(schema_views(spark, f)[args.view])
+            return 0
+        if args.cmd == "gen":
+            from .generator import write_pages
+
+            write_pages(spark, args.out, args.rows, seed=args.seed)
+            return 0
+        if args.cmd == "encode":
+            from .engine import run_encode
+
+            df = spark.read.parquet(args.inp)
+            cols = args.cols.split(",") if args.cols else None
+            url_col = "url" if "url" in df.columns else None
+            ts_col = "warc_ts" if "warc_ts" in df.columns else None
+            res = run_encode(
+                spark, df, args.out, cols, args.parts, url_col, ts_col
+            )
+            print(json.dumps(res, default=str))
+            return 0
+        if args.cmd == "verify":
+            from .engine import verify_roundtrip
+
+            df = spark.read.parquet(args.inp)
+            blocks = spark.read.parquet(args.blocks)
+            mism = verify_roundtrip(spark, df, blocks, key_col=args.key)
+            print(json.dumps(mism))
+            return 0 if all(v == 0 for v in mism.values()) else 1
+        if args.cmd == "report":
+            from .parity.meta import manifest_report
+
+            manifest_report(spark, args.out).show(100, truncate=False)
+            return 0
+
+        # row pipeline commands: cat/to/head/tail/where/reshape
+        if args.cmd in ("head", "tail"):
+            args.head = args.n if args.cmd == "head" else None
+            args.tail = args.n if args.cmd == "tail" else None
+            args.where = args.shape = None
+        if args.cmd == "where":
+            args.where = args.expr
+        if args.cmd == "reshape":
+            args.shape = args.shapearg
+        for f in args.files:  # eachFile loop (main.go:284-291)
+            _emit(_pipeline(spark, f, args), args.format)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

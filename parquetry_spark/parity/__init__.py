@@ -1,0 +1,4 @@
+"""parquetry semantic-parity surfaces over Spark DataFrames:
+limits (head/tail ±n), filter DSL, reshape DSL, text sinks with the
+reference's temporal rendering, and meta/schema commands.
+"""

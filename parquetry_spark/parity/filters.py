@@ -1,0 +1,374 @@
+"""Filter DSL — parquetry's predicate language over Spark Columns.
+
+The reference compiles expr-lang predicates against the logical row
+type once per file (/root/reference/filter.go:17-33), with operator
+overloads making temporal columns comparable against strings (parsed
+at the type's layout), raw-unit ints, and durations
+(filter.go:47-82, types.go:49-83). Filters always run against the
+SOURCE schema even when a reshape follows (main.go:178-186;
+where.txtar:38-39) — callers apply `compile_filter` before select.
+
+This is a small Pratt parser + schema-aware compiler to Column
+expressions — Catalyst then gets a fully-native predicate it can
+push into the parquet scan (the reference evaluates per-row post-
+materialization; we get pushdown free, SURVEY.md §4.2).
+
+Supported surface (the where.txtar matrix):
+  == != < <= > >=            scalars, strings (lexicographic), temporals
+  && || ! / and or not       boolean algebra, parens
+  x != nil / x == nil        null tests
+  x ?? y                     coalesce
+  x in [a, b]                membership
+  s contains "sub"           substring
+  s matches "re"             regex (RLIKE)
+  s startsWith / endsWith    prefixes (expr-lang builtins)
+  upper(x) lower(x) len(x)   scalar transforms
+  date("2003-10-20")         date literal
+  duration("1h30m")          Go-syntax duration → interval micros
+  w.d / M.B                  struct member & map key (absent → nil)
+  temporal vs int            raw stored units (µs for timestamps,
+                             days for dates — types.go:49-65)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class FilterError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ lexer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<num>-?\d+\.\d+|-?\d+)
+    | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<op>\(|\)|\[|\]|,|==|!=|<=|>=|<|>|&&|\|\||\?\?|!|\.)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.X,
+)
+
+
+def _lex(s: str):
+    toks, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            if s[i:].strip() == "":
+                break
+            raise FilterError(f"bad filter syntax at {s[i:]!r}")
+        for kind in ("num", "str", "op", "word"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append((kind, v))
+                break
+        i = m.end()
+    toks.append(("eof", ""))
+    return toks
+
+
+# ----------------------------------------------------------------- parser
+# Pratt precedence (expr-lang-like): ?? < || < && < not < cmp/in/contains
+#   < additive (none needed) < unary ! < postfix(.member, call)
+
+_CMP_OPS = {"==", "!=", "<", "<=", ">", ">="}
+_WORD_OPS = {"in", "contains", "matches", "startsWith", "endsWith"}
+
+
+class _P:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self):
+        e = self.parse_or()
+        if self.peek()[0] != "eof":
+            raise FilterError(f"unexpected token {self.peek()[1]!r}")
+        return e
+
+    def parse_or(self):
+        left = self.parse_and()
+        while (self.peek()[1] == "||") or (self.peek() == ("word", "or")):
+            self.next()
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while (self.peek()[1] == "&&") or (self.peek() == ("word", "and")):
+            self.next()
+            left = ("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.peek()[1] == "!" or self.peek() == ("word", "not"):
+            self.next()
+            return ("not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        left = self.parse_coalesce()
+        k, v = self.peek()
+        if v in _CMP_OPS:
+            self.next()
+            return ("cmp", v, left, self.parse_coalesce())
+        if k == "word" and v in _WORD_OPS:
+            self.next()
+            if v == "in":
+                return ("in", left, self.parse_list())
+            return (v, left, self.parse_coalesce())
+        return left
+
+    def parse_coalesce(self):
+        left = self.parse_postfix()
+        while self.peek()[1] == "??":
+            self.next()
+            left = ("coalesce", left, self.parse_postfix())
+        return left
+
+    def parse_list(self):
+        if self.next()[1] != "[":
+            raise FilterError("expected [ after in")
+        items = []
+        if self.peek()[1] != "]":
+            items.append(self.parse_coalesce())
+            while self.peek()[1] == ",":
+                self.next()
+                items.append(self.parse_coalesce())
+        if self.next()[1] != "]":
+            raise FilterError("expected ]")
+        return items
+
+    def parse_postfix(self):
+        e = self.parse_atom()
+        while True:
+            if self.peek()[1] == ".":
+                self.next()
+                k, v = self.next()
+                if k != "word":
+                    raise FilterError(f"expected member name, got {v!r}")
+                e = ("member", e, v)
+            else:
+                return e
+
+    def parse_atom(self):
+        k, v = self.next()
+        if v == "(":
+            e = self.parse_or()
+            if self.next()[1] != ")":
+                raise FilterError("expected )")
+            return e
+        if k == "num":
+            return ("num", float(v) if "." in v else int(v))
+        if k == "str":
+            return ("lit", _unquote(v))
+        if k == "word":
+            if v == "nil":
+                return ("nil",)
+            if v in ("true", "false"):
+                return ("bool", v == "true")
+            if self.peek()[1] == "(":
+                self.next()
+                args = []
+                if self.peek()[1] != ")":
+                    args.append(self.parse_or())
+                    while self.peek()[1] == ",":
+                        self.next()
+                        args.append(self.parse_or())
+                if self.next()[1] != ")":
+                    raise FilterError("expected )")
+                return ("call", v, args)
+            return ("name", v)
+        raise FilterError(f"unexpected token {v!r}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+_GO_DUR = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DUR_US = {"ns": 1e-3, "us": 1.0, "µs": 1.0, "ms": 1e3, "s": 1e6, "m": 6e7, "h": 3.6e9}
+
+
+def parse_go_duration_us(s: str) -> int:
+    """Go duration string ('1h30m', '250ms') → microseconds."""
+    pos, total = 0, 0.0
+    for m in _GO_DUR.finditer(s):
+        if m.start() != pos:
+            raise FilterError(f"bad duration {s!r}")
+        total += float(m.group(1)) * _DUR_US[m.group(2)]
+        pos = m.end()
+    if pos != len(s) or pos == 0:
+        raise FilterError(f"bad duration {s!r}")
+    return int(total)
+
+
+# --------------------------------------------------------------- compiler
+
+
+class _Compiler:
+    """AST → Column, schema-aware for temporal comparisons."""
+
+    def __init__(self, schema: T.StructType):
+        self.schema = schema
+
+    def type_of(self, node) -> T.DataType | None:
+        if node[0] == "name":
+            for f in self.schema.fields:
+                if f.name.lower() == node[1].lower():
+                    return f.dataType
+            raise FilterError(f"unknown name {node[1]}")  # where.txtar:7-9
+        if node[0] == "member":
+            base_t = self.type_of(node[1])
+            if isinstance(base_t, T.StructType):
+                for f in base_t.fields:
+                    if f.name.lower() == node[2].lower():
+                        return f.dataType
+                raise FilterError(f"unknown member {node[2]}")
+            if isinstance(base_t, T.MapType):
+                return base_t.valueType
+            return None
+        return None
+
+    def compile(self, node) -> Column:
+        op = node[0]
+        if op == "or":
+            return self.compile(node[1]) | self.compile(node[2])
+        if op == "and":
+            return self.compile(node[1]) & self.compile(node[2])
+        if op == "not":
+            return ~self.compile(node[1])
+        if op == "coalesce":
+            return F.coalesce(self.compile(node[1]), self.compile(node[2]))
+        if op == "cmp":
+            return self.compile_cmp(node[1], node[2], node[3])
+        if op == "in":
+            col = self.compile(node[1])
+            return col.isin([self.compile_lit_value(i) for i in node[2]])
+        if op == "contains":
+            return self.compile(node[1]).contains(self.compile(node[2]))
+        if op == "matches":
+            return self.compile(node[1]).rlike(self.compile_lit_value(node[2]))
+        if op == "startsWith":
+            return self.compile(node[1]).startswith(self.compile(node[2]))
+        if op == "endsWith":
+            return self.compile(node[1]).endswith(self.compile(node[2]))
+        if op == "name":
+            return F.col(node[1])
+        if op == "member":
+            base_t = self.type_of(node[1])
+            base = self.compile(node[1])
+            if isinstance(base_t, T.MapType):
+                return F.element_at(base, node[2])  # absent key → nil
+            return base[node[2]]
+        if op == "num":
+            return F.lit(node[1])
+        if op == "lit":
+            return F.lit(node[1])
+        if op == "bool":
+            return F.lit(node[1])
+        if op == "nil":
+            return F.lit(None)
+        if op == "call":
+            return self.compile_call(node[1], node[2])
+        raise FilterError(f"cannot compile {op}")
+
+    def compile_lit_value(self, node):
+        if node[0] in ("num", "lit", "bool"):
+            return node[1]
+        raise FilterError("expected literal")
+
+    def compile_call(self, fn: str, args) -> Column:
+        if fn == "upper":
+            return F.upper(self.compile(args[0]))
+        if fn == "lower":
+            return F.lower(self.compile(args[0]))
+        if fn == "len":
+            a0 = args[0]
+            t = self.type_of(a0) if a0[0] in ("name", "member") else None
+            c = self.compile(a0)
+            if isinstance(t, (T.ArrayType, T.MapType)):
+                return F.size(c)
+            return F.length(c)
+        if fn == "date":
+            return F.to_date(self.compile(args[0]))
+        if fn == "duration":
+            us = parse_go_duration_us(self.compile_lit_value(args[0]))
+            return F.lit(us)  # raw-unit micros (types.go:67-83 semantics)
+        if fn == "abs":
+            return F.abs(self.compile(args[0]))
+        if fn == "trim":
+            return F.trim(self.compile(args[0]))
+        raise FilterError(f"unknown function {fn}")
+
+    def compile_cmp(self, op: str, ln, rn) -> Column:
+        # nil comparisons → IS [NOT] NULL (where.txtar:139-144)
+        if rn[0] == "nil" or ln[0] == "nil":
+            other = ln if rn[0] == "nil" else rn
+            c = self.compile(other)
+            if op == "==":
+                return c.isNull()
+            if op == "!=":
+                return c.isNotNull()
+            raise FilterError("nil supports only == / !=")
+        lt = self.type_of(ln) if ln[0] in ("name", "member") else None
+        rt = self.type_of(rn) if rn[0] in ("name", "member") else None
+        left, right = self.compile(ln), self.compile(rn)
+        # temporal overloads (filter.go:47-82): column vs int = raw units
+        # (µs since epoch / days since epoch); vs string = parsed literal
+        left, right = self._coerce(lt, left, rn, right)
+        right, left = self._coerce(rt, right, ln, left)
+        return {
+            "==": left == right,
+            "!=": left != right,
+            "<": left < right,
+            "<=": left <= right,
+            ">": left > right,
+            ">=": left >= right,
+        }[op]
+
+    def _coerce(self, col_t, col_c, other_node, other_c):
+        if isinstance(col_t, T.TimestampType):
+            if other_node[0] == "num":
+                return F.unix_micros(col_c), other_c
+            if other_node[0] == "lit":
+                return col_c, F.to_timestamp(other_c)
+            if other_node[0] == "call" and other_node[1] == "duration":
+                return F.unix_micros(col_c), other_c
+        if isinstance(col_t, T.DateType):
+            if other_node[0] == "num":
+                return F.datediff(col_c, F.lit("1970-01-01")), other_c
+            if other_node[0] == "lit":
+                return col_c, F.to_date(other_c)
+        return col_c, other_c
+
+
+def compile_filter(df_or_schema, expr: str) -> Column:
+    """Compile a parquetry filter expression against a schema.
+
+    Name resolution errors raise at compile time, before any row is
+    read — matching the reference (where.txtar:7-9 'unknown name').
+    """
+    schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    ast = _P(_lex(expr)).parse()
+    return _Compiler(schema).compile(ast)
+
+
+def where(df: DataFrame, expr: str) -> DataFrame:
+    return df.filter(compile_filter(df, expr))

@@ -1,0 +1,59 @@
+"""head/tail positional limits with the reference's ± semantics.
+
+Reference (/root/reference/main.go:321-349):
+    head n   → first n rows           (stop = n)
+    head -n  → skip first n rows      (start = n)
+    tail n   → last n rows            (start = rows - n)
+    tail -n  → drop last n rows       (stop = rows - n)
+    head and tail together → error    (main.go:326-328)
+
+parquetry relies on stable file row order; Spark has no implicit row
+order, so these operators take an explicit ordering column (default:
+a monotonically-derived file order when reading a single parquet
+file via row-preserving narrow plan). We expose both a pure-
+DataFrame form (limit/offset — pushed down by Catalyst, no shuffle
+for `head`) and an order-column form (window row_number) that is
+deterministic under any partitioning — the form that survives a
+1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def head_tail(
+    df: DataFrame,
+    head: int | None = None,
+    tail: int | None = None,
+    order_by: str | list[str] | None = None,
+) -> DataFrame:
+    """Apply parquetry head/tail semantics.
+
+    With order_by=None, uses plan order (limit/offset — cheap, exact
+    for single-file scans; Catalyst pushes the limit into the scan).
+    With order_by, uses a global row_number — deterministic at scale.
+    """
+    if head is not None and tail is not None:
+        raise ValueError("head and tail are exclusive")  # main.go:326-328
+    if head is None and tail is None:
+        return df
+    if order_by is None:
+        if head is not None:
+            return df.limit(head) if head >= 0 else df.offset(-head)
+        n = df.count()
+        if tail >= 0:
+            return df.offset(max(n - tail, 0))
+        return df.limit(max(n + tail, 0))
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.orderBy(*[F.col(c) for c in cols])
+    rn = F.row_number().over(w)
+    numbered = df.withColumn("__rn", rn)
+    if head is not None:
+        cond = (F.col("__rn") <= head) if head >= 0 else (F.col("__rn") > -head)
+        return numbered.filter(cond).drop("__rn")
+    n = df.count()
+    cond = (F.col("__rn") > n - tail) if tail >= 0 else (F.col("__rn") <= n + tail)
+    return numbered.filter(cond).drop("__rn")

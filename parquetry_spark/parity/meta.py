@@ -1,0 +1,84 @@
+"""meta / schema commands — footer-only metadata surfaces.
+
+Reference (SURVEY.md §2.1 M1-M2):
+  meta   → created_by, version, columns, rows, per-row-group
+           uncompressed vs compressed bytes + offset (main.go:120-148)
+  schema → message / physical / logical views (main.go:150-171)
+
+Ours adds the encode manifest as a third surface: per-partition
+codec / bytes / checksum rows (the distributed row-group report).
+No row data is read by any of these (pyarrow reads footers only;
+manifest reads are column-pruned parquet).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parquet_meta(path: str) -> dict:
+    """Footer metadata of one parquet file (main.go:120-148 parity)."""
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    groups = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        groups.append(
+            {
+                "index": i,
+                "rows": rg.num_rows,
+                "total_byte_size": rg.total_byte_size,
+                "compressed_size": sum(
+                    rg.column(j).total_compressed_size for j in range(rg.num_columns)
+                ),
+            }
+        )
+    return {
+        "created_by": md.created_by,
+        "format_version": str(md.format_version),
+        "columns": md.num_columns,
+        "rows": md.num_rows,
+        "row_groups": groups,
+        "key_value_metadata": {
+            k.decode() if isinstance(k, bytes) else k: v
+            for k, v in (md.metadata or {}).items()
+            if not str(k).startswith("b'org.apache.spark")
+        },
+    }
+
+
+def schema_views(spark: SparkSession, path: str) -> dict[str, str]:
+    """message (parquet), physical (arrow), logical (Spark) views."""
+    f = pq.ParquetFile(path)
+    logical = spark.read.parquet(path).schema.treeString()
+    return {
+        "message": str(f.schema),
+        "physical": str(f.schema_arrow),
+        "logical": logical,
+    }
+
+
+def manifest_report(spark: SparkSession, out_dir: str, stage: str = "encode") -> DataFrame:
+    """Encoded-run report: per (partition, column) codec + byte sizes.
+
+    The distributed generalization of parquetry's per-row-group
+    uncompressed-vs-compressed listing (main.go:133-140).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    m = spark.read.parquet(os.path.join(out_dir, "manifest", f"stage={stage}"))
+    return (
+        m.groupBy("column")
+        .agg(
+            F.count("*").alias("blocks"),
+            F.sum("rows").alias("rows"),
+            F.sum("in_bytes").alias("in_bytes"),
+            F.sum("out_bytes").alias("out_bytes"),
+            F.round(F.sum("in_bytes") / F.sum("out_bytes"), 3).alias("ratio"),
+            F.collect_set("codec").alias("codecs"),
+        )
+        .orderBy("column")
+    )

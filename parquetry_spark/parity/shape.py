@@ -1,0 +1,131 @@
+"""Reshape DSL — parquetry's projection grammar over Spark select.
+
+Grammar (reference /root/reference/reshape.go:74-85, participle):
+
+    fields  := value (',' value)*
+    value   := struct | field
+    field   := Ident ('.' Ident)* ('AS' Ident)?
+    struct  := '(' value (',' value)* ')' 'AS' Ident   -- name mandatory
+
+Semantics proven by reshape_test.go:8-24 and reshape.txtar:
+  - subset & reorder            'A,B' / 'G,F,E'
+  - rename                      'A AS Z'
+  - duplicate                   'A, A AS B'
+  - nested flatten              'Person.Name' → column `Name`
+    (default name = last path segment, reshape.go:214-219)
+  - re-group into struct        '(A,C) AS G'
+  - case-preserving source-name resolution (reshape.go:186-212) —
+    Spark's analyzer is case-insensitive by default: free.
+
+~60 lines of recursive descent; output is a list of Column
+expressions for df.select — Catalyst handles schema derivation and
+column pruning (the reference re-derives the output struct type
+manually, reshape.go:117-141).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN = re.compile(r"\s*(?:(?P<ident>[A-Za-z_][A-Za-z0-9_]*)|(?P<punct>[(),.]))")
+
+
+class ShapeError(ValueError):
+    pass
+
+
+def _tokenize(s: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN.match(s, i)
+        if not m:
+            if s[i:].strip() == "":
+                break
+            raise ShapeError(f"bad shape syntax at {s[i:]!r}")
+        out.append(m.group("ident") or m.group("punct"))
+        i = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, t):
+        got = self.next()
+        if got != t:
+            raise ShapeError(f"expected {t!r}, got {got!r}")
+
+    def parse_fields(self):
+        vals = [self.parse_value()]
+        while self.peek() == ",":
+            self.next()
+            vals.append(self.parse_value())
+        if self.peek() is not None:
+            raise ShapeError(f"unexpected token {self.peek()!r}")
+        return vals
+
+    def parse_value(self):
+        if self.peek() == "(":
+            return self.parse_struct()
+        return self.parse_field()
+
+    def parse_struct(self):
+        self.expect("(")
+        members = [self.parse_value()]
+        while self.peek() == ",":
+            self.next()
+            members.append(self.parse_value())
+        self.expect(")")
+        # struct name is mandatory (reshape.go:78-81)
+        if self.peek() != "AS":
+            raise ShapeError("parenthesized group requires 'AS name'")
+        self.next()
+        name = self.next()
+        if not name or name in "(),.":
+            raise ShapeError("missing struct name after AS")
+        return ("struct", members, name)
+
+    def parse_field(self):
+        path = [self.next()]
+        if path[0] is None or path[0] in "(),." or path[0] == "AS":
+            raise ShapeError(f"expected field name, got {path[0]!r}")
+        while self.peek() == ".":
+            self.next()
+            path.append(self.next())
+        name = None
+        if self.peek() == "AS":
+            self.next()
+            name = self.next()
+        return ("field", path, name)
+
+
+def _to_column(node) -> Column:
+    kind, payload, name = node
+    if kind == "field":
+        col = F.col(".".join(f"`{p}`" for p in payload))
+        # default output name = last path segment (reshape.go:214-219)
+        return col.alias(name or payload[-1])
+    members = [_to_column(m) for m in payload]
+    return F.struct(*members).alias(name)
+
+
+def parse_shape(shape: str) -> list[Column]:
+    """Shape DSL string → list of Column expressions for select()."""
+    return [_to_column(n) for n in _Parser(_tokenize(shape)).parse_fields()]
+
+
+def reshape(df: DataFrame, shape: str) -> DataFrame:
+    return df.select(*parse_shape(shape))

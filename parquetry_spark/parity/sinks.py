@@ -1,0 +1,116 @@
+"""Text sinks — CSV / JSON / JSONL with the reference's rendering.
+
+Reference behaviors reproduced (SURVEY.md §2.1 W1-W5):
+  - CSV: header from field names; non-scalar cells embedded as JSON
+    (write_csv.go:51-57); scalars via plain formatting.
+  - JSON: streaming array '[\n  {...},\n  {...}\n]', '[]' when empty,
+    HTML escaping off (write_json.go:18-51).
+  - JSONL: one object per line (main.go:274-277).
+  - Temporal rendering: dates 'YYYY-MM-DD'; timestamps RFC3339 at
+    stored precision — our engine stores µs, so 6 fractional digits
+    trimmed of trailing zeros is NOT applied: the reference prints
+    at fixed stored precision (types.go:26-31,89-101), we do the
+    same with µs.
+
+Distributed forms (`write_*`) write with Spark writers — the
+scale path. String forms (`*_string`) collect to the driver for
+golden tests / stdout cat — small data only by contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+DATE_FMT = "yyyy-MM-dd"
+
+
+def _is_complex(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.StructType, T.MapType, T.ArrayType))
+
+
+def render_temporals(df: DataFrame) -> DataFrame:
+    """Timestamps/dates → reference-format strings (types.go:85-157)."""
+    out = []
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, T.TimestampType):
+            out.append(F.date_format(c, TS_FMT).alias(f.name))
+        elif isinstance(f.dataType, T.DateType):
+            out.append(F.date_format(c, DATE_FMT).alias(f.name))
+        else:
+            out.append(c)
+    return df.select(*out)
+
+
+def _csv_ready(df: DataFrame) -> DataFrame:
+    """Complex columns → JSON-in-cell (write_csv.go:51-57)."""
+    df = render_temporals(df)
+    out = []
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if _is_complex(f.dataType):
+            out.append(F.to_json(c).alias(f.name))
+        elif isinstance(f.dataType, T.BinaryType):
+            out.append(F.base64(c).alias(f.name))
+        else:
+            out.append(c)
+    return df.select(*out)
+
+
+def _json_ready(df: DataFrame) -> DataFrame:
+    df = render_temporals(df)
+    out = []
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, T.BinaryType):
+            out.append(F.base64(c).alias(f.name))
+        else:
+            out.append(c)
+    return df.select(*out)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    _csv_ready(df).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    _json_ready(df).write.mode("overwrite").json(path)
+
+
+def csv_string(df: DataFrame) -> str:
+    """Driver-side CSV (golden tests; reference cmp semantics)."""
+    import csv as _csv
+    import io
+
+    ready = _csv_ready(df)
+    buf = io.StringIO()
+    w = _csv.writer(buf, lineterminator="\n")
+    w.writerow(ready.columns)
+    for row in ready.collect():
+        w.writerow(["" if v is None else v for v in row])
+    return buf.getvalue()
+
+
+def jsonl_string(df: DataFrame) -> str:
+    rows = (
+        _json_ready(df)
+        .select(F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns])).alias("j"))
+        .collect()
+    )
+    return "\n".join(r["j"] for r in rows) + ("\n" if rows else "")
+
+
+def json_string(df: DataFrame) -> str:
+    """Streaming-array JSON form: '[]' for empty (write_json.go:24-33)."""
+    rows = (
+        _json_ready(df)
+        .select(F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns])).alias("j"))
+        .collect()
+    )
+    if not rows:
+        return "[]\n"
+    body = ",\n  ".join(r["j"] for r in rows)
+    return "[\n  " + body + "\n]\n"

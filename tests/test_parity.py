@@ -1,0 +1,179 @@
+"""Semantic-parity tests ported case-for-case from the reference's
+txtar matrices (where.txtar, reshape.txtar, cat.txtar — SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parquetry_spark.parity.filters import FilterError, compile_filter, where
+from parquetry_spark.parity.limits import head_tail
+from parquetry_spark.parity.shape import ShapeError, reshape
+from parquetry_spark.parity.sinks import csv_string, json_string, jsonl_string
+
+
+@pytest.fixture(scope="module")
+def example(spark):
+    """The reference's `example.parquet` fixture (makeparquet.go:31-66)."""
+    rows = [
+        Row(
+            f=True,
+            pf=False,
+            i=3,
+            j=6,
+            k=9,
+            m={"hello": "world"},
+            ps=None,
+            rs="aeiou",
+            w=Row(
+                d=datetime.date(1971, 7, 10),
+                s=datetime.datetime(1970, 1, 1, 0, 0, 0, 777000),
+            ),
+        ),
+        Row(
+            f=False,
+            pf=None,
+            i=2,
+            j=4,
+            k=6,
+            m={"prop": "val"},
+            ps="ptr",
+            rs="aeiouy",
+            w=Row(
+                d=datetime.date(1972, 6, 5),
+                s=datetime.datetime(1970, 1, 1, 0, 0, 1, 0),
+            ),
+        ),
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+@pytest.fixture(scope="module")
+def alphav(spark):
+    return spark.createDataFrame([Row(A=c) for c in "abcdefg"]).cache()
+
+
+# ------------------------------------------------------------- head / tail
+def test_head_tail_semantics(alphav):
+    # cat.txtar:11-49 equivalences
+    assert [r.A for r in head_tail(alphav, head=2, order_by="A").collect()] == ["a", "b"]
+    assert [r.A for r in head_tail(alphav, head=-2, order_by="A").collect()] == list("cdefg")
+    assert [r.A for r in head_tail(alphav, tail=2, order_by="A").collect()] == ["f", "g"]
+    assert [r.A for r in head_tail(alphav, tail=-2, order_by="A").collect()] == list("abcde")
+    with pytest.raises(ValueError):
+        head_tail(alphav, head=1, tail=1)  # main.go:326-328
+
+
+# ------------------------------------------------------------------ where
+def test_where_unknown_name(example):
+    with pytest.raises(FilterError):  # where.txtar:7-9
+        compile_filter(example, 'Bogus == "x"')
+
+
+def test_where_string_compare(example):
+    assert where(example, 'rs == "aeiou"').count() == 1
+    assert where(example, 'rs < "aeiouy"').count() == 1  # lexicographic
+    assert where(example, 'upper(rs) == "AEIOU"').count() == 1
+
+
+def test_where_bool_algebra(example):
+    assert where(example, "f && i == 3").count() == 1
+    assert where(example, "f || i == 2").count() == 2
+    assert where(example, "!f").count() == 1
+    assert where(example, "not f and i == 2").count() == 1
+
+
+def test_where_nil_and_coalesce(example):
+    # where.txtar:139-144
+    assert where(example, "pf != nil").count() == 1
+    assert where(example, "ps == nil").count() == 1
+    assert where(example, "pf ?? true").count() == 1  # null→true, false stays
+    assert where(example, "pf ?? false").count() == 0
+
+
+def test_where_membership(example):
+    assert where(example, "i in [1, 3]").count() == 1  # where.txtar:172-175
+    assert where(example, 'rs in ["aeiou", "xyz"]').count() == 1
+
+
+def test_where_string_predicates(example):
+    assert where(example, 'rs contains "ouy"').count() == 1
+    assert where(example, 'rs matches "^a.*y$"').count() == 1
+    assert where(example, 'rs startsWith "aei"').count() == 2
+
+
+def test_where_map_and_struct_access(example):
+    # where.txtar:48-59,151-170: absent map key → nil
+    assert where(example, 'm.hello == "world"').count() == 1
+    assert where(example, "m.absent == nil").count() == 2
+    assert where(example, 'w.d > date("1971-12-31")').count() == 1
+
+
+def test_where_timestamp_vs_string_and_int(example):
+    # where.txtar:61-119: compare stamps by string and by raw int units
+    assert where(example, 'w.s < "1970-01-01T00:00:01"').count() == 1
+    assert where(example, "w.s == 777000").count() == 1  # raw µs
+    assert where(example, "w.s >= 1000000").count() == 1
+    assert where(example, 'w.s < duration("1s")').count() == 1
+
+
+def test_where_filters_source_schema_then_shape(example):
+    # where.txtar:38-39: filter on A, emit only B
+    df = where(example, "i == 3")
+    out = reshape(df, "j")
+    assert out.columns == ["j"] and out.collect()[0].j == 6
+
+
+# ---------------------------------------------------------------- reshape
+def test_reshape_matrix(example):
+    # reshape_test.go:19-23 cases
+    assert reshape(example, "i,j,k").columns == ["i", "j", "k"]
+    assert reshape(example, "k,j,i").columns == ["k", "j", "i"]
+    assert reshape(example, "i AS z").columns == ["z"]
+    assert reshape(example, "i, i AS b").columns == ["i", "b"]
+    flat = reshape(example, "w.d, w.s AS stamp")
+    assert flat.columns == ["d", "stamp"]  # default name = last segment
+    g = reshape(example, "(i, k) AS g, rs")
+    assert g.columns == ["g", "rs"]
+    assert g.schema["g"].dataType.fieldNames() == ["i", "k"]
+    nested = reshape(example, "(rs, (i, j) AS ij) AS outer")
+    assert nested.schema["outer"].dataType.fieldNames() == ["rs", "ij"]
+
+
+def test_reshape_errors(example):
+    with pytest.raises(ShapeError):
+        reshape(example, "(i, j)")  # group name mandatory (reshape.go:78-81)
+    with pytest.raises(Exception):
+        reshape(example, "nope").collect()  # unknown column → analysis error
+
+
+# ------------------------------------------------------------------ sinks
+def test_csv_complex_cells_as_json(example):
+    out = csv_string(reshape(example.orderBy("i"), "i, m"))
+    lines = out.strip().split("\n")
+    assert lines[0] == "i,m"
+    # JSON embedded in the CSV cell (write_csv.go:51-57)
+    assert '""prop"":""val""' in lines[1] or "'prop'" in lines[1]
+
+
+def test_json_array_and_empty(example, spark):
+    s = json_string(example.limit(0).select("i"))
+    assert s == "[]\n"  # write_json.go:24-33
+    s2 = json_string(example.orderBy("i").select("i"))
+    assert s2 == '[\n  {"i":2},\n  {"i":3}\n]\n'
+
+
+def test_jsonl(example):
+    s = jsonl_string(example.orderBy("i").select("i", "rs"))
+    assert s == '{"i":2,"rs":"aeiouy"}\n{"i":3,"rs":"aeiou"}\n'
+
+
+def test_temporal_rendering(example):
+    # cat.txtar:112-122 style: timestamps at stored precision, UTC
+    s = jsonl_string(example.orderBy("i").select("w.s"))
+    assert "1970-01-01T00:00:01.000000Z" in s
+    assert "1970-01-01T00:00:00.777000Z" in s
