@@ -1,0 +1,311 @@
+"""Deduplication operators for web-scale corpora.
+
+Scale design notes (the part that matters at 100 TB):
+  - exact dedup: one hash-shuffle on a 64-hex digest, never on the
+    full text (shuffle bytes ∝ digest, not document);
+  - MinHash+LSH: signatures are built in one narrow projection
+    (xxhash64 over shingle arrays — JVM codegen, no Python); the
+    only shuffle is the band-bucket groupBy, and buckets are salted
+    implicitly by band id. Candidate pairs are verified with exact
+    shingle-set Jaccard BEFORE being reported (no false positives).
+  - SimHash: 64-bit signature via per-token hash bit-votes; near-dup
+    = signature XOR popcount ≤ r, candidates via band-of-bits join.
+  - embedding near-dup: cosine over array<float> with F.zip_with /
+    F.aggregate (JVM), brute force within LSH-ish length buckets.
+
+All operators return DataFrames; pair outputs are canonicalized
+(id_a < id_b) so results are deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import shingles, tokens
+
+
+# ----------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per identical text (hash-groupBy).
+
+    The shuffle key is sha2(text) — constant width regardless of
+    document size; the winning id comes back via min().
+    """
+    h = F.sha2(F.col(text_col), 256).alias("h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+    return keep
+
+
+def exact_dedup_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus itself (first occurrence wins)."""
+    keep = exact_dedup(df, text_col, id_col).select(id_col)
+    return df.join(F.broadcast(keep), id_col, "left_semi")
+
+
+# --------------------------------------------------------------- minhash
+def minhash_signature(col: Column, k: int = 8, n_hashes: int = 32) -> Column:
+    """MinHash signature: array of n minima of seeded xxhash64 over
+    character-shingle arrays. Pure Column exprs — one projection."""
+    sh = shingles(col, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact verification.
+
+    shingle → minhash → band → bucket-join → exact Jaccard filter.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col), F.col(text_col), minhash_signature(F.col(text_col), k, n_hashes).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        text_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, text_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{text_col}").alias("text_a"),
+            F.col(f"b.{text_col}").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = F.array_distinct(shingles(F.col("text_a"), k))
+    sb = F.array_distinct(shingles(F.col("text_b"), k))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    jac = (inter / F.greatest(union, F.lit(1))).alias("jaccard")
+    return (
+        cand.select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_docs: int = 20000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over LSH-free candidate pruning:
+    documents sharing their fingerprint-min n-gram are candidates
+    (equivalent to 1-permutation MinHash banding).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col), F.array_distinct(grams).alias("grams"))
+    keyed = g.select(
+        id_col, "grams", F.array_min(F.transform("grams", F.md5)).alias("bucket")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash(col: Column, bits: int = 64) -> Column:
+    """SimHash: per-token xxhash64, bit-vote aggregation → int64.
+
+    Vote for bit i = sign of Σ_tokens (2*bit_i(hash) - 1); built
+    entirely from aggregate/transform Column exprs (JVM-side).
+    """
+    tok_hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = F.when(
+            F.element_at(votes, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash distance ≤ max_hamming.
+
+    Candidates via band-of-bits equality (any identical 16-bit band
+    ⇒ candidate — guaranteed to catch ≤3-bit differences with 4
+    bands by pigeonhole), then exact popcount verification.
+    """
+    width = 64 // bands
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sh", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------------ embedding near-dup
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns — JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH buckets →
+    exact cosine ≥ threshold within bucket (id_a < id_b).
+
+    Hyperplanes are deterministic (hash of dimension index & plane id
+    → ±1 entries) so the pipeline is seed-free reproducible.
+    """
+    sgn = lambda p: F.transform(  # noqa: E731
+        F.col(vec_col),
+        lambda v, i: F.when(F.pmod(F.xxhash64(i, F.lit(p)), 2) == 0, v).otherwise(-v),
+    )
+    bucket = F.array(
+        *[
+            (
+                F.aggregate(sgn(p), F.lit(0.0), lambda a, v: a + v.cast("double")) > 0
+            ).cast("int")
+            for p in range(n_planes)
+        ]
+    )
+    keyed = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

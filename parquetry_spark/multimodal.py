@@ -1,0 +1,120 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` columns + typed metadata structs; the
+Spark-side plumbing — schemas, partition-preserving mapInPandas,
+Arrow batch shapes, vectorized UDF signatures — is real and tested.
+The actual codec decode (PIL/ffmpeg-class work) is STUBBED: the
+container has no media libraries, so `decode_image` raises
+NotImplementedError unless `fake=True`, which produces a
+deterministic fake decode (dimension/byte stats) exercising the
+identical dataflow.
+
+At scale: media blobs dominate bytes, so every operator here is a
+mapInPandas over the existing partitioning (NO shuffle), with
+metadata-only projections available upstream (column pruning keeps
+blob reads out of metadata queries entirely).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:int>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha string, "
+    "width int, height int, mean_byte double, feature array<float>"
+)
+
+
+def media_table_from_pages(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Wrap an existing binary column as a media table (schema shim)."""
+    return df.select(
+        F.xxhash64(binary_col).alias("media_id"),
+        F.lit("blob").alias("kind"),
+        F.col(binary_col).alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> dict:
+    """STUB: real decode needs an image library not in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/libvips — not available; "
+            "use fake=True for the deterministic test double"
+        )
+    # deterministic fake: dimensions derived from content hash
+    h = hash(payload) & 0xFFFFFFFF
+    return {"width": 64 + h % 512, "height": 64 + (h >> 9) % 512}
+
+
+def extract_features(
+    df: DataFrame, fake_decode: bool = True, feat_dim: int = 8
+) -> DataFrame:
+    """mapInPandas feature extraction over media blobs.
+
+    Real plumbing: Arrow batches in, numpy-vectorized byte stats +
+    an 8-dim byte-histogram 'embedding' out; the decode step itself
+    is the stub above. No shuffle — runs on existing partitions.
+    """
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = len(pdf)
+            n_bytes = payloads.map(len).astype("int64")
+            shas = payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
+            widths = np.zeros(n, dtype="int32")
+            heights = np.zeros(n, dtype="int32")
+            means = np.zeros(n, dtype="float64")
+            feats = []
+            for idx, b in enumerate(payloads):  # per-BLOB, not per-row-of-data:
+                # blobs are the unit of decode; a real impl hands the
+                # whole Arrow buffer to the codec library in C
+                d = decode_image(bytes(b), fake=fake_decode)
+                widths[idx], heights[idx] = d["width"], d["height"]
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                means[idx] = float(arr.mean()) if len(arr) else 0.0
+                hist, _ = np.histogram(arr, bins=feat_dim, range=(0, 256))
+                feats.append((hist / max(len(arr), 1)).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes,
+                    "sha": shas,
+                    "width": widths,
+                    "height": heights,
+                    "mean_byte": means,
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: which (media_id, ts) pairs to
+    decode — pure metadata math, no blob reads (column pruning)."""
+    n_frames = F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames.cast("int") - 1, F.lit(0)))
+        ).alias("frame_idx"),
+    ).withColumn("ts_ms", F.col("frame_idx") * every_ms)

@@ -1,0 +1,111 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- brute_force_topk: exact cosine top-k — the correctness baseline.
+  One narrow projection (JVM zip_with/aggregate) + one global top-k
+  (Spark's TakeOrderedAndProject — no full sort, no full shuffle).
+- ivf_topk: the scale path — k-means-lite (hash-seeded centroid
+  sample, one refinement pass via Spark agg), probe the nearest
+  n_probe centroids, exact cosine only within probed cells.
+  At 10^12 vectors the probe prunes ~(1 - n_probe/n_cells) of work;
+  centroids broadcast (tiny), so the only shuffle is the cell agg
+  during build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector (the oracle baseline)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def _assign_cell(df, centroids_b, vec_col):
+    """Nearest centroid id via posexplode-free zip: argmax cosine."""
+    cents = centroids_b  # list[(cell_id, [floats])]
+    best_id, best_cos = None, None
+    for cid, cvec in cents:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = cosine(F.col(vec_col), c)
+        if best_id is None:
+            best_id, best_cos = F.lit(cid), cos
+        else:
+            cond = cos > best_cos
+            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+            best_cos = F.when(cond, cos).otherwise(best_cos)
+    return df.withColumn("cell", best_id)
+
+
+def build_ivf(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """One-pass IVF build: deterministic seed centroids (hash-sampled
+    rows), one Lloyd refinement via groupBy mean. Returns
+    (assigned_df, centroids) where centroids is a small driver list.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(id_col), 997), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [(i, list(map(float, r[vec_col]))) for i, r in enumerate(seeds)]
+    assigned = _assign_cell(df, centroids, vec_col)
+    # one refinement: per-cell mean (dim aggregations, one shuffle)
+    means = assigned.groupBy("cell").agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}")
+            for i in range(dim)
+        ]
+    )
+    refined = [
+        (int(r["cell"]), [float(r[f"d{i}"]) for i in range(dim)])
+        for r in means.collect()
+    ]
+    assigned2 = _assign_cell(df.drop("cell"), refined, vec_col)
+    return assigned2, refined
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the n_probe nearest cells, exact cosine within them."""
+    import math
+
+    def cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(x * x for x in b)) or 1e-12
+        return dot / (na * nb)
+
+    probes = sorted(centroids, key=lambda c: -cos_py(c[1], query))[:n_probe]
+    cells = [c[0] for c in probes]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = assigned.filter(F.col("cell").isin(cells)).select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

@@ -1,0 +1,119 @@
+"""Text analysis for web-scale training-data pipelines.
+
+All hot paths are built-in Column expressions (JVM whole-stage
+codegen; no Python) so they survive 100 TB: language-ID, quality
+scoring, token counting, and document fingerprinting are each a
+single narrow projection — no shuffle, full predicate/column
+pushdown upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic;
+# deliberately small & fixed so the oracle SQL can replicate exactly
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token proxy: count of letter-runs, digit-runs and
+    punctuation marks (a regex approximation of BPE segmentation)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def _marker_hits(col: Column, words: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    h = None
+    for w in words:
+        c = (
+            F.length(padded)
+            - F.length(F.replace(padded, F.lit(f" {w} "), F.lit("")))
+        ) / (len(w) + 2)
+        h = c if h is None else h + c
+    return h.cast("int")
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language heuristic → best language code or 'und'.
+
+    Deterministic tie-break: higher hits wins, ties broken by code
+    order en < de < fr < es (stable for the DuckDB oracle).
+    """
+    hits = {lang: _marker_hits(col, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in ["es", "fr", "de", "en"]:  # reverse priority; later wins ties ≥
+        h = hits[lang]
+        cond = h >= best_hits
+        best = F.when(h > 0, F.when(cond, F.lit(lang)).otherwise(best)).otherwise(best)
+        best_hits = F.greatest(best_hits, h)
+    return best
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length, punctuation and stopword
+    ratios (the C4-style filters, simplified & deterministic)."""
+    n_chars = F.length(col)
+    n_tok = token_count(col)
+    punct = F.size(F.regexp_extract_all(col, F.lit(r"[.,;:!?]"), F.lit(0)))
+    stop_hits = _marker_hits(col, LANG_MARKERS["en"])
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_ratio = punct / F.greatest(n_tok, F.lit(1))
+    punct_score = F.lit(1.0) - F.least(punct_ratio, F.lit(1.0))
+    stop_score = F.least(stop_hits * F.lit(10.0) / F.greatest(n_tok, F.lit(1)), F.lit(1.0))
+    avg_word = n_chars / F.greatest(n_tok, F.lit(1))
+    word_score = F.when((avg_word >= 3) & (avg_word <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + punct_score + stop_score + word_score) / 4.0, 6)
+
+
+def shingles(col: Column, k: int = 8) -> Column:
+    """Character k-gram shingle array (whole doc if shorter than k)."""
+    n = F.length(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.substr(col, i, F.lit(k)),
+    )
+
+
+def fingerprint(col: Column, k: int = 8) -> Column:
+    """Document fingerprint: min of md5 over character k-gram shingles
+    (a 1-permutation MinHash — deterministic, oracle-replicable:
+    DuckDB computes the identical value with md5 + list_min)."""
+    n = F.length(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.substr(col, i, F.lit(k))),
+    )
+    return F.array_min(grams)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One narrow projection with all text-analysis columns."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_tokens_bpe": bpe_ish_token_count(c),
+            "lang_guess": lang_id(c),
+            "quality": quality_score(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

@@ -1,0 +1,137 @@
+"""Tests for training-data pipeline operators: text analysis, dedup
+family, similarity search, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parquetry_spark.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_docs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from parquetry_spark.multimodal import extract_features, media_table_from_pages
+from parquetry_spark.similarity import brute_force_topk, build_ivf, ivf_topk
+from parquetry_spark.textops import text_profile
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = [
+        Row(doc_id=1, text=base * 5),
+        Row(doc_id=2, text=base * 5),  # exact dup of 1
+        Row(doc_id=3, text=(base * 5)[:-10] + " extra tail"),  # near dup
+        Row(doc_id=4, text="der hund und die katze sind in das haus der tiere"),
+        Row(doc_id=5, text="le chat et le chien sont dans la maison et le jardin"),
+        Row(doc_id=6, text="completely different content about spark engines"),
+        Row(doc_id=7, text=""),
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_text_profile(docs):
+    prof = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    assert prof[7]["n_tokens"] == 0
+    assert prof[1]["n_tokens"] == 65
+    assert prof[1]["lang_guess"] == "en"
+    assert prof[4]["lang_guess"] == "de"
+    assert prof[5]["lang_guess"] == "fr"
+    assert 0 <= prof[6]["quality"] <= 1
+    assert prof[1]["fingerprint"] == prof[2]["fingerprint"]  # identical docs
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup_docs(docs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 2 not in ids and 1 in ids
+    assert len(ids) == 6
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # identical
+    assert (1, 3) in got and (2, 3) in got  # near-dup caught
+    assert all(a < b for a, b in got)
+    for r in pairs:
+        if (r["id_a"], r["id_b"]) == (1, 2):
+            assert r["jaccard"] == 1.0
+
+
+def test_ngram_jaccard(docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+
+
+def test_simhash_pairs(docs):
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs).collect()}
+    assert got[(1, 2)] == 0  # identical text → identical simhash
+    assert (1, 6) not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # two designed near-dups of vector 0
+    v0 = np.array(rows[0].embedding)
+    rows.append(Row(vec_id=100, embedding=[float(x) for x in v0 * 1.001]))
+    rows.append(Row(vec_id=101, embedding=[float(x) for x in v0 + 0.001]))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_embedding_neardup(vectors):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(vectors, threshold=0.999).collect()
+    }
+    assert (0, 100) in got and (0, 101) in got
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.filter("vec_id = 0").first()["embedding"]
+    top = brute_force_topk(vectors, q, k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+    assert {r["vec_id"] for r in top} == {0, 100, 101}
+
+
+def test_ivf_topk_recall(vectors):
+    q = vectors.filter("vec_id = 0").first()["embedding"]
+    assigned, cents = build_ivf(vectors, n_cells=4)
+    assigned = assigned.cache()
+    exact = [r["vec_id"] for r in brute_force_topk(vectors, q, k=3).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(assigned, cents, q, k=3, n_probe=2).collect()]
+    # near-identical vectors land in the same cell ⇒ full recall here
+    assert set(exact) == set(approx)
+
+
+def test_multimodal_features(pages):
+    media = media_table_from_pages(pages.limit(64))
+    feats = extract_features(media).collect()
+    assert len(feats) == 64
+    f0 = feats[0]
+    assert f0["n_bytes"] > 0 and len(f0["sha"]) == 64
+    assert len(f0["feature"]) == 8
+    assert abs(sum(f0["feature"]) - 1.0) < 1e-3  # normalized histogram
+    assert f0["width"] >= 64 and f0["height"] >= 64
+
+
+def test_multimodal_decode_stub_raises():
+    from parquetry_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...", fake=False)
