@@ -1,38 +1,601 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full encode→decode→verify pipeline summary
+                over the synthetic CC-style pages table (sf0.001-ish).
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-data pipeline ops), each (spark, sf_dir) → DF.
+oracle_sql()  — DuckDB-equivalent SQL per query (omitted only for ops
+                whose hot path uses Spark-specific hashes, recorded as
+                rows-only checks).
+
+Column aliases match between Spark and SQL exactly (driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquetry_spark.dedup import (  # noqa: E402
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from parquetry_spark.engine import decode_blocks, encode_table, infer_ltypes  # noqa: E402
+from parquetry_spark.multimodal import extract_features, media_table_from_pages  # noqa: E402
+from parquetry_spark.parity.filters import where  # noqa: E402
+from parquetry_spark.parity.limits import head_tail  # noqa: E402
+from parquetry_spark.parity.shape import reshape  # noqa: E402
+from parquetry_spark.similarity import brute_force_topk  # noqa: E402
+from parquetry_spark.textops import (  # noqa: E402
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score_micros,
+    token_count,
+)
+
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed encode → decode → bit-identity verify of a
+    deterministic CC-style pages table; returns the per-column report
+    (column, codec, rows, in_bytes, out_bytes, ratio, roundtrip_ok)."""
+    from parquetry_spark.engine import verify_roundtrip
+    from parquetry_spark.generator import gen_pages
+
+    pages = gen_pages(spark, 2000, seed=42, n_hosts=50).cache()
+    pages.count()
+    blocks = encode_table(pages, n_parts=8).cache()
+    mismatches = verify_roundtrip(spark, pages, blocks, key_col="url")
+    ok_map = F.create_map(
+        *[x for c, m in mismatches.items() for x in (F.lit(c), F.lit(m == 0))]
+    )
+    report = (
+        blocks.groupBy("column")
+        .agg(
+            F.first("codec").alias("codec"),
+            F.sum("rows").alias("rows"),
+            F.sum("in_bytes").alias("in_bytes"),
+            F.sum("out_bytes").alias("out_bytes"),
+        )
+        .withColumn("ratio", F.round(F.col("in_bytes") / F.col("out_bytes"), 3))
+        .withColumn("roundtrip_ok", F.coalesce(F.element_at(ok_map, F.col("column")), F.lit(True)))
+        .orderBy("column")
+    )
+    return report
+
+
+# ---------------------------------------------------------------------------
+# queries — reference-parity surfaces
+# ---------------------------------------------------------------------------
+
+
+def q_scan_reshape(spark, sf):
+    # R1-R5: subset + rename + reorder via the shape DSL
+    return reshape(
+        _t(spark, sf, "lineitem"),
+        "l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty",
+    )
+
+
+def q_reshape_regroup(spark, sf):
+    # R6: re-group into struct, emitted as JSON for engine-neutral compare
+    df = reshape(_t(spark, sf, "customer"), "(c_custkey, c_name) AS id, c_mktsegment")
+    return df.select(
+        F.to_json(F.col("id")).alias("id_json"), F.col("c_mktsegment")
+    )
+
+
+def q_head(spark, sf):
+    # L1: first 100 in key order
+    df = _t(spark, sf, "orders")
+    return head_tail(df, head=100, order_by="o_orderkey").select("o_orderkey", "o_totalprice")
+
+
+def q_head_neg(spark, sf):
+    # L2: skip first N (negative head) — keep the suffix
+    df = _t(spark, sf, "region")
+    return head_tail(df, head=-2, order_by="r_regionkey").select("r_regionkey", "r_name")
+
+
+def q_tail(spark, sf):
+    # L3: last 50 in key order
+    df = _t(spark, sf, "orders")
+    return head_tail(df, tail=50, order_by="o_orderkey").select("o_orderkey", "o_custkey")
+
+
+def q_tail_neg(spark, sf):
+    # L4: drop last 2
+    df = _t(spark, sf, "nation")
+    return head_tail(df, tail=-2, order_by="n_nationkey").select("n_nationkey", "n_name")
+
+
+def q_where_compare(spark, sf):
+    # F1/F3/F6: predicate DSL — comparisons + boolean algebra + strings
+    df = _t(spark, sf, "lineitem")
+    out = where(df, 'l_quantity > 45 && l_returnflag == "R"')
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def q_where_temporal(spark, sf):
+    # F2: timestamp vs string literal comparison
+    df = _t(spark, sf, "orders")
+    out = where(df, 'o_orderdate >= "1997-01-01" && o_orderdate < "1997-02-01"')
+    return out.select("o_orderkey", "o_orderdate")
+
+
+def q_where_membership(spark, sf):
+    # F5 + F4: membership + coalesce/nil handling
+    df = _t(spark, sf, "events")
+    out = where(df, 'event_type in ["click", "view"] && (value ?? 0.0) > 9.0 && props != nil')
+    return out.select("event_id", "event_type")
+
+
+def q_where_string_predicates(spark, sf):
+    # F6/F7: contains / matches / upper
+    df = _t(spark, sf, "part")
+    out = where(df, 'p_type contains "BRASS" || upper(p_brand) matches "^BRAND#4.$"')
+    return out.select("p_partkey", "p_brand", "p_type")
+
+
+def q_filter_then_shape(spark, sf):
+    # §3.1 load-bearing order: filter sees SOURCE schema, then reshape
+    df = _t(spark, sf, "supplier")
+    return reshape(where(df, "s_acctbal > 5000"), "s_suppkey AS sk, s_name AS name")
+
+
+def q_count(spark, sf):
+    # M1 analogue: footer row count
+    return _t(spark, sf, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# queries — encode/decode pipeline (the north rule)
+# ---------------------------------------------------------------------------
+
+
+def q_roundtrip_text(spark, sf):
+    """Encode documents(text,lang) through the codec pipeline, decode,
+    emit md5 per doc — DuckDB oracle hashes the ORIGINALS: any codec
+    bit-error breaks the match (north-rule invariant)."""
+    df = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    dec = decode_blocks(blocks, ["doc_id", "text", "lang"], infer_ltypes(df))
+    return dec.select(
+        "doc_id", F.md5("text").alias("text_md5"), F.col("lang")
+    )
+
+
+def q_roundtrip_numeric(spark, sf):
+    """Encode lineitem numerics/timestamps, decode, return values —
+    delta_for/bitpack/dict exactness against the raw table."""
+    df = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag"
+    )
+    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag"]
+    return decode_blocks(blocks, cols, infer_ltypes(df)).select(*cols)
+
+
+def q_codec_stats(spark, sf):
+    # the auto-selector's planning stats, exact form
+    df = _t(spark, sf, "documents")
+    return df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.floor(F.avg(F.length("text"))).cast("long").alias("avg_text_len"),
+    )
+
+
+def q_encode_manifest(spark, sf):
+    """Per-column codec decisions + byte accounting (meta command
+    analogue). Codec choice depends on our selector → rows-only check."""
+    df = _t(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    return (
+        blocks.groupBy("column")
+        .agg(
+            F.collect_set("codec").alias("codecs"),
+            F.sum("rows").alias("rows"),
+            F.sum("in_bytes").alias("in_bytes"),
+            F.sum("out_bytes").alias("out_bytes"),
+        )
+        .orderBy("column")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark, sf):
+    df = _t(spark, sf, "documents")
+    return df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+def q_lang_id(spark, sf):
+    df = _t(spark, sf, "documents")
+    return df.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_quality(spark, sf):
+    df = _t(spark, sf, "documents")
+    return df.select(
+        "doc_id", quality_score_micros(F.col("text")).alias("quality_u")
+    )
+
+
+def q_fingerprint(spark, sf):
+    df = _t(spark, sf, "documents")
+    return df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf):
+    df = _t(spark, sf, "documents")
+    return exact_dedup(df).select("h", "doc_id", "n_copies")
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 — candidates via shared
+    gram (exact recall: J>0 ⇒ shared gram), fully SQL-replicable."""
+    df = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(F.size(toks) < 3, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    g = df.select(F.col("doc_id"), F.array_distinct(grams).alias("grams"))
+    sizes = g.select("doc_id", "grams", F.size("grams").alias("n"))
+    ex = sizes.select("doc_id", "n", F.explode("grams").alias("gram"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.select(
+            "id_a", "id_b", F.floor(jac * 1e6).cast("long").alias("jaccard_u")
+        )
+        .filter(F.col("jaccard_u") >= 500000)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_minhash_pairs(spark, sf):
+    # MinHash+LSH banding (xxhash64-seeded → Spark-specific: rows-only)
+    df = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(df, jaccard_threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf):
+    # SimHash bit-vote signatures (xxhash64 → rows-only)
+    df = _t(spark, sf, "documents").limit(200)
+    return simhash_pairs(df, max_hamming=8)
+
+
+def q_embedding_neardup(spark, sf):
+    # hyperplane-LSH near-dup (xxhash64 planes → rows-only)
+    df = _t(spark, sf, "embeddings")
+    return embedding_neardup_pairs(df, threshold=0.99)
+
+
+def q_ann_topk(spark, sf):
+    """Exact cosine top-10 around the vec_id=0 query vector."""
+    df = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    top = brute_force_topk(df, qv, k=10)
+    return top.select("vec_id", F.floor(F.col("cosine") * 1e4).cast("long").alias("cos_u"))
+
+
+def q_media_features(spark, sf):
+    """Multimodal plumbing over documents-as-blobs (fake decode)."""
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id"), F.encode("text", "utf-8").alias("html")
+    )
+    media = media_table_from_pages(pages, "html")
+    return extract_features(media).select("media_id", "n_bytes", "sha")
+
+
+# ---------------------------------------------------------------------------
+# queries — aggregation / window breadth (beyond the reference, §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pushdown(spark, sf):
+    """TPC-H Q1 shape with exact integer arithmetic (cents as bigint —
+    deterministic across engines unlike float sums)."""
+    df = _t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_price_cents"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_topk_per_group(spark, sf):
+    from pyspark.sql.window import Window
+
+    df = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q_join_broadcast(spark, sf):
+    """Dim join: broadcast the small side explicitly (scale discipline)."""
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        j.groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+        .orderBy("n_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_reshape": q_scan_reshape,
+        "reshape_regroup": q_reshape_regroup,
+        "head": q_head,
+        "head_neg": q_head_neg,
+        "tail": q_tail,
+        "tail_neg": q_tail_neg,
+        "where_compare": q_where_compare,
+        "where_temporal": q_where_temporal,
+        "where_membership": q_where_membership,
+        "where_string_predicates": q_where_string_predicates,
+        "filter_then_shape": q_filter_then_shape,
+        "count": q_count,
+        "roundtrip_text": q_roundtrip_text,
+        "roundtrip_numeric": q_roundtrip_numeric,
+        "codec_stats": q_codec_stats,
+        "encode_manifest": q_encode_manifest,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "media_features": q_media_features,
+        "agg_pushdown": q_agg_pushdown,
+        "topk_per_group": q_topk_per_group,
+        "join_broadcast": q_join_broadcast,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+
+def _hits_sql(lang: str, col: str = "text") -> str:
+    terms = [
+        f"((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2})"
+        for w in _MARKERS[lang]
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS INT)"
+
+
+_LANG_CTE = (
+    "WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents), "
+    "h AS (SELECT doc_id, "
+    + ", ".join(f"{_hits_sql(lang)} AS h_{lang}" for lang in ["en", "de", "fr", "es"])
+    + " FROM padded) "
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tok = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    quality = f"""
+      WITH q AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST({tok} AS BIGINT) AS n_tok,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+               CAST({_hits_sql('en')} AS BIGINT) AS stop_hits
+        FROM documents,
+             LATERAL (SELECT ' ' || lower(text) || ' ' AS p) pp
+      )
+      SELECT doc_id, (
+               least(n_tok * 10000, 1000000)
+               + (1000000 - least((punct * 1000000) // greatest(n_tok, 1), 1000000))
+               + least((stop_hits * 10 * 1000000) // greatest(n_tok, 1), 1000000)
+               + (CASE WHEN n_chars >= 3 * greatest(n_tok, 1)
+                        AND n_chars <= 12 * greatest(n_tok, 1)
+                       THEN 1000000 ELSE 500000 END)
+             ) // 4 AS quality_u
+      FROM q
     """
-    return {}
+    return {
+        "scan_reshape": (
+            "SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty "
+            "FROM lineitem"
+        ),
+        "reshape_regroup": (
+            "SELECT to_json(struct_pack(c_custkey := c_custkey, c_name := c_name)) "
+            "AS id_json, c_mktsegment FROM customer"
+        ),
+        "head": (
+            "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100"
+        ),
+        "head_neg": (
+            "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey OFFSET 2"
+        ),
+        "tail": (
+            "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey DESC LIMIT 50"
+        ),
+        "tail_neg": (
+            "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey "
+            "LIMIT (SELECT count(*) - 2 FROM nation)"
+        ),
+        "where_compare": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+            "WHERE l_quantity > 45 AND l_returnflag = 'R'"
+        ),
+        "where_temporal": (
+            "SELECT o_orderkey, o_orderdate FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-02-01'"
+        ),
+        "where_membership": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE event_type IN ('click','view') "
+            "AND coalesce(value, 0.0) > 9.0 AND props IS NOT NULL"
+        ),
+        "where_string_predicates": (
+            "SELECT p_partkey, p_brand, p_type FROM part "
+            "WHERE p_type LIKE '%BRASS%' "
+            "OR regexp_matches(upper(p_brand), '^BRAND#4.$')"
+        ),
+        "filter_then_shape": (
+            "SELECT s_suppkey AS sk, s_name AS name FROM supplier WHERE s_acctbal > 5000"
+        ),
+        "count": "SELECT count(*) AS n_rows FROM lineitem",
+        "roundtrip_text": (
+            "SELECT doc_id, md5(text) AS text_md5, lang FROM documents"
+        ),
+        "roundtrip_numeric": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate, l_returnflag "
+            "FROM lineitem"
+        ),
+        "codec_stats": (
+            "SELECT count(*) AS n, count(DISTINCT lang) AS lang_distinct, "
+            "count(DISTINCT source) AS source_distinct, "
+            "CAST(floor(avg(length(text))) AS BIGINT) AS avg_text_len FROM documents"
+        ),
+        "token_count": (
+            f"SELECT doc_id, {tok} AS n_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
+            "AS n_tokens_bpe FROM documents"
+        ),
+        "lang_id": (
+            _LANG_CTE
+            + "SELECT doc_id, CASE "
+            "WHEN h_en > 0 AND h_en >= greatest(h_de, h_fr, h_es) THEN 'en' "
+            "WHEN h_de > 0 AND h_de >= greatest(h_fr, h_es) THEN 'de' "
+            "WHEN h_fr > 0 AND h_fr >= h_es THEN 'fr' "
+            "WHEN h_es > 0 THEN 'es' ELSE 'und' END AS lang_guess FROM h"
+        ),
+        "quality": quality,
+        "fingerprint": (
+            "SELECT doc_id, list_min(list_transform("
+            "generate_series(1, greatest(length(text) - 7, 1)), "
+            "i -> md5(substr(text, i, 8)))) AS fp FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT sha256(text) AS h, min(doc_id) AS doc_id, "
+            "count(*) AS n_copies FROM documents GROUP BY sha256(text)"
+        ),
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN ['']
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+              FROM toks
+            ), ex AS (
+              SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+                     count(*) AS i
+              FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1,2,3,4
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(i * 1e6 / (na + nb - i)) AS BIGINT) AS jaccard_u
+            FROM inter WHERE i * 1e6 / (na + nb - i) >= 500000
+            ORDER BY id_a, id_b
+        """,
+        "ann_topk": (
+            "SELECT vec_id, CAST(floor(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+            ") * 1e4) AS BIGINT) AS cos_u FROM embeddings "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) "
+            "DESC, vec_id LIMIT 10"
+        ),
+        "agg_pushdown": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "topk_per_group": (
+            "SELECT o_custkey, o_orderkey, rk FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+            "FROM orders) WHERE rk <= 2"
+        ),
+        "join_broadcast": (
+            "SELECT n_name, count(*) AS n_cust FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        # rows-only (Spark-specific hash functions in the hot path):
+        #   encode_manifest, minhash_pairs, simhash_pairs,
+        #   embedding_neardup, media_features (xxhash64 media ids)
+    }

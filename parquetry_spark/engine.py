@@ -132,7 +132,7 @@ _LTYPE_CAST = {
 def _denormalize(vals: np.ndarray, notnull: np.ndarray, ltype: str) -> pd.Series:
     """Inverse of _normalize → pandas Series with nulls restored."""
     n = len(notnull)
-    if ltype == "timestamp_us":
+    if ltype in ("timestamp_us", "timestamp_ntz_us"):
         out = np.full(n, np.datetime64("NaT", "us"))
         out[notnull] = vals.astype("datetime64[us]")
         return pd.Series(out)
@@ -194,6 +194,10 @@ def _make_encode_kernel(columns: list[str], spark_types: dict[str, str], sort_co
                 vals, ltype = vals.astype(np.int64), "int64"
             elif ltype == "float64" and st == "int":
                 vals, ltype = vals.astype(np.int32), "int32"
+            elif ltype == "timestamp_us" and st == "timestamp_ntz":
+                # NTZ (isAdjustedToUTC=false — reference Loc types,
+                # main.go:424-461): same µs payload, distinct ltype
+                ltype = "timestamp_ntz_us"
             n, nn = len(series), int(notnull.sum())
             stats = partition_stats(vals)
             kind = vals.dtype.kind
@@ -309,6 +313,7 @@ def decode_blocks(blocks: DataFrame, columns: list[str], ltypes: dict[str, str])
         "str": "string",
         "bytes": "binary",
         "timestamp_us": "timestamp",
+        "timestamp_ntz_us": "timestamp_ntz",
         "date": "date",
         "int64": "bigint",
         "int32": "int",
@@ -433,6 +438,7 @@ def infer_ltypes(df: DataFrame) -> dict[str, str]:
         "string": "str",
         "binary": "bytes",
         "timestamp": "timestamp_us",
+        "timestamp_ntz": "timestamp_ntz_us",
         "date": "date",
         "bigint": "int64",
         "int": "int32",

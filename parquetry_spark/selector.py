@@ -18,10 +18,11 @@ falls back from dictionary when the dict page grows too large).
 
 from __future__ import annotations
 
-DICT_T = 0.2  # distinct/n threshold for dictionary
+DICT_T = 0.5  # distinct/n threshold for dictionary (liberal: the
+#               encode kernel verifies against plain on actual bytes)
 DICT_MAX = 1 << 20  # never build dictionaries beyond ~1M entries
 RUN_T = 0.5  # mean fraction of repeated neighbors for RLE
-PACK_T = 0.75  # bitpack must save ≥25% of bits
+PACK_T = 0.95  # bitpack must save ≥5% of bits (byte check disambiguates)
 FSST_MIN_LEN = 8.0  # short strings: dict/plain beat symbol tables
 
 

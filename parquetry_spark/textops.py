@@ -68,20 +68,36 @@ def lang_id(col: Column) -> Column:
     return best
 
 
+def quality_score_micros(col: Column) -> Column:
+    """Heuristic quality in integer micros [0, 1_000_000]: length,
+    punctuation and stopword ratios (C4-style filters, simplified).
+
+    Pure integer arithmetic end-to-end → bit-deterministic across
+    engines (a float formulation differs from DuckDB in the last ulp
+    at floor boundaries — measured, not hypothetical).
+    """
+    M = 1_000_000
+    n_chars = F.length(col).cast("long")
+    n_tok = token_count(col).cast("long")
+    n_tok1 = F.greatest(n_tok, F.lit(1))
+    punct = F.size(F.regexp_extract_all(col, F.lit(r"[.,;:!?]"), F.lit(0))).cast("long")
+    stop_hits = _marker_hits(col, LANG_MARKERS["en"]).cast("long")
+    def idiv(a: Column, b: Column) -> Column:
+        # exact integer floor-div (numerator made divisible → exact)
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    len_u = F.least(n_tok * 10_000, F.lit(M))
+    punct_u = F.lit(M) - F.least(idiv(punct * M, n_tok1), F.lit(M))
+    stop_u = F.least(idiv(stop_hits * 10 * M, n_tok1), F.lit(M))
+    word_u = F.when(
+        (n_chars >= 3 * n_tok1) & (n_chars <= 12 * n_tok1), F.lit(M)
+    ).otherwise(F.lit(M // 2))
+    return idiv(len_u + punct_u + stop_u + word_u, F.lit(4))
+
+
 def quality_score(col: Column) -> Column:
-    """Heuristic quality in [0,1]: length, punctuation and stopword
-    ratios (the C4-style filters, simplified & deterministic)."""
-    n_chars = F.length(col)
-    n_tok = token_count(col)
-    punct = F.size(F.regexp_extract_all(col, F.lit(r"[.,;:!?]"), F.lit(0)))
-    stop_hits = _marker_hits(col, LANG_MARKERS["en"])
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    punct_ratio = punct / F.greatest(n_tok, F.lit(1))
-    punct_score = F.lit(1.0) - F.least(punct_ratio, F.lit(1.0))
-    stop_score = F.least(stop_hits * F.lit(10.0) / F.greatest(n_tok, F.lit(1)), F.lit(1.0))
-    avg_word = n_chars / F.greatest(n_tok, F.lit(1))
-    word_score = F.when((avg_word >= 3) & (avg_word <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round((len_score + punct_score + stop_score + word_score) / 4.0, 6)
+    """Quality in [0,1] (micros / 1e6 — see quality_score_micros)."""
+    return quality_score_micros(col) / 1_000_000.0
 
 
 def shingles(col: Column, k: int = 8) -> Column:

@@ -1,0 +1,126 @@
+"""Local mimic of the driver's correctness gate: run every
+__spark_entry__ query on Spark AND its oracle on DuckDB at sf0.01,
+compare row count + schema-sorted value hash. Usage:
+
+    python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from parquetry_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {e}")
+            continue
+        ok_n = len(srows) == len(orows)
+        ok_schema = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
+        sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+        ok_hash = sh == oh
+        status = "OK  " if (ok_n and ok_schema and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status}  {name}: rows {len(srows)}/{len(orows)} "
+            f"schema={'Y' if ok_schema else 'N'} hash={'Y' if ok_hash else 'N'} "
+            f"[{time.time()-t0:.1f}s]"
+        )
+        if not ok_hash and ok_n and ok_schema:
+            # show a few diffs for debugging
+            oset = {value_hash(ocols, [r]) for r in orows}
+            shown = 0
+            for r in srows:
+                if value_hash(scols, [r]) not in oset and shown < 3:
+                    print(f"      spark-only row: {r}")
+                    shown += 1
+            sset = {value_hash(scols, [r]) for r in srows}
+            shown = 0
+            for r in orows:
+                if value_hash(ocols, [r]) not in sset and shown < 3:
+                    print(f"      duck-only row:  {r}")
+                    shown += 1
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
