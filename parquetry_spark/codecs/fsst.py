@@ -49,7 +49,9 @@ from .base import Codec, bit_width, pack_bits, register, unpack_bits
 SYMBOL_LENGTHS = (8, 6, 4, 3)  # longest first; max 8 fits a uint64 key
 MAX_SYMBOLS = 255
 TOKEN_OVERHEAD = 2.0  # ~1B sym id + ~1B amortized gap-length stream
-TRAIN_SAMPLE_BYTES = 1 << 18  # 256 KiB training sample cap
+TRAIN_SAMPLE_BYTES = 1 << 17  # 128 KiB training sample cap (255 symbols
+#                               saturate well below this; halves train
+#                               cost on small partitions)
 PASSES_PER_LENGTH = 3
 
 
@@ -59,9 +61,8 @@ def _window_keys(buf: np.ndarray, L: int) -> np.ndarray:
     Key convention: the L window bytes live in the LOW bytes of a
     big-endian uint64 (high bytes zero) — identical to
     int.from_bytes(window, "big"), so symbol keys and window keys
-    compare directly. Built with sliding_window_view + a (n,8) pad
-    + '>u8' view: pure C memcpy/compare, no uint64 shift ufuncs
-    (which are ~80× slower in numpy).
+    compare directly. Built with sliding_window_view + one contiguous
+    copy + in-place byteswap: pure C memcpy, no per-shift ufunc loop.
     """
     n = len(buf)
     if n < L:
@@ -70,15 +71,42 @@ def _window_keys(buf: np.ndarray, L: int) -> np.ndarray:
 
     w = sliding_window_view(buf, L)
     if L == 8:
-        return np.ascontiguousarray(w).view(">u8").ravel().astype(np.uint64, copy=False)
+        k = np.ascontiguousarray(w).view(np.uint64).ravel()
+        k.byteswap(inplace=True)  # big-endian value order, zero extra copy
+        return k
     pad = np.zeros((n - L + 1, 8), dtype=np.uint8)
     pad[:, 8 - L :] = w
-    return pad.view(">u8").ravel().astype(np.uint64, copy=False)
+    k = pad.view(np.uint64).ravel()
+    k.byteswap(inplace=True)
+    return k
 
 
 def _all_window_keys(buf: np.ndarray) -> dict[int, np.ndarray]:
-    """Window keys for every symbol length."""
-    return {L: _window_keys(buf, L) for L in SYMBOL_LENGTHS if len(buf) >= L}
+    """Window keys for every symbol length, derived from one pass.
+
+    k8 is materialized once; keys for L<8 over positions 0..n-8 are a
+    single right-shift of k8 (one vector op instead of a (n,8) pad +
+    copy + byteswap per length); the ≤7 tail positions per length are
+    computed directly on a tiny slice.
+    """
+    n = len(buf)
+    out: dict[int, np.ndarray] = {}
+    if n >= 8:
+        out[8] = _window_keys(buf, 8)
+    for L in SYMBOL_LENGTHS:
+        if L == 8 or n < L:
+            continue
+        if 8 not in out:
+            out[L] = _window_keys(buf, L)
+            continue
+        head = out[8] >> np.uint64(8 * (8 - L))
+        n_tail = (n - L + 1) - len(head)
+        if n_tail > 0:
+            tail = _window_keys(buf[len(head) :], L)
+            out[L] = np.concatenate([head, tail])
+        else:
+            out[L] = head
+    return out
 
 
 def train_symbols(buf: np.ndarray) -> list[bytes]:

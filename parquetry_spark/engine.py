@@ -243,17 +243,25 @@ def encode_table(
     url_col: str | None = "url",
     ts_col: str | None = "warc_ts",
     skew_sample: float = 0.05,
+    salts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Distributed encode: pages → blocks DataFrame (lazy).
 
     One shuffle (groupBy part_id). part_id is a deterministic,
     salt-aware function of the data (partitioning.py) so reruns and
     resume see identical partitions.
+
+    `salts`: pass a precomputed host→salt-count map (see
+    partitioning.sample_host_shares/salt_counts) to skip the driver-
+    side sampling jobs — the production shape: the salt map is a
+    plan-time constant per dataset, computed once, recorded in the
+    run manifest, reused by every stage and resume.
     """
     columns = columns or [c for c in df.columns if c != "part_id"]
     if url_col and url_col in df.columns:
-        shares = sample_host_shares(df, url_col, skew_sample)
-        salts = salt_counts(shares, n_parts)
+        if salts is None:
+            shares = sample_host_shares(df, url_col, skew_sample)
+            salts = salt_counts(shares, n_parts)
         keyed = assign_part_id(df, n_parts, url_col, salts)
         sort_cols = [url_col] + ([ts_col] if ts_col and ts_col in df.columns else [])
     else:
@@ -264,6 +272,14 @@ def encode_table(
         sort_cols = []
     spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     kernel = _make_encode_kernel(columns, spark_types, sort_cols)
+    # explicit user-specified partition count: AQE would otherwise
+    # coalesce this exchange by BYTES (64 MB advisory), strangling a
+    # CPU-bound Python stage down to a handful of tasks (measured:
+    # 8 groups → 4 tasks → 2× wall). groupBy(part_id) then reuses the
+    # hash partitioning — no second shuffle (check .explain()).
+    # 2× buckets: with exactly n_parts buckets, the n_parts distinct
+    # part_ids collide (birthday) → idle slots + 2-3-group stragglers.
+    keyed = keyed.repartition(2 * n_parts, "part_id")
     return keyed.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
 
 

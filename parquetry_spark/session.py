@@ -11,6 +11,16 @@ import os
 
 from pyspark.sql import SparkSession
 
+# glibc tuning inherited by the JVM and every python worker it spawns:
+# keep big numpy buffers on the brk heap (not mmap/munmap per call) and
+# never trim it — so each worker pays the hypervisor's first-touch page
+# fault cost ONCE, not per encode invocation. (This sandbox VM faults
+# fresh anonymous memory at ~10 MB/s — measured; real clusters don't,
+# but avoiding per-call mmap churn is the right call there too.)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_ARENA_MAX", "4")
+
 
 def get_spark(
     app: str = "parquetry_spark",
@@ -35,7 +45,26 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, mb_per_worker: int = 512) -> None:
+    """Pre-fault every python worker's heap once (sandbox-specific:
+    first touch of fresh anon memory costs ~10 MB/s here). With the
+    malloc thresholds above, the faulted heap persists across tasks,
+    so all later encode kernels run at full speed."""
+    n = spark.sparkContext.defaultParallelism
+
+    def touch(_):
+        import numpy as np
+
+        a = np.empty(mb_per_worker * 131072, dtype=np.float64)  # mb * 1MiB
+        a[:: 512] = 1.0  # touch every 4 KiB page
+        del a
+        return [0]
+
+    spark.sparkContext.parallelize(range(n), n).mapPartitions(touch).collect()
