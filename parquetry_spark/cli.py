@@ -106,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--parts", type=int, default=32)
     p.add_argument("--cols", default=None)
+    p = sub.add_parser("decode")
+    p.add_argument("--blocks", required=True)
+    p.add_argument("--cols", required=True)
+    p.add_argument("--out", default=None)
     p = sub.add_parser("verify")
     p.add_argument("--in", dest="inp", required=True)
     p.add_argument("--blocks", required=True)
@@ -148,6 +152,21 @@ def main(argv: list[str] | None = None) -> int:
                 spark, df, args.out, cols, args.parts, url_col, ts_col
             )
             print(json.dumps(res, default=str))
+            return 0
+        if args.cmd == "decode":
+            from .engine import decode_blocks
+
+            blocks = spark.read.parquet(args.blocks)
+            cols = args.cols.split(",")
+            ltypes = {
+                r["column"]: r["ltype"]
+                for r in blocks.select("column", "ltype").distinct().collect()
+            }
+            out = decode_blocks(blocks, cols, ltypes)
+            if args.out:
+                out.write.mode("overwrite").parquet(args.out)
+            else:
+                out.show(20, truncate=False)
             return 0
         if args.cmd == "verify":
             from .engine import verify_roundtrip

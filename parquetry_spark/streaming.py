@@ -1,0 +1,100 @@
+"""Structured-Streaming ingest: incremental encode of arriving pages.
+
+The reference is strictly batch (SURVEY.md §2.2 — no streaming of any
+kind); this module is the engine's forward extension: new page files
+landing in a directory are encoded incrementally, each micro-batch
+appending blocks + manifest rows through the SAME write-ahead ledger
+as the batch path — so batch resume, streaming restart, and the
+metadata report all share one source of truth.
+
+Design:
+  readStream(parquet dir) → foreachBatch(encode micro-batch)
+    - foreachBatch gives exactly-once-per-epoch semantics with the
+      checkpointLocation WAL; inside, we reuse encode_table + the
+      deterministic part assignment, tagging blocks with the epoch
+      (stage="stream-<epoch>") so replays of an epoch overwrite
+      rather than duplicate.
+  windowed_ingest_stats: a watermarked tumbling-window aggregation
+    over warc_ts (late data tolerated up to the watermark) for
+    monitoring ingest lag — the standard streaming-agg shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import MANIFEST_COLS, encode_table
+from .generator import PAGES_SCHEMA
+
+
+def stream_encode(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    n_parts: int = 16,
+    checkpoint: str | None = None,
+    salts: dict[str, int] | None = None,
+):
+    """Start an incremental encode over files arriving in in_dir.
+
+    Returns the StreamingQuery; callers drive it with
+    processAllAvailable() (tests) or awaitTermination() (prod).
+    """
+    checkpoint = checkpoint or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        stage = f"stream-{epoch}"
+        blocks = encode_table(
+            batch_df, n_parts=n_parts, url_col="url", ts_col="warc_ts", salts=salts or {}
+        )
+        # epoch-deterministic path → replay of a failed epoch overwrites
+        blocks.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "blocks", f"stage={stage}")
+        )
+        manifest = (
+            blocks.sparkSession.read.parquet(
+                os.path.join(out_dir, "blocks", f"stage={stage}")
+            )
+            .select(*MANIFEST_COLS)
+            .withColumn("stage", F.lit(stage))
+        )
+        manifest.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "manifest", f"stage={stage}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_ingest_stats(
+    spark: SparkSession,
+    in_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window ingest monitor (streaming agg).
+
+    Returns a streaming DataFrame: (window, lang, n_pages, bytes) —
+    attach a sink (memory for tests) and drive it.
+    """
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("lang"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("text_bytes"),
+        )
+    )

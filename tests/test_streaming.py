@@ -1,0 +1,51 @@
+"""Structured-Streaming ingest tests: incremental encode via
+foreachBatch + watermarked windowed aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from parquetry_spark.generator import gen_pages
+from parquetry_spark.streaming import stream_encode, windowed_ingest_stats
+
+
+def test_stream_encode_incremental(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    gen_pages(spark, 400, seed=5, n_hosts=20).write.mode("overwrite").parquet(in_dir)
+
+    q = stream_encode(spark, in_dir, out_dir, n_parts=4)
+    q.awaitTermination(120)
+
+    blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
+    assert blocks.count() >= 5  # ≥ one partition × five columns
+    total = blocks.agg(F.sum("rows").alias("r")).collect()[0]["r"]
+    assert total == 400 * 5  # every column of every row encoded once
+
+    # second batch of files → incremental epoch, no duplicates of first
+    gen_pages(spark, 200, seed=6, n_hosts=20).write.mode("append").parquet(in_dir)
+    q2 = stream_encode(spark, in_dir, out_dir, n_parts=4)
+    q2.awaitTermination(120)
+    blocks2 = spark.read.parquet(os.path.join(out_dir, "blocks"))
+    total2 = blocks2.agg(F.sum("rows").alias("r")).collect()[0]["r"]
+    assert total2 == (400 + 200) * 5
+
+
+def test_windowed_ingest_stats(spark, tmp_path):
+    in_dir = str(tmp_path / "win_in")
+    gen_pages(spark, 300, seed=7, n_hosts=10).write.mode("overwrite").parquet(in_dir)
+    agg = windowed_ingest_stats(spark, in_dir, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ingest_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ingest_stats").collect()
+    assert len(rows) > 0
+    assert sum(r["n_pages"] for r in rows) == 300
