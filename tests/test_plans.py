@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4.2 claims
+come free from Catalyst must actually appear in the plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark.engine import encode_table
+from parquetry_spark.parity.filters import where
+from parquetry_spark.parity.shape import reshape
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = where(df, 'l_quantity > 45.0 && l_returnflag == "R"')
+    plan = _optimized(out)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+    assert "IsNotNull(l_returnflag)" in plan  # display truncates long lists
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = reshape(df, "l_orderkey AS k, l_quantity AS q")
+    plan = _optimized(out)
+    # ReadSchema must contain ONLY the two projected columns
+    rs = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_shipdate" not in rs
+
+
+def test_broadcast_join_used_for_small_dim(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_encode_stage_single_exchange(spark, pages):
+    """The whole encode pipeline must shuffle exactly once, with the
+    user-specified partition count (AQE must not coalesce it)."""
+    blocks = encode_table(pages, n_parts=8, salts={})
+    plan = _plan(blocks)
+    # count exchanges of THIS pipeline only (the cached source relation
+    # embeds its own generation plan below InMemoryTableScan)
+    body = plan.split("InMemoryTableScan")[0]
+    assert body.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in body
+    assert "FlatMapGroupsInPandas" in body
+
+
+def test_limit_pushdown(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(df.limit(5))
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
+
+
+def test_text_ops_stay_jvm_side(spark):
+    """textops must stay JVM-side: no Python eval nodes in the plan."""
+    from parquetry_spark.textops import text_profile
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(text_profile(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # whole-stage codegen confirmed via the codegen explain mode
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        text_profile(df).explain(mode="codegen")
+    assert "WholeStageCodegen" in buf.getvalue()

@@ -1,0 +1,70 @@
+"""Auto-selector policy tests: constructed stat profiles must rank the
+expected codec first (SURVEY.md §5.2 item 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from parquetry_spark.selector import select_codec
+from parquetry_spark.stats import partition_stats
+
+
+def test_low_cardinality_prefers_dict():
+    c = select_codec({"n": 10000, "distinct": 8, "frac_run": 0.0, "avg_len": 3}, "O")
+    assert c[0] == "dict"
+
+
+def test_runs_prefer_rle():
+    c = select_codec({"n": 10000, "distinct": 50, "frac_run": 0.9, "avg_len": 8}, "i")
+    assert c[0] == "rle"
+
+
+def test_sorted_ints_prefer_delta():
+    stats = {
+        "n": 10000,
+        "distinct": 10000,
+        "frac_run": 0.0,
+        "avg_len": 8,
+        "bitwidth": 50,
+        "delta_bitwidth": 12,
+    }
+    c = select_codec(stats, "i")
+    assert c[0] == "delta_for"
+
+
+def test_narrow_ints_prefer_bitpack():
+    stats = {
+        "n": 10000,
+        "distinct": 9000,
+        "frac_run": 0.0,
+        "avg_len": 8,
+        "bitwidth": 20,
+        "delta_bitwidth": 21,
+    }
+    c = select_codec(stats, "i")
+    assert c[0] == "bitpack"
+
+
+def test_long_strings_prefer_fsst():
+    c = select_codec(
+        {"n": 1000, "distinct": 1000, "frac_run": 0.0, "avg_len": 300.0}, "O"
+    )
+    assert c[0] == "fsst"
+
+
+def test_everything_falls_back_to_plain():
+    c = select_codec({"n": 100, "distinct": 100, "frac_run": 0.0, "avg_len": 4.0}, "f")
+    assert c[-1] == "plain"
+
+
+def test_partition_stats_profiles():
+    sorted_ts = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    s = partition_stats(sorted_ts)
+    assert s["delta_bitwidth"] <= 1 and s["bitwidth"] >= 17
+    runs = np.repeat(np.arange(100, dtype=np.int64), 100)
+    assert partition_stats(runs)["frac_run"] > 0.98
+    obj = np.empty(1000, dtype=object)
+    obj[:] = ["en", "de"] * 500
+    s = partition_stats(obj)
+    assert s["distinct"] <= 3

@@ -1,0 +1,53 @@
+"""Size-parity gate (SURVEY.md §5.2 item 2, north rule): total encoded
+bytes ≤ what the standard Parquet writer achieves with lightweight
+encodings only (no block compression) on the same columns — the
+reference tool's output format (its fixtures are all UNCOMPRESSED,
+carried entirely by PLAIN/RLE/DELTA/dict encodings, meta.txtar:40-88).
+"""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark.engine import encode_table
+from parquetry_spark.generator import gen_pages_pdf
+
+
+def parquet_lightweight_bytes(pdf) -> int:
+    """Bytes of the column chunks (not footer) written by the standard
+    parquet writer with compression=NONE — dictionary/RLE/delta only."""
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="NONE", use_dictionary=True)
+    buf.seek(0)
+    md = pq.ParquetFile(buf).metadata
+    return sum(
+        md.row_group(i).column(j).total_compressed_size
+        for i in range(md.num_row_groups)
+        for j in range(md.num_columns)
+    )
+
+
+def test_total_encoded_not_worse_than_parquet_lightweight(spark):
+    pdf = gen_pages_pdf(4000, seed=9, n_hosts=100)
+    baseline = parquet_lightweight_bytes(pdf)
+    df = spark.createDataFrame(pdf)
+    blocks = encode_table(df, n_parts=4)
+    ours = blocks.agg(F.sum("out_bytes").alias("o")).collect()[0]["o"]
+    assert ours <= baseline, f"ours={ours} > parquet-lightweight={baseline}"
+
+
+def test_text_column_beats_parquet_lightweight(spark):
+    """FSST must beat DELTA_LENGTH_BYTE_ARRAY/PLAIN on redundant text —
+    the capability the reference lacks entirely."""
+    pdf = gen_pages_pdf(4000, seed=9, n_hosts=100)[["text"]]
+    baseline = parquet_lightweight_bytes(pdf)
+    df = spark.createDataFrame(pdf.assign(doc_id=range(len(pdf))))
+    blocks = encode_table(df, columns=["text"], n_parts=4, url_col=None, ts_col=None)
+    ours = blocks.agg(F.sum("out_bytes").alias("o")).collect()[0]["o"]
+    assert ours < baseline * 0.8
