@@ -48,23 +48,63 @@ def exact_dedup_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 # --------------------------------------------------------------- minhash
-def minhash_signature(col: Column, k: int = 8, n_hashes: int = 32) -> Column:
-    """MinHash signature: array of n minima of seeded xxhash64 over
-    character-shingle arrays. Pure Column exprs — one projection."""
-    sh = shingles(col, k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(n_hashes)
-        ]
+def word_shingles(col: Column, n: int = 5) -> Column:
+    """Distinct word n-gram shingles (whole doc if shorter than n) —
+    the Common-Crawl-style dedup unit (Broder shingling)."""
+    toks = tokens(col)
+    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
     )
+    return F.array_distinct(grams)
+
+
+def _affine_consts(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic odd 31-bit multipliers + 31-bit offsets: with a
+    32-bit base hash, a·h + b < 2^63 — no long overflow under ANSI
+    mode (Spark 4 default throws on overflow)."""
+    out = []
+    a, b = 0x9E3779B97F4A7C15, 0xD1B54A32D192ED03
+    for i in range(n_hashes):
+        out.append(
+            (((a * (2 * i + 3)) & 0x7FFFFFFE) | 1, (b * (i + 1)) & 0x7FFFFFFF)
+        )
+    return out
+
+
+def minhash_signature(col: Column, n_words: int = 5, n_hashes: int = 32) -> Column:
+    """MinHash signature: ONE xxhash64 pass over word shingles (folded
+    to 32 bits), then n affine reprojections (a_i·h + b_i, odd a_i —
+    bijective mod 2^32), each reduced with array_min. 1 string-hash
+    pass + n cheap int passes instead of n string-hash passes
+    (measured 10×+ on long docs)."""
+    base = F.transform(
+        word_shingles(col, n_words),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296).cast("long")),
+    )
+    sig = []
+    for a, b in _affine_consts(n_hashes):
+        sig.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(
+                        h * F.lit(a).cast("long") + F.lit(b),
+                        F.lit(4294967296).cast("long"),
+                    ),
+                )
+            )
+        )
+    return F.array(*sig)
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 8,
+    n_words: int = 5,
     n_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.7,
@@ -75,8 +115,16 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = n_hashes // bands
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        # signature computation is CPU-bound per row; a single-file
+        # source arrives as one partition — spread it first
+        df = df.repartition(par, id_col)
     sig = df.select(
-        F.col(id_col), F.col(text_col), minhash_signature(F.col(text_col), k, n_hashes).alias("sig")
+        F.col(id_col),
+        F.col(text_col),
+        minhash_signature(F.col(text_col), n_words, n_hashes).alias("sig"),
     )
     banded = sig.select(
         id_col,
@@ -86,9 +134,14 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).alias(
-                            "key"
-                        ),
+                        # SCALAR key (hash of the band slice): an array
+                        # join key cannot hash-partition → Spark falls
+                        # back to a nested-loop join (measured 200s vs
+                        # 3s on 5k docs)
+                        F.xxhash64(
+                            F.lit(b),
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        ).alias("key"),
                     )
                     for b in range(bands)
                 ]
@@ -112,8 +165,8 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = F.array_distinct(shingles(F.col("text_a"), k))
-    sb = F.array_distinct(shingles(F.col("text_b"), k))
+    sa = word_shingles(F.col("text_a"), n_words)
+    sb = word_shingles(F.col("text_b"), n_words)
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     jac = (inter / F.greatest(union, F.lit(1))).alias("jaccard")
@@ -284,14 +337,13 @@ def embedding_neardup_pairs(
         F.col(vec_col),
         lambda v, i: F.when(F.pmod(F.xxhash64(i, F.lit(p)), 2) == 0, v).otherwise(-v),
     )
-    bucket = F.array(
-        *[
-            (
-                F.aggregate(sgn(p), F.lit(0.0), lambda a, v: a + v.cast("double")) > 0
-            ).cast("int")
-            for p in range(n_planes)
-        ]
-    )
+    # bit-packed scalar bucket (array keys break hash joins — see above)
+    bucket = None
+    for p in range(n_planes):
+        bit = (
+            F.aggregate(sgn(p), F.lit(0.0), lambda a, v: a + v.cast("double")) > 0
+        ).cast("long") * F.lit(1 << p).cast("long")
+        bucket = bit if bucket is None else bucket + bit
     keyed = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = a.join(

@@ -91,6 +91,37 @@ def test_resume_skips_committed(spark, pages, tmp_path):
     assert all(v == 0 for v in mismatches.values())
 
 
+def test_resume_after_partial_failure(spark, pages, tmp_path):
+    """Simulate a run killed mid-flight: only half the partitions'
+    blocks + manifest rows are committed. The rerun must encode ONLY
+    the missing partitions and the final decode must be identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.engine import MANIFEST_COLS
+
+    out = str(tmp_path / "enc_partial")
+    blocks_path = os.path.join(out, "blocks", "stage=encode")
+    manifest_path = os.path.join(out, "manifest", "stage=encode")
+    all_blocks = encode_table(pages, n_parts=8).cache()
+    committed = all_blocks.filter(F.col("part_id") < 4)
+    committed.write.parquet(blocks_path)
+    committed.select(*MANIFEST_COLS).withColumns(
+        {"stage": F.lit("encode"), "committed_at": F.lit("t0")}
+    ).write.parquet(manifest_path)
+    n_committed = committed.select("part_id").distinct().count()
+
+    res = run_encode(spark, pages, out, n_parts=8)
+    assert res["skipped_parts"] == n_committed
+    assert res["parts"] == 8
+    assert res["blocks"] == all_blocks.count()
+    final = spark.read.parquet(res["blocks_path"])
+    mismatches = verify_roundtrip(spark, pages, final, key_col="url")
+    assert all(v == 0 for v in mismatches.values())
+    all_blocks.unpersist()
+
+
 def test_nullable_columns_roundtrip(spark):
     pdf = gen_pages_pdf(300, seed=3)
     pdf.loc[pdf.index % 7 == 0, "text"] = None
