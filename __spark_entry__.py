@@ -148,7 +148,7 @@ def q_where_membership(spark, sf):
 def q_where_string_predicates(spark, sf):
     # F6/F7: contains / matches / upper
     df = _t(spark, sf, "part")
-    out = where(df, 'p_type contains "BRASS" || upper(p_brand) matches "^BRAND#4.$"')
+    out = where(df, 'p_type contains "ECO" || upper(p_brand) matches "^BRAND#1.$"')
     return out.select("p_partkey", "p_brand", "p_type")
 
 
@@ -501,8 +501,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "where_string_predicates": (
             "SELECT p_partkey, p_brand, p_type FROM part "
-            "WHERE p_type LIKE '%BRASS%' "
-            "OR regexp_matches(upper(p_brand), '^BRAND#4.$')"
+            "WHERE p_type LIKE '%ECO%' "
+            "OR regexp_matches(upper(p_brand), '^BRAND#1.$')"
         ),
         "filter_then_shape": (
             "SELECT s_suppkey AS sk, s_name AS name FROM supplier WHERE s_acctbal > 5000"

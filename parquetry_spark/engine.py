@@ -244,6 +244,7 @@ def encode_table(
     ts_col: str | None = "warc_ts",
     skew_sample: float = 0.05,
     salts: dict[str, int] | None = None,
+    exclude_parts: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed encode: pages → blocks DataFrame (lazy).
 
@@ -270,6 +271,16 @@ def encode_table(
             "part_id", F.pmod(F.xxhash64(F.col(first)), F.lit(n_parts)).cast("int")
         )
         sort_cols = []
+    if exclude_parts is not None:
+        # resume skip: broadcast anti-join on part_id BEFORE the encode
+        # kernel — committed partitions are never decoded, shuffled or
+        # re-encoded. (A driver-side IN-list would not survive 500k
+        # partitions; the manifest is a DataFrame — keep it one.)
+        keyed = keyed.join(
+            F.broadcast(exclude_parts.select("part_id").distinct()),
+            "part_id",
+            "left_anti",
+        )
     spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     kernel = _make_encode_kernel(columns, spark_types, sort_cols)
     # explicit user-specified partition count: AQE would otherwise
@@ -281,6 +292,40 @@ def encode_table(
     # part_ids collide (birthday) → idle slots + 2-3-group stragglers.
     keyed = keyed.repartition(2 * n_parts, "part_id")
     return keyed.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
+
+
+def encode_preserve(
+    df: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Shuffle-free encode: blocks on the INPUT partitioning.
+
+    The zero-shuffle fast path: mapInPandas over existing splits, one
+    block set per Arrow batch, part_id = spark_partition_id·2^20 +
+    batch_seq (unique, so decode needs no changes). Trade-off vs
+    encode_table: no host clustering / warc_ts sorting, so RLE/delta/
+    dict see colder data (ratio typically a few % worse on crawl
+    data), and part ids depend on input splits (NOT resume-stable).
+    Use for streaming micro-batches and bandwidth-bound backfills;
+    use encode_table for the ratio-optimal, resumable layout.
+    """
+    columns = columns or df.columns
+    spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    kernel = _make_encode_kernel(columns, spark_types, sort_cols=[])
+
+    tagged = df.withColumn("__pid", F.spark_partition_id())
+
+    def batch_kernel(batches):
+        seq = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0]) * (1 << 20) + seq
+            seq += 1
+            out = kernel(pdf.drop(columns="__pid").assign(part_id=pid))
+            yield out
+
+    return tagged.mapInPandas(batch_kernel, BLOCK_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -369,24 +414,40 @@ def run_encode(
     """
     blocks_path = os.path.join(out_dir, "blocks", f"stage={stage}")
     manifest_path = os.path.join(out_dir, "manifest", f"stage={stage}")
-    committed: set[int] = set()
+    committed_df = None
+    n_committed = 0
     try:
-        committed = {
-            r["part_id"]
-            for r in spark.read.parquet(manifest_path).select("part_id").distinct().collect()
-        }
+        committed_df = spark.read.parquet(manifest_path).select("part_id").distinct()
+        n_committed = committed_df.count()
     except Exception:
-        pass
+        committed_df = None
 
     columns = columns or [c for c in df.columns if c != "part_id"]
-    blocks = encode_table(df, columns, n_parts, url_col, ts_col)
-    if committed:
-        blocks = blocks.filter(~F.col("part_id").isin(list(committed)))
+    # the salt map is part of the run's identity: persist on first run,
+    # reload on resume — part assignment must be identical across runs
+    salts: dict[str, int] | None = None
+    salts_path = os.path.join(out_dir, f"salts_{stage}.json")
+    if url_col and url_col in df.columns:
+        import json as _json
+
+        if os.path.exists(salts_path):
+            with open(salts_path) as fh:
+                salts = _json.load(fh)
+        else:
+            salts = salt_counts(sample_host_shares(df, url_col), n_parts)
+            os.makedirs(out_dir, exist_ok=True)
+            with open(salts_path, "w") as fh:
+                _json.dump(salts, fh)
+    # skip committed partitions BEFORE encoding, via anti-join (a
+    # driver-side IN-list would not survive 500k partitions)
+    blocks = encode_table(
+        df, columns, n_parts, url_col, ts_col, salts=salts, exclude_parts=committed_df
+    )
     blocks.write.mode("append").parquet(blocks_path)
 
     written = spark.read.parquet(blocks_path)
-    if committed:
-        written = written.filter(~F.col("part_id").isin(list(committed)))
+    if committed_df is not None:
+        written = written.join(committed_df, "part_id", "left_anti")
     manifest = written.select(*MANIFEST_COLS).withColumns(
         {
             "stage": F.lit(stage),
@@ -413,7 +474,7 @@ def run_encode(
         "in_bytes": agg["in_bytes"],
         "out_bytes": agg["out_bytes"],
         "ratio": (agg["in_bytes"] or 0) / max(agg["out_bytes"] or 1, 1),
-        "skipped_parts": len(committed),
+        "skipped_parts": n_committed,
     }
 
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def head_tail(
@@ -48,12 +47,14 @@ def head_tail(
             return df.offset(max(n - tail, 0))
         return df.limit(max(n + tail, 0))
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    w = Window.orderBy(*[F.col(c) for c in cols])
-    rn = F.row_number().over(w)
-    numbered = df.withColumn("__rn", rn)
+    ordered = df.orderBy(*[F.col(c) for c in cols])
+    # distributed forms: limit → TakeOrderedAndProject (per-partition
+    # top-k + driver merge, no global single-partition sort); offset →
+    # range-partitioned sort + skip. (A row_number over an unpartitioned
+    # Window would collapse to ONE partition — wrong at scale.)
     if head is not None:
-        cond = (F.col("__rn") <= head) if head >= 0 else (F.col("__rn") > -head)
-        return numbered.filter(cond).drop("__rn")
+        return ordered.limit(head) if head >= 0 else ordered.offset(-head)
     n = df.count()
-    cond = (F.col("__rn") > n - tail) if tail >= 0 else (F.col("__rn") <= n + tail)
-    return numbered.filter(cond).drop("__rn")
+    if tail >= 0:
+        return ordered.offset(max(n - tail, 0))
+    return ordered.limit(max(n + tail, 0))
