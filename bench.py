@@ -82,27 +82,52 @@ def encode_bench(cores: int, rows: int) -> dict:
 
     salts = salt_counts(sample_host_shares(pages, "url", 0.05), N_PARTS)
 
+    # "stage" mode: the pure encode stage — same kernel, same shuffle-
+    # free layout, but emitting only (rows, kernel_sec) per block set,
+    # isolating codec work from block-payload transfer/IO. Clean
+    # supplementary evidence of kernel scaling on a noisy box.
+    from parquetry_spark.engine import _make_encode_kernel
+
+    spark_types = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    inner = _make_encode_kernel(
+        [c for c in pages.columns], spark_types, sort_cols=[]
+    )
+
+    def stage_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            t0 = time.time()
+            inner(pdf.assign(part_id=0))
+            yield pd.DataFrame({"rows": [len(pdf)], "kernel_sec": [time.time() - t0]})
+
     def run_mode(mode: str):
         if mode == "host":
             blocks = encode_table(
                 pages, n_parts=N_PARTS, url_col="url", ts_col="warc_ts", salts=salts
             )
-        else:
+        elif mode == "preserve":
             blocks = encode_preserve(pages)
+        else:  # stage
+            res = pages.mapInPandas(stage_kernel, "rows long, kernel_sec double").collect()
+            return int(in_bytes), int(in_bytes)
         agg = blocks.agg(
             F.sum("in_bytes").alias("i"), F.sum("out_bytes").alias("o")
         ).collect()[0]
         return agg["i"], agg["o"]
 
     out: dict = {"cores": cores, "docs": n_docs, "input_bytes": int(in_bytes)}
-    for mode in ("host", "preserve"):
+    for mi, mode in enumerate(("host", "preserve", "stage")):
         # warm-ups: page-in worker heaps to peak (hypervisor lazy
-        # faults), JIT codegen, shuffle files — see module docstring
-        run_mode(mode)
-        run_mode(mode)
+        # faults), JIT codegen, shuffle files — see module docstring;
+        # workers stay warm across modes, so later modes warm once
+        for _ in range(2 if mi == 0 else 1):
+            run_mode(mode)
         best = None
-        for _ in range(2):  # best-of-2 × two alternated parent rounds
-            # = 4 samples/level (khugepaged noise spikes on this VM)
+        for _ in range(2):  # best-of-2 × three alternated parent
+            # rounds = 6 samples/level (khugepaged noise on this VM)
             t0 = time.time()
             ib, ob = run_mode(mode)
             dt = time.time() - t0
@@ -162,7 +187,8 @@ def main() -> int:
     # of the 16-core wall and capped measured efficiency at ~0.6
     rows = max(int(1_200_000 * sf), 4000)
     scaling = {}
-    for _round in range(2):
+    for _round in range(3):  # alternated rounds: the box's throughput
+        # oscillates on a minutes timescale (compaction debt)
         for cores in (4, 16):
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only", str(cores), str(rows)],
@@ -176,11 +202,11 @@ def main() -> int:
             if key not in scaling:
                 scaling[key] = res
             else:
-                for mode in ("host", "preserve"):
+                for mode in ("host", "preserve", "stage"):
                     if res[mode]["mb_per_sec"] > scaling[key][mode]["mb_per_sec"]:
                         scaling[key][mode] = res[mode]
     eff = {}
-    for mode in ("host", "preserve"):
+    for mode in ("host", "preserve", "stage"):
         thr_n = scaling["local[4]"][mode]["mb_per_sec"]
         thr_4n = scaling["local[16]"][mode]["mb_per_sec"]
         eff[mode] = {
@@ -237,6 +263,9 @@ def _write_bench_md(r: dict) -> None:
         f"| preserve (zero-shuffle) | {s['preserve']['throughput_mb_s_N']} "
         f"| {s['preserve']['throughput_mb_s_4N']} "
         f"| **{s['preserve']['efficiency_N_to_4N']}** | {e['preserve']['ratio']} |",
+        f"| stage (codec kernels only) | {s['stage']['throughput_mb_s_N']} "
+        f"| {s['stage']['throughput_mb_s_4N']} "
+        f"| **{s['stage']['efficiency_N_to_4N']}** | — |",
     ]
     md += [
         "",
