@@ -344,6 +344,11 @@ class _Compiler:
         }[op]
 
     def _coerce(self, col_t, col_c, other_node, other_c):
+        if isinstance(col_t, T.TimestampNTZType):
+            # NTZ (reference Loc stamps, main.go:424-461): same raw-unit
+            # semantics; session TZ is pinned UTC so the cast is the
+            # identity on wall-clock values
+            col_t, col_c = T.TimestampType(), col_c.cast("timestamp")
         if isinstance(col_t, T.TimestampType):
             if other_node[0] == "num":
                 return F.unix_micros(col_c), other_c

@@ -121,6 +121,16 @@ def test_where_timestamp_vs_string_and_int(example):
     assert where(example, 'w.s < duration("1s")').count() == 1
 
 
+def test_where_timestamp_ntz_raw_units(spark):
+    # driver tables store timestamp_ntz; raw-unit µs compare must work
+    df = spark.createDataFrame(
+        [(1, "1970-01-01 00:00:00.777"), (2, "1970-01-01 00:00:01.0")],
+        "id int, s string",
+    ).selectExpr("id", "cast(s as timestamp_ntz) as ts")
+    assert where(df, "ts == 777000").count() == 1
+    assert where(df, 'ts < duration("1s")').count() == 1
+
+
 def test_where_filters_source_schema_then_shape(example):
     # where.txtar:38-39: filter on A, emit only B
     df = where(example, "i == 3")
