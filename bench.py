@@ -190,14 +190,17 @@ def main() -> int:
     for _round in range(3):  # alternated rounds: the box's throughput
         # oscillates on a minutes timescale (compaction debt)
         for cores in (4, 16):
-            out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only", str(cores), str(rows)],
-                capture_output=True,
-                text=True,
-                timeout=1800,
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            res = json.loads(line)
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only", str(cores), str(rows)],
+                    capture_output=True,
+                    text=True,
+                    timeout=1800,
+                )
+                res = json.loads(out.stdout.strip().splitlines()[-1])
+            except Exception as exc:  # never lose the JSON line
+                print(f"scaling leg local[{cores}] failed: {exc}", file=sys.stderr)
+                continue
             key = f"local[{cores}]"
             if key not in scaling:
                 scaling[key] = res
@@ -207,23 +210,30 @@ def main() -> int:
                         scaling[key][mode] = res[mode]
     eff = {}
     for mode in ("host", "preserve", "stage"):
-        thr_n = scaling["local[4]"][mode]["mb_per_sec"]
-        thr_4n = scaling["local[16]"][mode]["mb_per_sec"]
-        eff[mode] = {
-            "throughput_mb_s_N": thr_n,
-            "throughput_mb_s_4N": thr_4n,
-            "efficiency_N_to_4N": round(thr_4n / (4 * thr_n), 3),
-        }
+        try:
+            thr_n = scaling["local[4]"][mode]["mb_per_sec"]
+            thr_4n = scaling["local[16]"][mode]["mb_per_sec"]
+            eff[mode] = {
+                "throughput_mb_s_N": thr_n,
+                "throughput_mb_s_4N": thr_4n,
+                "efficiency_N_to_4N": round(thr_4n / (4 * thr_n), 3),
+            }
+        except KeyError:
+            eff[mode] = {"error": "scaling leg missing"}
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     qs = entrymod.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        fn(spark, SF_DIR).count()  # warm-up pass
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        times[name] = round(time.time() - t0, 3)
+        try:
+            fn = qs[name]
+            fn(spark, SF_DIR).count()  # warm-up pass
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # never lose the JSON line
+            print(f"headline {name} failed: {exc}", file=sys.stderr)
+            times[name] = -1.0
     spark.stop()
 
     total = round(sum(times.values()), 3)
@@ -236,7 +246,10 @@ def main() -> int:
         "encode": scaling["local[16]"],
         "scaling": {"N": 4, **eff},
     }
-    _write_bench_md(result)
+    try:
+        _write_bench_md(result)
+    except Exception as exc:  # md is reporting, never block the JSON
+        print(f"BENCH/BASELINE.md write failed: {exc}", file=sys.stderr)
     print(json.dumps(result))
     return 0
 
