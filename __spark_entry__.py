@@ -210,7 +210,9 @@ def q_encode_manifest(spark, sf):
     return (
         blocks.groupBy("column")
         .agg(
-            F.collect_set("codec").alias("codecs"),
+            # scalar, not array: the driver's canonicalizer sorts/hashes
+            # result cells — an array column is unhashable there
+            F.array_join(F.array_sort(F.collect_set("codec")), ",").alias("codecs"),
             F.sum("rows").alias("rows"),
             F.sum("in_bytes").alias("in_bytes"),
             F.sum("out_bytes").alias("out_bytes"),
@@ -578,9 +580,12 @@ def oracle_sql() -> dict[str, str]:
             "DESC, vec_id LIMIT 10"
         ),
         "agg_pushdown": (
+            # outer CASTs: DuckDB sum(BIGINT) returns HUGEINT, which
+            # degrades to float64 at fetch and breaks the value hash
             "SELECT l_returnflag, l_linestatus, "
-            "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
-            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents, "
             "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus"
         ),

@@ -78,7 +78,7 @@ def manifest_report(spark: SparkSession, out_dir: str, stage: str = "encode") ->
             F.sum("in_bytes").alias("in_bytes"),
             F.sum("out_bytes").alias("out_bytes"),
             F.round(F.sum("in_bytes") / F.sum("out_bytes"), 3).alias("ratio"),
-            F.collect_set("codec").alias("codecs"),
+            F.array_join(F.array_sort(F.collect_set("codec")), ",").alias("codecs"),
         )
         .orderBy("column")
     )
