@@ -88,20 +88,24 @@ def encode_bench(cores: int, rows: int) -> dict:
     # supplementary evidence of kernel scaling on a noisy box.
     from parquetry_spark.engine import _make_encode_kernel
 
-    spark_types = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
-    inner = _make_encode_kernel(
-        [c for c in pages.columns], spark_types, sort_cols=[]
-    )
+    inner = _make_encode_kernel([c for c in pages.columns], sort_cols=[])
 
     def stage_kernel(batches):
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
             t0 = time.time()
-            inner(pdf.assign(part_id=0))
-            yield pd.DataFrame({"rows": [len(pdf)], "kernel_sec": [time.time() - t0]})
+            tbl = pa.Table.from_batches([batch]).append_column(
+                "part_id", pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+            )
+            inner(tbl)
+            yield pa.record_batch(
+                {"rows": pa.array([batch.num_rows], pa.int64()),
+                 "kernel_sec": pa.array([time.time() - t0], pa.float64())}
+            )
 
     def run_mode(mode: str):
         if mode == "host":
@@ -111,7 +115,7 @@ def encode_bench(cores: int, rows: int) -> dict:
         elif mode == "preserve":
             blocks = encode_preserve(pages)
         else:  # stage
-            res = pages.mapInPandas(stage_kernel, "rows long, kernel_sec double").collect()
+            res = pages.mapInArrow(stage_kernel, "rows long, kernel_sec double").collect()
             return int(in_bytes), int(in_bytes)
         agg = blocks.agg(
             F.sum("in_bytes").alias("i"), F.sum("out_bytes").alias("o")

@@ -4,23 +4,37 @@ Pipeline (SURVEY.md §7.0):
 
     pages(url, warc_ts, html, text, lang)
       → assign_part_id (deterministic, salt-aware — partitioning.py)
-      → groupBy(part_id).applyInPandas(encode kernel)   [one shuffle]
+      → groupBy(part_id).applyInArrow(encode kernel)    [one shuffle]
       → blocks DataFrame (one row = one column × one partition)
       → write parquet + manifest                        [resumable]
-      → decode (applyInPandas) → verify bit-identity
+      → decode (applyInArrow) → verify bit-identity
 
-The encode kernel is Arrow-batched: Spark hands each partition's
-rows as ONE pandas DataFrame; inside, everything is numpy — sort by
-(host, ts) for run-friendliness, per-column stats → codec selection
-→ kernel encode → fallback to plain if the prediction loses on
-actual bytes. No per-row Python anywhere (input_hint mandate).
+The encode kernel is Arrow-NATIVE (applyInArrow / mapInArrow, not
+pandas): Spark hands each partition's rows as one pyarrow.Table and
+values never take a pandas detour. That matters for correctness, not
+just speed — pandas conversion turns nullable int64 into float64
+(silently corrupting ids > 2^53) and conflates float NaN with null;
+Arrow keeps exact int64 + validity bitmaps and NaN-as-value. Inside
+the kernel everything is numpy — sort by (host, ts) for
+run-friendliness, per-column stats → codec selection → kernel encode
+→ fallback to plain if the prediction loses on actual bytes. No
+per-row Python anywhere (input_hint mandate).
 
-Partition-size discipline: applyInPandas materializes one partition
+Columns whose type the lightweight codecs don't address (map, struct,
+array, decimal, …) are never dropped: they pass through an
+`arrow_ipc` opaque block (Arrow IPC stream + zstd), preserving
+nulls/nesting bit-exactly — the analogue of the reference decoding
+maps and nested groups transparently (/root/reference/main.go:415-418,
+464-465).
+
+Partition-size discipline: applyInArrow materializes one partition
 per task, so n_parts must keep partitions ≲ a few hundred MB. At
 10^12 docs (~100 TB) that is n_parts ≈ 500k–1M — far beyond the
 2^31 groupBy limit? No: part_id is an int column; groupBy scales to
 billions of keys. The ledger (manifest) is one row per
 partition × column — ~5M rows at that scale, trivially joinable.
+part_id is int64 end-to-end: the shuffle-free layout derives ids as
+(spark_partition_id << 24) | batch_seq, unique to 2^39 input splits.
 
 Reference parity: per-row-group byte accounting mirrors parquetry's
 `meta` command (/root/reference/main.go:133-140 — TotalByteSize vs
@@ -31,11 +45,12 @@ distributed generalization (SURVEY.md §1.4).
 from __future__ import annotations
 
 import hashlib
+import io
 import os
 from datetime import datetime, timezone
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -48,7 +63,7 @@ from .stats import partition_stats
 
 BLOCK_SCHEMA = T.StructType(
     [
-        T.StructField("part_id", T.IntegerType()),
+        T.StructField("part_id", T.LongType()),
         T.StructField("column", T.StringType()),
         T.StructField("codec", T.StringType()),
         T.StructField("rows", T.LongType()),
@@ -60,6 +75,23 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("in_bytes", T.LongType()),
         T.StructField("out_bytes", T.LongType()),
         T.StructField("checksum", T.StringType()),
+    ]
+)
+
+BLOCK_ARROW_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int64()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("rows", pa.int64()),
+        ("nulls", pa.int64()),
+        ("payload", pa.binary()),
+        ("validity", pa.binary()),
+        ("params", pa.map_(pa.string(), pa.string())),
+        ("ltype", pa.string()),
+        ("in_bytes", pa.int64()),
+        ("out_bytes", pa.int64()),
+        ("checksum", pa.string()),
     ]
 )
 
@@ -76,51 +108,55 @@ MANIFEST_COLS = [
 
 
 # ---------------------------------------------------------------------------
-# logical type normalization: pandas/Arrow column → (numpy values, ltype)
+# logical type normalization: Arrow column → (numpy values, ltype)
 # ---------------------------------------------------------------------------
 
 
-def _normalize(series: pd.Series):
-    """→ (non-null numpy values, notnull bool mask, ltype tag)."""
-    notnull = series.notna().to_numpy()
-    nn = series[series.notna()]
-    dt = series.dtype
-    if isinstance(dt, pd.DatetimeTZDtype) or str(dt).startswith("datetime64"):
-        vals = np.asarray(nn).astype("datetime64[us]").astype(np.int64)
-        return vals, notnull, "timestamp_us"
-    if str(dt) in ("int64", "Int64"):
-        return nn.to_numpy(dtype=np.int64), notnull, "int64"
-    if str(dt) in ("int32", "Int32"):
-        return nn.to_numpy(dtype=np.int32), notnull, "int32"
-    if str(dt) == "float64":
-        # Spark nullable ints arrive as float64+NaN; the ltype must be
-        # decided by the caller via spark_type — handled in encode kernel
-        return nn.to_numpy(dtype=np.float64), notnull, "float64"
-    if str(dt) == "float32":
-        return nn.to_numpy(dtype=np.float32), notnull, "float32"
-    if str(dt) == "bool" or str(dt) == "boolean":
-        return nn.to_numpy(dtype=np.bool_), notnull, "bool"
-    # object: str / bytes / date
-    vals = nn.to_numpy(dtype=object)
-    if len(vals):
-        v0 = vals[0]
-        if isinstance(v0, (bytes, bytearray)):
-            out = np.empty(len(vals), dtype=object)
-            out[:] = [bytes(b) for b in vals]
-            return out, notnull, "bytes"
-        if isinstance(v0, str):
-            return vals, notnull, "str"
-        import datetime as _dt
+def _normalize_arrow(arr: pa.Array):
+    """→ (non-null numpy values, notnull bool mask, ltype tag).
 
-        if isinstance(v0, _dt.date):
-            days = np.array(
-                [(d - _dt.date(1970, 1, 1)).days for d in vals], dtype=np.int32
-            )
-            return days, notnull, "date"
-    return vals, notnull, "str"
+    Raises TypeError for types the lightweight codecs don't handle
+    (nested, decimal, …) — callers route those to the arrow_ipc path.
+    """
+    t = arr.type
+    n = len(arr)
+    if arr.null_count == 0:
+        notnull = np.ones(n, dtype=bool)
+    else:
+        notnull = arr.is_valid().to_numpy(zero_copy_only=False)
+    nn = arr.drop_null()
+    if pa.types.is_timestamp(t):
+        # raw stored units (no rescale): precision is part of the
+        # value's identity (reference types.go:26-31 — ms/µs/ns render
+        # at stored precision, never silently rescaled)
+        vals = nn.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = "timestamp" if t.tz else "timestamp_ntz"
+        return vals, notnull, f"{base}_{t.unit}"
+    if pa.types.is_date(t):
+        return nn.cast(pa.int32()).to_numpy(zero_copy_only=False), notnull, "date"
+    if pa.types.is_time(t):
+        vals = nn.cast(pa.int64() if t.bit_width == 64 else pa.int32())
+        vals = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+        return vals, notnull, f"time_{t.unit}"
+    if pa.types.is_integer(t):
+        if t.bit_width <= 32:
+            return nn.cast(pa.int32()).to_numpy(zero_copy_only=False), notnull, "int32"
+        return nn.to_numpy(zero_copy_only=False).astype(np.int64), notnull, "int64"
+    if pa.types.is_floating(t):
+        # NaN is a VALUE here, distinct from null: drop_null() removes
+        # only true nulls, so NaN round-trips as NaN (not NULL)
+        tag = "float32" if t.bit_width == 32 else "float64"
+        return nn.to_numpy(zero_copy_only=False), notnull, tag
+    if pa.types.is_boolean(t):
+        return nn.to_numpy(zero_copy_only=False), notnull, "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return nn.to_numpy(zero_copy_only=False), notnull, "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return nn.to_numpy(zero_copy_only=False), notnull, "bytes"
+    raise TypeError(f"no lightweight-codec path for arrow type {t}")
 
 
-_LTYPE_CAST = {
+_LTYPE_NP = {
     "int64": np.int64,
     "int32": np.int32,
     "float64": np.float64,
@@ -128,43 +164,47 @@ _LTYPE_CAST = {
     "bool": np.bool_,
 }
 
+_LTYPE_PA = {
+    "int64": pa.int64(),
+    "int32": pa.int32(),
+    "float64": pa.float64(),
+    "float32": pa.float32(),
+    "bool": pa.bool_(),
+}
 
-def _denormalize(vals: np.ndarray, notnull: np.ndarray, ltype: str) -> pd.Series:
-    """Inverse of _normalize → pandas Series with nulls restored."""
+
+def _denormalize_arrow(vals: np.ndarray, notnull: np.ndarray, ltype: str) -> pa.Array:
+    """Inverse of _normalize_arrow → pyarrow Array with nulls restored."""
     n = len(notnull)
-    if ltype in ("timestamp_us", "timestamp_ntz_us"):
-        out = np.full(n, np.datetime64("NaT", "us"))
-        out[notnull] = vals.astype("datetime64[us]")
-        return pd.Series(out)
+    all_valid = bool(notnull.all())
+    mask = None if all_valid else ~notnull
+
+    def scatter(npdt):
+        if all_valid:
+            return np.ascontiguousarray(vals.astype(npdt, copy=False))
+        full = np.zeros(n, dtype=npdt)
+        full[notnull] = vals
+        return full
+
+    if ltype.startswith("timestamp"):
+        ntz = ltype.startswith("timestamp_ntz")
+        unit = ltype.rsplit("_", 1)[1]
+        t = pa.timestamp(unit) if ntz else pa.timestamp(unit, tz="UTC")
+        return pa.array(scatter(np.int64), type=t, mask=mask)
+    if ltype.startswith("time_"):
+        unit = ltype.split("_", 1)[1]
+        if unit in ("us", "ns"):
+            return pa.array(scatter(np.int64), type=pa.time64(unit), mask=mask)
+        return pa.array(
+            scatter(np.int64).astype(np.int32), type=pa.time32(unit), mask=mask
+        )
     if ltype == "date":
-        import datetime as _dt
-
-        out = np.empty(n, dtype=object)
-        epoch = _dt.date(1970, 1, 1)
-        out[notnull] = [epoch + _dt.timedelta(days=int(d)) for d in vals]
-        return pd.Series(out)
+        return pa.array(scatter(np.int32), type=pa.date32(), mask=mask)
     if ltype in ("str", "bytes"):
-        out = np.empty(n, dtype=object)
+        out = np.empty(n, dtype=object)  # unset slots are None → null
         out[notnull] = vals
-        return pd.Series(out)
-    if notnull.all():
-        return pd.Series(vals.astype(_LTYPE_CAST[ltype]))
-    if ltype in ("float64", "float32"):
-        out = np.full(n, np.nan, dtype=_LTYPE_CAST[ltype])
-        out[notnull] = vals
-        return pd.Series(out)
-    out = np.empty(n, dtype=object)
-    out[notnull] = [v.item() for v in vals]
-    return pd.Series(out)
-
-
-def _int_ltype_for_spark(spark_type: T.DataType, ltype: str) -> str:
-    """Nullable Spark ints arrive as float64; restore the true ltype."""
-    if isinstance(spark_type, T.LongType):
-        return "int64"
-    if isinstance(spark_type, T.IntegerType):
-        return "int32"
-    return ltype
+        return pa.array(out, type=pa.string() if ltype == "str" else pa.binary())
+    return pa.array(scatter(_LTYPE_NP[ltype]), type=_LTYPE_PA[ltype], mask=mask)
 
 
 def _checksum(in_payload: bytes, notnull: np.ndarray) -> str:
@@ -174,31 +214,68 @@ def _checksum(in_payload: bytes, notnull: np.ndarray) -> str:
 
 
 # ---------------------------------------------------------------------------
-# encode kernel (runs inside applyInPandas — executor side)
+# opaque fallback: Arrow IPC (+zstd) for types codecs don't address
 # ---------------------------------------------------------------------------
 
 
-def _make_encode_kernel(columns: list[str], spark_types: dict[str, str], sort_cols: list[str]):
-    def encode_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        part_id = int(pdf["part_id"].iloc[0]) if len(pdf) else -1
+def _ipc_write(tbl: pa.Table) -> bytes:
+    sink = io.BytesIO()
+    try:
+        opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    except Exception:  # zstd not built in — still bit-exact, just larger
+        opts = pa.ipc.IpcWriteOptions()
+    with pa.ipc.new_stream(sink, tbl.schema, options=opts) as w:
+        w.write_table(tbl)
+    return sink.getvalue()
+
+
+def _encode_opaque_block(part_id: int, name: str, arr: pa.Array) -> dict:
+    payload = _ipc_write(pa.table({name: arr}))
+    in_bytes = int(arr.nbytes)
+    return {
+        "part_id": part_id,
+        "column": name,
+        "codec": "arrow_ipc",
+        "rows": len(arr),
+        "nulls": arr.null_count,
+        "payload": payload,
+        "validity": b"",  # validity lives inside the IPC buffers
+        "params": {"codec": "arrow_ipc"},
+        "ltype": "arrow",
+        "in_bytes": in_bytes,
+        "out_bytes": len(payload),
+        "checksum": hashlib.sha256(payload).hexdigest(),
+    }
+
+
+def _decode_opaque_block(payload: bytes, name: str) -> pa.Array:
+    tbl = pa.ipc.open_stream(pa.BufferReader(payload)).read_all()
+    return tbl.column(name).combine_chunks()
+
+
+# ---------------------------------------------------------------------------
+# encode kernel (runs inside applyInArrow — executor side)
+# ---------------------------------------------------------------------------
+
+
+def _make_encode_kernel(columns: list[str], sort_cols: list[str]):
+    def encode_kernel(table: pa.Table) -> pa.Table:
+        part_id = table["part_id"][0].as_py() if table.num_rows else -1
         if sort_cols:
-            present = [c for c in sort_cols if c in pdf.columns]
+            present = [c for c in sort_cols if c in table.column_names]
             if present:
-                pdf = pdf.sort_values(present, kind="stable")
+                table = table.sort_by([(c, "ascending") for c in present])
         rows_out = []
         for col in columns:
-            series = pdf[col]
-            vals, notnull, ltype = _normalize(series)
-            st = spark_types.get(col, "")
-            if ltype == "float64" and st in ("bigint", "long"):
-                vals, ltype = vals.astype(np.int64), "int64"
-            elif ltype == "float64" and st == "int":
-                vals, ltype = vals.astype(np.int32), "int32"
-            elif ltype == "timestamp_us" and st == "timestamp_ntz":
-                # NTZ (isAdjustedToUTC=false — reference Loc types,
-                # main.go:424-461): same µs payload, distinct ltype
-                ltype = "timestamp_ntz_us"
-            n, nn = len(series), int(notnull.sum())
+            arr = table.column(col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            try:
+                vals, notnull, ltype = _normalize_arrow(arr)
+            except TypeError:
+                rows_out.append(_encode_opaque_block(part_id, col, arr))
+                continue
+            n, nn = len(arr), int(notnull.sum())
             stats = partition_stats(vals)
             kind = vals.dtype.kind
             in_payload, _tag = serialize_values(vals)
@@ -231,7 +308,7 @@ def _make_encode_kernel(columns: list[str], spark_types: dict[str, str], sort_co
                     "checksum": _checksum(in_payload, notnull),
                 }
             )
-        return pd.DataFrame(rows_out, columns=[f.name for f in BLOCK_SCHEMA.fields])
+        return pa.Table.from_pylist(rows_out, schema=BLOCK_ARROW_SCHEMA)
 
     return encode_kernel
 
@@ -268,7 +345,7 @@ def encode_table(
     else:
         first = columns[0]
         keyed = df.withColumn(
-            "part_id", F.pmod(F.xxhash64(F.col(first)), F.lit(n_parts)).cast("int")
+            "part_id", F.pmod(F.xxhash64(F.col(first)), F.lit(n_parts)).cast("long")
         )
         sort_cols = []
     if exclude_parts is not None:
@@ -281,8 +358,7 @@ def encode_table(
             "part_id",
             "left_anti",
         )
-    spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    kernel = _make_encode_kernel(columns, spark_types, sort_cols)
+    kernel = _make_encode_kernel(columns, sort_cols)
     # explicit user-specified partition count: AQE would otherwise
     # coalesce this exchange by BYTES (64 MB advisory), strangling a
     # CPU-bound Python stage down to a handful of tasks (measured:
@@ -291,7 +367,7 @@ def encode_table(
     # 2× buckets: with exactly n_parts buckets, the n_parts distinct
     # part_ids collide (birthday) → idle slots + 2-3-group stragglers.
     keyed = keyed.repartition(2 * n_parts, "part_id")
-    return keyed.groupBy("part_id").applyInPandas(kernel, BLOCK_SCHEMA)
+    return keyed.groupBy("part_id").applyInArrow(kernel, BLOCK_SCHEMA)
 
 
 def encode_preserve(
@@ -300,32 +376,38 @@ def encode_preserve(
 ) -> DataFrame:
     """Shuffle-free encode: blocks on the INPUT partitioning.
 
-    The zero-shuffle fast path: mapInPandas over existing splits, one
-    block set per Arrow batch, part_id = spark_partition_id·2^20 +
-    batch_seq (unique, so decode needs no changes). Trade-off vs
-    encode_table: no host clustering / warc_ts sorting, so RLE/delta/
-    dict see colder data (ratio typically a few % worse on crawl
-    data), and part ids depend on input splits (NOT resume-stable).
-    Use for streaming micro-batches and bandwidth-bound backfills;
-    use encode_table for the ratio-optimal, resumable layout.
+    The zero-shuffle fast path: mapInArrow over existing splits, one
+    block set per Arrow batch, part_id = (spark_partition_id << 24) |
+    batch_seq (int64, unique to 2^39 splits — decode needs no
+    changes). Trade-off vs encode_table: no host clustering / warc_ts
+    sorting, so RLE/delta/dict see colder data (ratio typically a few
+    % worse on crawl data), and part ids depend on input splits (NOT
+    resume-stable). Use for streaming micro-batches and bandwidth-
+    bound backfills; use encode_table for the ratio-optimal,
+    resumable layout.
     """
     columns = columns or df.columns
-    spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    kernel = _make_encode_kernel(columns, spark_types, sort_cols=[])
+    kernel = _make_encode_kernel(columns, sort_cols=[])
 
     tagged = df.withColumn("__pid", F.spark_partition_id())
 
     def batch_kernel(batches):
         seq = 0
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            pid = int(pdf["__pid"].iloc[0]) * (1 << 20) + seq
+            if seq >= (1 << 24):  # id-space guard: never silently collide
+                raise RuntimeError("encode_preserve: >2^24 batches in one split")
+            pid = batch.column(batch.schema.get_field_index("__pid"))[0].as_py()
+            part_id = (pid << 24) | seq
             seq += 1
-            out = kernel(pdf.drop(columns="__pid").assign(part_id=pid))
-            yield out
+            tbl = pa.Table.from_batches([batch]).drop_columns(["__pid"])
+            tbl = tbl.append_column(
+                "part_id", pa.array(np.full(batch.num_rows, part_id, dtype=np.int64))
+            )
+            yield from kernel(tbl).to_batches()
 
-    return tagged.mapInPandas(batch_kernel, BLOCK_SCHEMA)
+    return tagged.mapInArrow(batch_kernel, BLOCK_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +415,9 @@ def encode_preserve(
 # ---------------------------------------------------------------------------
 
 
-def _decode_block_row(row: dict) -> pd.Series:
+def _decode_block_values(row: dict, name: str) -> pa.Array:
+    if row["ltype"] == "arrow":
+        return _decode_opaque_block(bytes(row["payload"]), name)
     codec = get_codec(row["codec"])
     nn_count = int(row["rows"]) - int(row["nulls"])
     vals = codec.decode(bytes(row["payload"]), dict(row["params"]), nn_count)
@@ -344,20 +428,28 @@ def _decode_block_row(row: dict) -> pd.Series:
         ).astype(bool)
     else:
         notnull = np.ones(int(row["rows"]), dtype=bool)
-    return _denormalize(np.asarray(vals), notnull, row["ltype"])
+    return _denormalize_arrow(np.asarray(vals), notnull, row["ltype"])
 
 
 def _make_decode_kernel(columns: list[str]):
-    def decode_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        series = {}
-        for _, r in pdf.iterrows():  # ≤ one row per column — not per-data-row
-            if r["column"] in columns:
-                series[r["column"]] = _decode_block_row(r)
-        n = len(next(iter(series.values()))) if series else 0
-        data = {"part_id": np.full(n, pdf["part_id"].iloc[0] if len(pdf) else -1)}
+    def decode_kernel(table: pa.Table) -> pa.Table:
+        by_col: dict[str, dict] = {}
+        for r in table.to_pylist():  # ≤ one row per column — not per-data-row
+            c = r["column"]
+            if c in by_col:
+                # duplicates would silently drop whole blocks — refuse
+                raise ValueError(
+                    f"duplicate block for (part_id={r['part_id']}, column={c!r})"
+                )
+            by_col[c] = r
+        arrays: dict[str, pa.Array] = {}
         for c in columns:
-            data[c] = series[c]
-        return pd.DataFrame(data)
+            arrays[c] = _decode_block_values(by_col[c], c)
+        n = len(next(iter(arrays.values()))) if arrays else 0
+        pid = table["part_id"][0].as_py() if table.num_rows else -1
+        data = {"part_id": pa.array(np.full(n, pid, dtype=np.int64))}
+        data.update(arrays)
+        return pa.table(data)
 
     return decode_kernel
 
@@ -368,7 +460,9 @@ def decode_blocks(blocks: DataFrame, columns: list[str], ltypes: dict[str, str])
     Column pruning for free: only the requested columns' block rows
     are read (a filter on `column` that parquet row-group stats can
     prune) — encoding one column never decodes the others
-    (SURVEY.md §4.2).
+    (SURVEY.md §4.2). Blocks are deduped on (part_id, column) first:
+    a crash-rerun append can leave two identical copies of a block
+    (the kernel is deterministic, so any copy is valid).
     """
     _SPARK_T = {
         "str": "string",
@@ -382,10 +476,18 @@ def decode_blocks(blocks: DataFrame, columns: list[str], ltypes: dict[str, str])
         "float32": "float",
         "bool": "boolean",
     }
-    fields = ", ".join(f"`{c}` {_SPARK_T[ltypes[c]]}" for c in columns)
-    schema = f"part_id int, {fields}"
-    pruned = blocks.filter(F.col("column").isin(columns))
-    return pruned.groupBy("part_id").applyInPandas(_make_decode_kernel(columns), schema)
+
+    def spark_t(lt: str) -> str:
+        if lt.startswith("arrow:"):
+            return lt.split(":", 1)[1]
+        return _SPARK_T[lt]
+
+    fields = ", ".join(f"`{c}` {spark_t(ltypes[c])}" for c in columns)
+    schema = f"part_id long, {fields}"
+    pruned = blocks.filter(F.col("column").isin(columns)).dropDuplicates(
+        ["part_id", "column"]
+    )
+    return pruned.groupBy("part_id").applyInArrow(_make_decode_kernel(columns), schema)
 
 
 # ---------------------------------------------------------------------------
@@ -410,7 +512,11 @@ def run_encode(
     is appended LAST (write-ahead ordering: a partition is committed
     iff its manifest row exists). A rerun reads the manifest, skips
     committed part_ids, encodes only the remainder. Deterministic
-    part assignment keeps the skip-set valid across runs.
+    part assignment keeps the skip-set valid across runs. A crash
+    BETWEEN block write and manifest write leaves orphan block rows;
+    the rerun re-encodes those parts (identical bytes — the kernel is
+    deterministic) and the manifest pass dedupes on (part_id, column)
+    so the ledger never double-counts.
     """
     blocks_path = os.path.join(out_dir, "blocks", f"stage={stage}")
     manifest_path = os.path.join(out_dir, "manifest", f"stage={stage}")
@@ -448,11 +554,18 @@ def run_encode(
     written = spark.read.parquet(blocks_path)
     if committed_df is not None:
         written = written.join(committed_df, "part_id", "left_anti")
-    manifest = written.select(*MANIFEST_COLS).withColumns(
-        {
-            "stage": F.lit(stage),
-            "committed_at": F.lit(datetime.now(timezone.utc).isoformat()),
-        }
+    manifest = (
+        written.select(*MANIFEST_COLS)
+        # orphan blocks from a crash between block-append and manifest-
+        # append get re-encoded by the rerun → two identical copies on
+        # disk; commit exactly one ledger row per (part_id, column)
+        .dropDuplicates(["part_id", "column"])
+        .withColumns(
+            {
+                "stage": F.lit(stage),
+                "committed_at": F.lit(datetime.now(timezone.utc).isoformat()),
+            }
+        )
     )
     manifest.write.mode("append").parquet(manifest_path)
 
@@ -488,22 +601,35 @@ def verify_roundtrip(
 ) -> dict:
     """Bit-identity gate (north rule): decode blocks, join on key,
     count value mismatches per column. Returns {col: mismatches}.
+
+    Null-safe equality (eqNullSafe): null-vs-value disagreements and
+    rows missing from either side of the full outer join COUNT as
+    mismatches — a naive `a == b` predicate is NULL in those cases
+    and F.sum would silently skip them, passing decoded-to-null
+    corruption. Map columns are compared via sorted entry arrays
+    (Spark forbids equality on MapType).
     """
     ltypes = ltypes or infer_ltypes(original)
     check_cols = check_cols or [c for c in original.columns if c != key_col]
     decoded = decode_blocks(blocks, [key_col] + check_cols, ltypes)
-    o = original.select(key_col, *check_cols)
-    d = decoded.select(key_col, *[F.col(c).alias(f"{c}__dec") for c in check_cols])
+
+    dtypes = {f.name: f.dataType for f in original.schema.fields}
+
+    def cmp_expr(col: F.Column, dt: T.DataType) -> F.Column:
+        if isinstance(dt, T.MapType):
+            return F.array_sort(F.map_entries(col))
+        return col
+
+    o = original.select(
+        key_col, *[cmp_expr(F.col(c), dtypes[c]).alias(c) for c in check_cols]
+    )
+    d = decoded.select(
+        key_col,
+        *[cmp_expr(F.col(c), dtypes[c]).alias(f"{c}__dec") for c in check_cols],
+    )
     j = o.join(d, key_col, "full_outer")
     aggs = [
-        F.sum(
-            (
-                ~(
-                    (F.col(c) == F.col(f"{c}__dec"))
-                    | (F.col(c).isNull() & F.col(f"{c}__dec").isNull())
-                )
-            ).cast("long")
-        ).alias(c)
+        F.sum((~F.col(c).eqNullSafe(F.col(f"{c}__dec"))).cast("long")).alias(c)
         for c in check_cols
     ]
     row = j.agg(*aggs).collect()[0].asDict()
@@ -511,6 +637,9 @@ def verify_roundtrip(
 
 
 def infer_ltypes(df: DataFrame) -> dict[str, str]:
+    """Column → ltype tag; types without a codec path map to
+    ``arrow:<spark type>`` (encoded via the arrow_ipc fallback —
+    nothing is silently dropped)."""
     _M = {
         "string": "str",
         "binary": "bytes",
@@ -519,12 +648,14 @@ def infer_ltypes(df: DataFrame) -> dict[str, str]:
         "date": "date",
         "bigint": "int64",
         "int": "int32",
+        "smallint": "int32",
+        "tinyint": "int32",
         "double": "float64",
         "float": "float32",
         "boolean": "bool",
     }
-    return {
-        f.name: _M[f.dataType.simpleString()]
-        for f in df.schema.fields
-        if f.dataType.simpleString() in _M
-    }
+    out = {}
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        out[f.name] = _M.get(s, f"arrow:{s}")
+    return out

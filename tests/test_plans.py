@@ -58,7 +58,7 @@ def test_encode_stage_single_exchange(spark, pages):
     body = plan.split("InMemoryTableScan")[0]
     assert body.count("Exchange") == 1
     assert "REPARTITION_BY_NUM" in body
-    assert "FlatMapGroupsInPandas" in body
+    assert "FlatMapGroupsInArrow" in body
 
 
 def test_limit_pushdown(spark):
