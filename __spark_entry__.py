@@ -24,9 +24,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from parquetry_spark.dedup import (  # noqa: E402
+    _affine_consts,
     embedding_neardup_pairs,
     exact_dedup,
+    hyperplane_signs,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_pairs,
 )
 from parquetry_spark.engine import decode_blocks, encode_table, infer_ltypes  # noqa: E402
@@ -44,6 +47,15 @@ from parquetry_spark.textops import (  # noqa: E402
 )
 
 # ---------------------------------------------------------------------------
+
+# shared parameters between Spark queries and their DuckDB oracles —
+# the oracle SQL is GENERATED from these, so both sides always agree
+NGRAM_MAX_DF = 64
+MINHASH_N = 16
+MINHASH_BANDS = 4
+EMB_TABLES = 8
+EMB_PLANES = 4
+EMB_DIM = 64  # embeddings.parquet vector width (all sf tiers)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -263,56 +275,44 @@ def q_exact_dedup(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    """Exact word-3-gram Jaccard pairs ≥ 0.5 — candidates via shared
-    gram (exact recall: J>0 ⇒ shared gram), fully SQL-replicable."""
+    """Exact word-3-gram Jaccard pairs ≥ 0.5. Candidate generation is
+    hot-gram capped (max_gram_df=64) so the gram self-join stays
+    O(grams·cap²) at crawl scale; the cap is replicated in the oracle."""
     df = _t(spark, sf, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.when(F.size(toks) < 3, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        )
-    )
-    g = df.select(F.col("doc_id"), F.array_distinct(grams).alias("grams"))
-    sizes = g.select("doc_id", "grams", F.size("grams").alias("n"))
-    ex = sizes.select("doc_id", "n", F.explode("grams").alias("gram"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.select(
-            "id_a", "id_b", F.floor(jac * 1e6).cast("long").alias("jaccard_u")
-        )
-        .filter(F.col("jaccard_u") >= 500000)
-        .orderBy("id_a", "id_b")
-    )
+    return ngram_jaccard_pairs(
+        df, n=3, threshold=0.5, max_gram_df=NGRAM_MAX_DF
+    ).select("id_a", "id_b", "jaccard")
 
 
 def q_minhash_pairs(spark, sf):
-    # MinHash+LSH banding (xxhash64-seeded → Spark-specific: rows-only)
+    """MinHash+LSH banding + exact hashed-shingle Jaccard, md5 base
+    hash — the full banding pipeline is replicated in DuckDB SQL."""
     df = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(df, jaccard_threshold=0.5)
+    return minhash_lsh_pairs(
+        df,
+        n_words=5,
+        n_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        jaccard_threshold=0.5,
+        base_hash="md5",
+    )
 
 
 def q_simhash_pairs(spark, sf):
-    # SimHash bit-vote signatures (xxhash64 → rows-only)
-    df = _t(spark, sf, "documents").limit(200)
-    return simhash_pairs(df, max_hamming=8)
+    """SimHash (32-bit, md5 token hashes) band-of-bits near-dups —
+    deterministic subset (doc_id < 200), DuckDB-replicated."""
+    df = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return simhash_pairs(df, max_hamming=3, bands=4, bits=32, base_hash="md5")
 
 
 def q_embedding_neardup(spark, sf):
-    # hyperplane-LSH near-dup (xxhash64 planes → rows-only)
+    """Hyperplane-LSH (md5-seeded ±1 planes, integer-quantized
+    projections) candidates → exact cosine ≥ 0.4 — bucket assignment
+    is exact integer math, identical in any engine."""
     df = _t(spark, sf, "embeddings")
-    return embedding_neardup_pairs(df, threshold=0.99)
+    return embedding_neardup_pairs(
+        df, threshold=0.4, n_tables=EMB_TABLES, n_planes=EMB_PLANES, dim=EMB_DIM
+    )
 
 
 def q_ann_topk(spark, sf):
@@ -324,11 +324,13 @@ def q_ann_topk(spark, sf):
 
 
 def q_media_features(spark, sf):
-    """Multimodal plumbing over documents-as-blobs (fake decode)."""
+    """Multimodal plumbing over documents-as-blobs (fake decode);
+    media_id carries doc_id through so n_bytes/sha are DuckDB-
+    replicable (sha256 + octet_length over the utf-8 payload)."""
     pages = _t(spark, sf, "documents").select(
         F.col("doc_id"), F.encode("text", "utf-8").alias("html")
     )
-    media = media_table_from_pages(pages, "html")
+    media = media_table_from_pages(pages, "html", id_col="doc_id")
     return extract_features(media).select("media_id", "n_bytes", "sha")
 
 
@@ -440,6 +442,129 @@ _LANG_CTE = (
 )
 
 
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [''] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t FROM documents{where})"
+)
+
+_HEX32 = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
+
+
+def _word_grams_sql(n: int) -> str:
+    """DuckDB expression for distinct word n-gram shingles over t —
+    mirrors dedup.word_shingles (whole doc if shorter than n)."""
+    joined = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return (
+        f"list_distinct(CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')] "
+        f"ELSE list_transform(generate_series(1, len(t) - {n - 1}), i -> {joined.replace('t[i+0]', 't[i]')}) END)"
+    )
+
+
+def _minhash_oracle() -> str:
+    consts = _affine_consts(MINHASH_N)
+    r = MINHASH_N // MINHASH_BANDS
+    sig_items = ", ".join(
+        f"list_min(list_transform(ha, x -> (x*{a}+{b})%4294967296))" for a, b in consts
+    )
+    band_keys = ", ".join(
+        f"concat_ws(',', '{b}', "
+        + ", ".join(f"sg[{b * r + i + 1}]" for i in range(r))
+        + ")"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH {_TOKS_CTE.format(where="")},
+        sh AS (SELECT doc_id, {_word_grams_sql(5)} AS g FROM toks),
+        h AS (SELECT doc_id, list_distinct(list_transform(g,
+              s -> {_HEX32.format(s="s")})) AS ha FROM sh),
+        sig AS (SELECT doc_id, [{sig_items}] AS sg FROM h),
+        banded AS (SELECT doc_id, unnest([{band_keys}]) AS key FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM banded a JOIN banded b
+                 ON a.key = b.key AND a.doc_id < b.doc_id),
+        j AS (SELECT id_a, id_b, len(list_intersect(x.ha, y.ha)) AS i,
+                     greatest(len(list_distinct(x.ha || y.ha)), 1) AS u
+              FROM cand JOIN h x ON x.doc_id = cand.id_a
+                        JOIN h y ON y.doc_id = cand.id_b)
+        SELECT id_a, id_b, i / u AS jaccard FROM j
+        WHERE i / u >= 0.5 ORDER BY id_a, id_b
+    """
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH {_TOKS_CTE.format(where=" WHERE doc_id < 200")},
+        hs AS (SELECT doc_id, list_transform(t,
+               w -> {_HEX32.format(s="w")}) AS h FROM toks),
+        sim AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31),
+               i -> CASE WHEN list_sum(list_transform(h, x -> ((x >> i) & 1)*2 - 1)) > 0
+                         THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS sh FROM hs),
+        banded AS (SELECT doc_id, sh, unnest(list_transform(generate_series(0, 3),
+               b -> concat_ws('_', b, (sh >> (b*8)) & 255))) AS key FROM sim),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sh AS sa, b.sh AS sb
+                 FROM banded a JOIN banded b
+                 ON a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b
+    """
+
+
+def _embedding_oracle() -> str:
+    signs = hyperplane_signs(EMB_TABLES, EMB_PLANES, EMB_DIM)
+    keys = []
+    for t in range(EMB_TABLES):
+        bits = []
+        for p in range(EMB_PLANES):
+            lit = "[" + ",".join(str(x) for x in signs[t][p]) + "]"
+            bits.append(
+                f"(CASE WHEN list_sum(list_transform(qv, (x,i) -> x * ({lit})[i])) > 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        keys.append(f"concat_ws('_', '{t}', " + " + ".join(bits) + ")")
+    keys_sql = ", ".join(keys)
+    return f"""
+        WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+               FROM embeddings),
+        banded AS (SELECT vec_id, unnest([{keys_sql}]) AS key FROM q),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM banded a JOIN banded b
+                 ON a.key = b.key AND a.vec_id < b.vec_id),
+        v AS (SELECT id_a, id_b,
+                     list_sum(list_transform(x.e, (ev,i) -> ev * y.e[i])) AS dot,
+                     sqrt(list_sum(list_transform(x.e, ev -> ev*ev))) AS na,
+                     sqrt(list_sum(list_transform(y.e, ev -> ev*ev))) AS nb
+              FROM cand JOIN q x ON x.vec_id = cand.id_a
+                        JOIN q y ON y.vec_id = cand.id_b)
+        SELECT id_a, id_b,
+               CAST(floor(dot / greatest(na * nb, 1e-12) * 10000) AS BIGINT) AS cos_u
+        FROM v WHERE floor(dot / greatest(na * nb, 1e-12) * 10000) >= 4000
+        ORDER BY id_a, id_b
+    """
+
+
+def _ngram_oracle() -> str:
+    return f"""
+        WITH {_TOKS_CTE.format(where="")},
+        grams AS (SELECT doc_id, {_word_grams_sql(3)} AS g FROM toks),
+        ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= {NGRAM_MAX_DF}),
+        exr AS (SELECT ex.doc_id, ex.gram FROM ex JOIN rare USING (gram)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM exr a JOIN exr b
+                 ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        j AS (SELECT id_a, id_b, len(list_intersect(x.g, y.g)) AS i,
+                     greatest(len(list_distinct(x.g || y.g)), 1) AS u
+              FROM cand JOIN grams x ON x.doc_id = cand.id_a
+                        JOIN grams y ON y.doc_id = cand.id_b)
+        SELECT id_a, id_b, i / u AS jaccard FROM j
+        WHERE i / u >= 0.5 ORDER BY id_a, id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = (
         "CASE WHEN trim(text) = '' THEN 0 "
@@ -545,31 +670,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS h, min(doc_id) AS doc_id, "
             "count(*) AS n_copies FROM documents GROUP BY sha256(text)"
         ),
-        "ngram_jaccard": """
-            WITH toks AS (
-              SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN ['']
-                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
-              FROM documents
-            ), grams AS (
-              SELECT doc_id,
-                     list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                          ELSE list_transform(generate_series(1, len(t) - 2),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
-              FROM toks
-            ), ex AS (
-              SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams
-            ), inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
-                     count(*) AS i
-              FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
-              GROUP BY 1,2,3,4
-            )
-            SELECT id_a, id_b,
-                   CAST(floor(i * 1e6 / (na + nb - i)) AS BIGINT) AS jaccard_u
-            FROM inter WHERE i * 1e6 / (na + nb - i) >= 500000
-            ORDER BY id_a, id_b
-        """,
+        "ngram_jaccard": _ngram_oracle(),
+        "minhash_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        "embedding_neardup": _embedding_oracle(),
+        "media_features": (
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "sha256(text) AS sha FROM documents"
+        ),
         "ann_topk": (
             "SELECT vec_id, CAST(floor(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), "
@@ -600,7 +709,6 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
         ),
-        # rows-only (Spark-specific hash functions in the hot path):
-        #   encode_manifest, minhash_pairs, simhash_pairs,
-        #   embedding_neardup, media_features (xxhash64 media ids)
+        # rows-only: encode_manifest (codec decisions + byte accounting
+        # are engine-defined — no external oracle can produce them)
     }

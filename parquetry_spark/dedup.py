@@ -3,26 +3,52 @@
 Scale design notes (the part that matters at 100 TB):
   - exact dedup: one hash-shuffle on a 64-hex digest, never on the
     full text (shuffle bytes ∝ digest, not document);
-  - MinHash+LSH: signatures are built in one narrow projection
-    (xxhash64 over shingle arrays — JVM codegen, no Python); the
-    only shuffle is the band-bucket groupBy, and buckets are salted
-    implicitly by band id. Candidate pairs are verified with exact
-    shingle-set Jaccard BEFORE being reported (no false positives).
+  - MinHash+LSH: document text NEVER crosses a shuffle. The pipeline
+    is  text → (id, shingle-hash array)  [one narrow projection] →
+    (id, band-key) rows through the bucket exchange [16 bytes + key]
+    → candidate id-pairs → join the (small) pair set back to the
+    hash-array table for exact verification. Hash arrays are ~4-8
+    bytes per shingle vs ~30+ bytes of shingle text, and only
+    candidate ids' arrays are ever co-located.
   - SimHash: 64-bit signature via per-token hash bit-votes; near-dup
     = signature XOR popcount ≤ r, candidates via band-of-bits join.
-  - embedding near-dup: cosine over array<float> with F.zip_with /
-    F.aggregate (JVM), brute force within LSH-ish length buckets.
+  - embedding near-dup: L×k random-hyperplane LSH over an INTEGER
+    quantization of the vector (exact, engine-independent bucket
+    assignment), exact cosine verify within candidates.
+  - n-gram Jaccard: candidate generation is capped at max_gram_df
+    documents per gram — a hot gram ("of the and") at crawl scale
+    otherwise creates a quadratic join blowup.
 
-All operators return DataFrames; pair outputs are canonicalized
+Every operator is parameterized by the base hash: `xxhash` (JVM
+codegen, fastest — production default) or `md5` (bit-replicable in
+any engine — what the DuckDB correctness oracles use; md5 is also a
+JVM builtin, just slower). Pair outputs are canonicalized
 (id_a < id_b) so results are deterministic and oracle-comparable.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from .textops import shingles, tokens
+from .textops import tokens
+
+_U32 = 1 << 32
+
+
+def _hash32(col: Column, base_hash: str) -> Column:
+    """32-bit non-negative hash of a string column.
+
+    xxhash: fold xxhash64 into [0, 2^32) — fastest JVM path.
+    md5:    first 8 hex digits of md5 — replicable in ANY engine
+            (DuckDB: CAST('0x' || substr(md5(s),1,8) AS BIGINT)).
+    """
+    if base_hash == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return F.pmod(F.xxhash64(col), F.lit(_U32).cast("long"))
 
 
 # ----------------------------------------------------------------- exact
@@ -61,6 +87,15 @@ def word_shingles(col: Column, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_hashes(col: Column, n_words: int = 5, base_hash: str = "xxhash") -> Column:
+    """Distinct 32-bit shingle hashes — the unit all MinHash math and
+    exact-Jaccard verification run on (text itself never leaves the
+    scan projection)."""
+    return F.array_distinct(
+        F.transform(word_shingles(col, n_words), lambda s: _hash32(s, base_hash))
+    )
+
+
 def _affine_consts(n_hashes: int) -> list[tuple[int, int]]:
     """Deterministic odd 31-bit multipliers + 31-bit offsets: with a
     32-bit base hash, a·h + b < 2^63 — no long overflow under ANSI
@@ -74,30 +109,31 @@ def _affine_consts(n_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signature(col: Column, n_words: int = 5, n_hashes: int = 32) -> Column:
-    """MinHash signature: ONE xxhash64 pass over word shingles (folded
-    to 32 bits), then n affine reprojections (a_i·h + b_i, odd a_i —
+def minhash_signature(col: Column, n_words: int = 5, n_hashes: int = 32,
+                      base_hash: str = "xxhash") -> Column:
+    """MinHash signature: ONE hash pass over word shingles (folded to
+    32 bits), then n affine reprojections (a_i·h + b_i, odd a_i —
     bijective mod 2^32), each reduced with array_min. 1 string-hash
     pass + n cheap int passes instead of n string-hash passes
     (measured 10×+ on long docs)."""
-    base = F.transform(
-        word_shingles(col, n_words),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(4294967296).cast("long")),
-    )
+    return _sig_from_hashes(shingle_hashes(col, n_words, base_hash), n_hashes)
+
+
+def _sig_from_hashes(harr: Column, n_hashes: int) -> list[Column]:
     sig = []
     for a, b in _affine_consts(n_hashes):
         sig.append(
             F.array_min(
                 F.transform(
-                    base,
+                    harr,
                     lambda h: F.pmod(
                         h * F.lit(a).cast("long") + F.lit(b),
-                        F.lit(4294967296).cast("long"),
+                        F.lit(_U32).cast("long"),
                     ),
                 )
             )
         )
-    return F.array(*sig)
+    return sig
 
 
 def minhash_lsh_pairs(
@@ -108,11 +144,22 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.7,
+    base_hash: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact verification.
 
-    shingle → minhash → band → bucket-join → exact Jaccard filter.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    shingle-hash → minhash → band → bucket-join on id-only rows →
+    join candidate ids back to the hash-array table → exact Jaccard
+    over hashed shingle sets. Returns (id_a, id_b, jaccard), id_a <
+    id_b. Jaccard is computed on 32-bit shingle hashes (collision
+    probability ~n²/2^32 per doc — negligible), so the verification
+    never touches document text and the whole pipeline shuffles only
+    ids, band keys and int arrays.
+
+    The (id → hash array) table is persisted (it feeds both the
+    banding and the verification); at cluster scale, materialize it
+    to storage once and pass the reread DataFrame in via `df` staging
+    instead.
     """
     rows_per_band = n_hashes // bands
     spark = df.sparkSession
@@ -121,57 +168,39 @@ def minhash_lsh_pairs(
         # signature computation is CPU-bound per row; a single-file
         # source arrives as one partition — spread it first
         df = df.repartition(par, id_col)
-    sig = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        minhash_signature(F.col(text_col), n_words, n_hashes).alias("sig"),
-    )
-    banded = sig.select(
-        id_col,
-        text_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # SCALAR key (hash of the band slice): an array
-                        # join key cannot hash-partition → Spark falls
-                        # back to a nested-loop join (measured 200s vs
-                        # 3s on 5k docs)
-                        F.xxhash64(
-                            F.lit(b),
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, text_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    hashed = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), n_words, base_hash).alias("harr")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _sig_from_hashes(F.col("harr"), n_hashes)
+    keys = []
+    for b in range(bands):
+        sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
+        # SCALAR key: an array join key cannot hash-partition → Spark
+        # falls back to a nested-loop join (measured 200s vs 3s on 5k
+        # docs). Band id is embedded in the key string.
+        keys.append(F.concat_ws(",", F.lit(str(b)), *[s.cast("string") for s in sl]))
+    banded = hashed.select(F.col(id_col), F.explode(F.array(*keys)).alias("key"))
+    a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            b_,
+            (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{text_col}").alias("text_a"),
-            F.col(f"b.{text_col}").alias("text_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = word_shingles(F.col("text_a"), n_words)
-    sb = word_shingles(F.col("text_b"), n_words)
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_union(sa, sb))
+    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("harr").alias("ha"))
+    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("harr").alias("hb"))
+    ver = cand.join(ha, "id_a").join(hb, "id_b")
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size(F.array_union(F.col("ha"), F.col("hb")))
     jac = (inter / F.greatest(union, F.lit(1))).alias("jaccard")
     return (
-        cand.select("id_a", "id_b", jac)
+        ver.select("id_a", "id_b", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .orderBy("id_a", "id_b")
     )
@@ -184,11 +213,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    max_docs: int = 20000,
+    max_gram_df: int = 64,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard over LSH-free candidate pruning:
-    documents sharing their fingerprint-min n-gram are candidates
-    (equivalent to 1-permutation MinHash banding).
+    """Exact word-n-gram Jaccard with frequency-capped candidates.
+
+    Candidates = pairs sharing at least one gram that appears in
+    ≤ max_gram_df documents; Jaccard is then computed EXACTLY on the
+    full gram sets. The cap bounds the gram self-join at
+    O(grams · max_gram_df²) instead of O(Σ df²) — one hot gram at
+    crawl scale ("of the and") would otherwise create a multi-
+    billion-row join. Recall argument: a pair is missed only if ALL
+    its shared grams are hot; near-duplicate documents share long
+    runs of consecutive grams, which are (almost always) rare —
+    the standard prefix/frequency-filter trade in similarity joins.
     """
     toks = tokens(F.col(text_col))
     grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
@@ -197,37 +234,85 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    g = df.select(F.col(id_col), F.array_distinct(grams).alias("grams"))
-    keyed = g.select(
-        id_col, "grams", F.array_min(F.transform("grams", F.md5)).alias("bucket")
+    g = df.select(F.col(id_col), F.array_distinct(grams).alias("grams")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ex = g.select(id_col, F.explode("grams").alias("gram"))
+    rare = (
+        ex.groupBy("gram")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") <= max_gram_df)
+        .select("gram")
     )
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    return (
-        cand.select(
+    exr = ex.join(rare, "gram")
+    # shared-RARE-gram count per candidate pair: one aggregated join,
+    # 16-byte rows — never an array op. When either side has zero hot
+    # grams, i_rare IS the exact intersection and the pair is decided
+    # from counts alone (the common case: near-dup pairs share runs of
+    # rare grams). Only pairs whose hot grams could flip the verdict
+    # pay the array verify.
+    a, b = exr.alias("a"), exr.alias("b")
+    i_rare = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
+        .agg(F.count("*").alias("i_r"))
     )
+    n_rare = exr.groupBy(id_col).agg(F.count("*").alias("n_r"))
+    stat = (
+        g.select(F.col(id_col), F.size("grams").alias("n_tot"))
+        .join(n_rare, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tot"),
+            (F.col("n_tot") - F.coalesce(F.col("n_r"), F.lit(0))).alias("hot"),
+        )
+    )
+    sa = stat.select(
+        F.col(id_col).alias("id_a"), F.col("n_tot").alias("na"), F.col("hot").alias("ha")
+    )
+    sb = stat.select(
+        F.col(id_col).alias("id_b"), F.col("n_tot").alias("nb"), F.col("hot").alias("hb")
+    )
+    pairs = i_rare.join(sa, "id_a").join(sb, "id_b")
+    minh = F.least(F.col("ha"), F.col("hb"))
+    j_low = F.col("i_r") / (F.col("na") + F.col("nb") - F.col("i_r"))
+    i_up = F.col("i_r") + minh
+    j_up = i_up / (F.col("na") + F.col("nb") - i_up)
+    accepted = pairs.filter((minh == 0) & (j_low >= threshold)).select(
+        "id_a", "id_b", j_low.alias("jaccard")
+    )
+    border = pairs.filter((minh > 0) & (j_up >= threshold)).select("id_a", "id_b")
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    ver = border.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.array_union(F.col("ga"), F.col("gb")))
+    verified = ver.select(
+        "id_a", "id_b", (inter / F.greatest(union, F.lit(1))).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+    return accepted.unionByName(verified).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------- simhash
-def simhash(col: Column, bits: int = 64) -> Column:
-    """SimHash: per-token xxhash64, bit-vote aggregation → int64.
+def simhash(col: Column, bits: int = 64, base_hash: str = "xxhash") -> Column:
+    """SimHash: per-token hash, bit-vote aggregation → int64.
 
     Vote for bit i = sign of Σ_tokens (2*bit_i(hash) - 1); built
     entirely from aggregate/transform Column exprs (JVM-side).
+    base_hash="md5" uses 32-bit md5-derived token hashes (engine-
+    replicable); pass bits ≤ 32 with it.
     """
-    tok_hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    if base_hash == "md5":
+        tok_hashes = F.transform(tokens(col), lambda t: _hash32(t, "md5"))
+    else:
+        tok_hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
     votes = F.aggregate(
         tok_hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
@@ -257,15 +342,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 64,
+    base_hash: str = "xxhash",
 ) -> DataFrame:
     """Near-dup pairs with SimHash distance ≤ max_hamming.
 
-    Candidates via band-of-bits equality (any identical 16-bit band
-    ⇒ candidate — guaranteed to catch ≤3-bit differences with 4
-    bands by pigeonhole), then exact popcount verification.
+    Candidates via band-of-bits equality (any identical bits/bands-
+    wide band ⇒ candidate — guaranteed to catch ≤(bands-1)-bit
+    differences by pigeonhole), then exact popcount verification.
     """
-    width = 64 // bands
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    width = bits // bands
+    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits, base_hash).alias("sh"))
     banded = sh.select(
         id_col,
         "sh",
@@ -309,15 +396,39 @@ def simhash_pairs(
 
 # ------------------------------------------------------ embedding near-dup
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float/double> columns — JVM-side."""
+    """Cosine similarity of two array<float/double> columns — JVM-side.
+
+    Elements are widened to double BEFORE multiplying (float·float
+    then widen loses bits and diverges from engines that compute over
+    DOUBLE[] — the DuckDB oracles do)."""
+    d = lambda x: x.cast("double")  # noqa: E731
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: d(x) * d(y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + d(v) * d(v)))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + d(v) * d(v)))
     return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def hyperplane_signs(n_tables: int, n_planes: int, dim: int) -> list[list[list[int]]]:
+    """Deterministic ±1 hyperplane matrices seeded by md5 of the
+    (table, plane, dim) coordinates — reproducible across engines and
+    runs with no RNG state. Small (L·k·dim ints), broadcast as plan
+    literals."""
+    out = []
+    for t in range(n_tables):
+        tbl = []
+        for p in range(n_planes):
+            tbl.append(
+                [
+                    1 if hashlib.md5(f"{t}:{p}:{i}".encode()).digest()[0] % 2 == 0 else -1
+                    for i in range(dim)
+                ]
+            )
+        out.append(tbl)
+    return out
 
 
 def embedding_neardup_pairs(
@@ -325,39 +436,67 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding near-duplicates: random-hyperplane LSH buckets →
-    exact cosine ≥ threshold within bucket (id_a < id_b).
+    """Embedding near-duplicates: L hyperplane-LSH tables of k planes
+    each → candidate pairs share a bucket in ANY table → exact cosine
+    ≥ threshold verification (id_a < id_b).
 
-    Hyperplanes are deterministic (hash of dimension index & plane id
-    → ±1 entries) so the pipeline is seed-free reproducible.
+    Bucket assignment uses an INTEGER quantization of the vector
+    (round(x·10^6) as int64) so the sign of the hyperplane projection
+    is exact integer arithmetic — identical in any engine, immune to
+    float summation-order effects. Only (id, bucket-key) rows cross
+    the bucket shuffle; vectors are joined back for the (small)
+    candidate set.
+
+    Recall for cosine s per table: (1 - θ/π)^k, any-of-L ≥
+    1-(1-p)^L — e.g. s=0.95 → ~0.99 with L=8, k=4.
     """
-    sgn = lambda p: F.transform(  # noqa: E731
-        F.col(vec_col),
-        lambda v, i: F.when(F.pmod(F.xxhash64(i, F.lit(p)), 2) == 0, v).otherwise(-v),
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    signs = hyperplane_signs(n_tables, n_planes, dim)
+    qv = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * 1000000).cast("long")
     )
-    # bit-packed scalar bucket (array keys break hash joins — see above)
-    bucket = None
-    for p in range(n_planes):
-        bit = (
-            F.aggregate(sgn(p), F.lit(0.0), lambda a, v: a + v.cast("double")) > 0
-        ).cast("long") * F.lit(1 << p).cast("long")
-        bucket = bit if bucket is None else bucket + bit
-    keyed = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    )
-    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return (
-        cand.select(
+    keyed = df.select(F.col(id_col), qv.alias("qv"))
+    keys = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(n_planes):
+            s = F.array(*[F.lit(x) for x in signs[t][p]])
+            dot = F.aggregate(
+                F.zip_with(F.col("qv"), s, lambda x, y: x * y.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bit = (dot > 0).cast("long") * F.lit(1 << p).cast("long")
+            bucket = bit if bucket is None else bucket + bit
+        keys.append(F.concat_ws("_", F.lit(str(t)), bucket.cast("string")))
+    banded = keyed.select(F.col(id_col), F.explode(F.array(*keys)).alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cos, 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    ver = cand.join(va, "id_a").join(vb, "id_b")
+    # integer ten-thousandths: threshold and value comparisons happen
+    # on the SAME quantization in every engine (a raw float >= filter
+    # can flip rows on last-ulp differences between engines)
+    cos_u = F.floor(cosine(F.col("va"), F.col("vb")) * 10000).cast("long")
+    return (
+        ver.select("id_a", "id_b", cos_u.alias("cos_u"))
+        .filter(F.col("cos_u") >= int(round(threshold * 10000)))
         .orderBy("id_a", "id_b")
     )

@@ -35,10 +35,19 @@ FEATURE_SCHEMA = (
 )
 
 
-def media_table_from_pages(df: DataFrame, binary_col: str = "html") -> DataFrame:
-    """Wrap an existing binary column as a media table (schema shim)."""
+def media_table_from_pages(
+    df: DataFrame, binary_col: str = "html", id_col: str | None = None
+) -> DataFrame:
+    """Wrap an existing binary column as a media table (schema shim).
+
+    `id_col`: carry an existing id through as media_id (engine-
+    neutral, oracle-replicable); default derives one from the payload
+    hash."""
+    media_id = (
+        F.col(id_col).cast("long") if id_col else F.xxhash64(binary_col)
+    )
     return df.select(
-        F.xxhash64(binary_col).alias("media_id"),
+        media_id.alias("media_id"),
         F.lit("blob").alias("kind"),
         F.col(binary_col).alias("payload"),
         F.struct(
@@ -57,8 +66,11 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
             "image decode requires PIL/libvips — not available; "
             "use fake=True for the deterministic test double"
         )
-    # deterministic fake: dimensions derived from content hash
-    h = hash(payload) & 0xFFFFFFFF
+    # deterministic fake: dimensions derived from a CONTENT hash
+    # (python's hash() is salted per process — useless across workers)
+    import hashlib
+
+    h = int.from_bytes(hashlib.sha256(payload).digest()[:4], "little")
     return {"width": 64 + h % 512, "height": 64 + (h >> 9) % 512}
 
 

@@ -73,6 +73,42 @@ def test_ngram_jaccard(docs):
     assert (1, 2) in got
 
 
+def test_minhash_md5_variant_matches(docs):
+    """The md5-based (oracle-replicable) variant finds the same pairs
+    as the xxhash production variant on the fixture."""
+    xx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    md = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, n_hashes=16, bands=4, jaccard_threshold=0.5, base_hash="md5"
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= md
+    assert md == xx
+
+
+def test_ngram_hot_gram_cap(spark):
+    """One hot gram shared by every doc must not explode the candidate
+    join: pairs whose ONLY shared grams are hot are skipped (recall
+    trade documented); true near-dups still surface via rare grams."""
+    hot = "lorem ipsum dolor sit amet "  # hot 3-grams: df = n_docs
+    rows = [Row(doc_id=i, text=hot + f"unique tail {i} alpha beta gamma delta x{i}")
+            for i in range(50)]
+    rows.append(Row(doc_id=100, text=hot + "unique tail 7 alpha beta gamma delta x7"))
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_gram_df=16).collect()
+    }
+    assert got == {(7, 100)}  # exact dup found via its rare grams
+    # sanity: hot-gram-only pairs excluded even though every doc pair
+    # shares the hot grams (their true jaccard is < threshold anyway)
+    assert all(a == 7 and b == 100 for a, b in got)
+
+
 def test_simhash_pairs(docs):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs).collect()}
     assert got[(1, 2)] == 0  # identical text → identical simhash

@@ -61,6 +61,43 @@ def test_encode_stage_single_exchange(spark, pages):
     assert "FlatMapGroupsInArrow" in body
 
 
+def test_minhash_shuffles_no_text(spark):
+    """Document text must never cross a shuffle in the minhash
+    pipeline — every Exchange's input is ids/keys/hash-arrays only.
+    (At 100 TB the text-through-band-explode shuffle IS the job.)"""
+    from parquetry_spark.dedup import minhash_lsh_pairs
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5)
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain(mode="formatted")
+    plan = buf.getvalue()
+    # formatted explain: one "(n) Exchange" section per shuffle, each
+    # with "Input [k]: [col#id, ...]" lines. The ONLY exchange allowed
+    # to carry text is the optional ingest spread (REPARTITION_BY_NUM
+    # before hashing — each document moves exactly once); banding,
+    # candidate and verify exchanges must be text-free.
+    sections = plan.split("\n\n")
+    exchanges = [s for s in sections if s.startswith("(") and "Exchange" in s.split("\n")[0]]
+    assert exchanges, "expected at least one Exchange section"
+    text_carriers = [
+        s
+        for s in exchanges
+        if any(
+            "text#" in line
+            for line in s.split("\n")
+            if line.startswith(("Input", "Arguments"))
+        )
+    ]
+    assert len(text_carriers) <= 1, f"text crosses {len(text_carriers)} shuffles"
+    for s in text_carriers:
+        assert "REPARTITION_BY_NUM" in s, f"text in a non-ingest shuffle:\n{s}"
+
+
 def test_limit_pushdown(spark):
     df = spark.read.parquet(f"{SF}/orders.parquet")
     plan = _plan(df.limit(5))
