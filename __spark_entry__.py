@@ -339,6 +339,44 @@ def q_media_features(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+def q_temporal_render(spark, sf):
+    """W5 parity: RFC3339/time-of-day rendering at stored precision
+    with Go '.999…' trailing-zero trimming (reference types.go:26-31).
+    ns values are synthesized as int64 units from o_orderkey (Spark
+    holds no ns column type; the engine's kernels do — rendering is
+    string math over raw units, exactly like the reference)."""
+    df = _t(spark, sf, "orders").select("o_orderkey")
+    units = F.col("o_orderkey").cast("long") * F.lit(1_000_000_007).cast("long")
+    whole = F.col("o_orderkey").cast("long") * F.lit(1_000_000_000).cast("long")
+
+    def render_ns(u):
+        sec = (u - F.pmod(u, F.lit(1_000_000_000))) / F.lit(1_000_000_000)
+        base = F.date_format(F.timestamp_seconds(sec.cast("long")), "yyyy-MM-dd'T'HH:mm:ss")
+        frac = F.lpad(F.pmod(u, F.lit(1_000_000_000)).cast("string"), 9, "0")
+        s = F.concat(base, F.lit("."), frac, F.lit("Z"))
+        s = F.regexp_replace(s, r"(\.\d*?)0+Z$", r"$1Z")
+        return F.regexp_replace(s, r"\.Z$", "Z")
+
+    def render_time_ns(u):
+        d = F.pmod(u, F.lit(86_400_000_000_000))
+        sec = (d - F.pmod(d, F.lit(1_000_000_000))) / F.lit(1_000_000_000)
+        sec = sec.cast("long")
+        hh = F.lpad((sec / 3600).cast("long").cast("string"), 2, "0")
+        mm = F.lpad(F.pmod((sec / 60).cast("long"), F.lit(60)).cast("string"), 2, "0")
+        ss = F.lpad(F.pmod(sec, F.lit(60)).cast("string"), 2, "0")
+        frac = F.lpad(F.pmod(d, F.lit(1_000_000_000)).cast("string"), 9, "0")
+        s = F.concat(hh, F.lit(":"), mm, F.lit(":"), ss, F.lit("."), frac, F.lit("Z"))
+        s = F.regexp_replace(s, r"(\.\d*?)0+Z$", r"$1Z")
+        return F.regexp_replace(s, r"\.Z$", "Z")
+
+    return df.select(
+        "o_orderkey",
+        render_ns(units).alias("stamp_ns"),
+        render_ns(whole).alias("stamp_whole"),
+        render_time_ns(units).alias("time_ns"),
+    )
+
+
 def q_agg_pushdown(spark, sf):
     """TPC-H Q1 shape with exact integer arithmetic (cents as bigint —
     deterministic across engines unlike float sums)."""
@@ -408,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "media_features": q_media_features,
+        "temporal_render": q_temporal_render,
         "agg_pushdown": q_agg_pushdown,
         "topk_per_group": q_topk_per_group,
         "join_broadcast": q_join_broadcast,
@@ -709,6 +748,38 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
         ),
+        "temporal_render": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     CAST(o_orderkey AS BIGINT) * 1000000007 AS un,
+                     CAST(o_orderkey AS BIGINT) * 1000000000 AS uw
+              FROM orders
+            ), r AS (
+              SELECT o_orderkey,
+                strftime(epoch_ms((un // 1000000000) * 1000), '%Y-%m-%dT%H:%M:%S')
+                  || '.' || lpad(CAST(un % 1000000000 AS VARCHAR), 9, '0') || 'Z'
+                  AS s_ns,
+                strftime(epoch_ms((uw // 1000000000) * 1000), '%Y-%m-%dT%H:%M:%S')
+                  || '.' || lpad(CAST(uw % 1000000000 AS VARCHAR), 9, '0') || 'Z'
+                  AS s_w,
+                lpad(CAST((un % 86400000000000) // 3600000000000 AS VARCHAR), 2, '0')
+                  || ':' ||
+                lpad(CAST(((un % 86400000000000) // 60000000000) % 60 AS VARCHAR), 2, '0')
+                  || ':' ||
+                lpad(CAST(((un % 86400000000000) // 1000000000) % 60 AS VARCHAR), 2, '0')
+                  || '.' || lpad(CAST(un % 1000000000 AS VARCHAR), 9, '0') || 'Z'
+                  AS t_ns
+              FROM u
+            )
+            SELECT o_orderkey,
+              regexp_replace(regexp_replace(s_ns, '(\\.\\d*?)0+Z$', '\\1Z'), '\\.Z$', 'Z')
+                AS stamp_ns,
+              regexp_replace(regexp_replace(s_w, '(\\.\\d*?)0+Z$', '\\1Z'), '\\.Z$', 'Z')
+                AS stamp_whole,
+              regexp_replace(regexp_replace(t_ns, '(\\.\\d*?)0+Z$', '\\1Z'), '\\.Z$', 'Z')
+                AS time_ns
+            FROM r
+        """,
         # rows-only: encode_manifest (codec decisions + byte accounting
         # are engine-defined — no external oracle can produce them)
     }

@@ -46,26 +46,66 @@ def _sf_of(path: str) -> float:
 N_PARTS = 64  # SAME logical partitioning at both parallelism levels
 #               the scaling measure must vary only the core count
 
+WARMUPS = 3  # this VM faults fresh anon pages at ~10 MB/s and keeps
+#              improving through the first few passes (page cache +
+#              JIT + worker heap growth) — measured: run 4 of a cold
+#              session is still 2-3× faster than run 1
+TIMED = 3
+
+
+def bench_input_path(rows: int) -> str:
+    return f"/tmp/spark_graft_bench_pages_{rows}_{SEED}"
+
+
+def ensure_bench_input(rows: int) -> None:
+    """Write the deterministic pages table ONCE as uncompressed
+    parquet; every scaling leg reads the identical bytes. (Feeding
+    from a cached-rows DataFrame makes the JVM row→Arrow conversion
+    compete with the Python workers for CPU; the vectorized parquet
+    reader is far cheaper per batch.)"""
+    path = bench_input_path(rows)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from parquetry_spark.generator import gen_pages
+    from parquetry_spark.session import get_spark
+
+    spark = get_spark("bench-gen", cores=8, shuffle_partitions=8)
+    gen_pages(spark, rows, seed=SEED, n_hosts=500, n_partitions=N_PARTS).write.mode(
+        "overwrite"
+    ).option("compression", "none").parquet(path)
+    spark.stop()
+
 
 def encode_bench(cores: int, rows: int) -> dict:
     """Measure the encode stage at one parallelism level (warm), in
     both layouts:
       host     — salt-partitioned + sorted (one shuffle): the
                  ratio-optimal, resume-stable production layout;
-      preserve — zero-shuffle mapInPandas on input splits: the
+      preserve — zero-shuffle mapInArrow on input splits: the
                  bandwidth-lean fast path (streaming micro-batches,
                  backfills). Scaling of the codec engine itself.
+    Input: the shared uncompressed parquet table, read with 4 MB
+    splits — fat splits make each task allocate far past the
+    pre-faulted worker heap, and first-touch faults on this VM run at
+    ~10 MB/s (measured: 100 MB splits at 4 cores → 1 MB/s).
     """
     from pyspark.sql import functions as F
 
     from parquetry_spark.engine import encode_preserve, encode_table
-    from parquetry_spark.generator import gen_pages
     from parquetry_spark.session import get_spark, warm_python_workers
 
-    spark = get_spark(f"bench-encode-{cores}", cores=cores, shuffle_partitions=cores)
-    warm_python_workers(spark, 128)  # ≥ per-task FSST transient peak
-    pages = gen_pages(spark, rows, seed=SEED, n_hosts=500, n_partitions=N_PARTS).cache()
-    n_docs = pages.count()
+    spark = get_spark(
+        f"bench-encode-{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4194304",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
+    )
+    warm_python_workers(spark, 192)  # ≥ per-task FSST transient peak
+    pages = spark.read.parquet(bench_input_path(rows))
+    n_docs = pages.count()  # also warms the OS page cache
     in_bytes = pages.select(
         (
             F.sum(F.length("url"))
@@ -123,20 +163,25 @@ def encode_bench(cores: int, rows: int) -> dict:
         return agg["i"], agg["o"]
 
     out: dict = {"cores": cores, "docs": n_docs, "input_bytes": int(in_bytes)}
-    for mi, mode in enumerate(("host", "preserve", "stage")):
+    for mi, mode in enumerate(("preserve", "stage", "host")):
         # warm-ups: page-in worker heaps to peak (hypervisor lazy
         # faults), JIT codegen, shuffle files — see module docstring;
-        # workers stay warm across modes, so later modes warm once
-        for _ in range(2 if mi == 0 else 1):
+        # workers stay warm across modes, so later modes warm less
+        for _ in range(WARMUPS if mi == 0 else 1):
             run_mode(mode)
         best = None
-        for _ in range(2):  # best-of-2 × three alternated parent
-            # rounds = 6 samples/level (khugepaged noise on this VM)
+        samples = []
+        for _ in range(TIMED):  # best-of-TIMED × alternated parent
+            # rounds (khugepaged noise on this VM is strictly
+            # additive: nothing makes a run spuriously FAST, so the
+            # minimum is the estimator of true throughput)
             t0 = time.time()
             ib, ob = run_mode(mode)
             dt = time.time() - t0
+            samples.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         out[mode] = {
+            "samples_sec": samples,
             "encoded_in_bytes": int(ib),
             "encoded_out_bytes": int(ob),
             "ratio": round(ib / max(ob, 1), 4),
@@ -190,10 +235,12 @@ def main() -> int:
     # (~1.5 s session/plan/collect): at 60k docs that overhead was 40%
     # of the 16-core wall and capped measured efficiency at ~0.6
     rows = max(int(1_200_000 * sf), 4000)
+    ensure_bench_input(rows)  # one shared uncompressed-parquet input
+    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     scaling = {}
     for _round in range(3):  # alternated rounds: the box's throughput
         # oscillates on a minutes timescale (compaction debt)
-        for cores in (4, 16):
+        for cores in (scale_n, 4 * scale_n):
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only", str(cores), str(rows)],
@@ -215,8 +262,8 @@ def main() -> int:
     eff = {}
     for mode in ("host", "preserve", "stage"):
         try:
-            thr_n = scaling["local[4]"][mode]["mb_per_sec"]
-            thr_4n = scaling["local[16]"][mode]["mb_per_sec"]
+            thr_n = scaling[f"local[{scale_n}]"][mode]["mb_per_sec"]
+            thr_4n = scaling[f"local[{4 * scale_n}]"][mode]["mb_per_sec"]
             eff[mode] = {
                 "throughput_mb_s_N": thr_n,
                 "throughput_mb_s_4N": thr_4n,
@@ -247,8 +294,8 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "encode": scaling["local[16]"],
-        "scaling": {"N": 4, **eff},
+        "encode": scaling[f"local[{4 * scale_n}]"],
+        "scaling": {"N": scale_n, **eff},
     }
     try:
         _write_bench_md(result)
@@ -261,19 +308,24 @@ def main() -> int:
 def _write_bench_md(r: dict) -> None:
     s = r["scaling"]
     e = r["encode"]
+    n = s.get("N", 4)
     md = [
         "# BENCH — measured numbers (deterministic synthetic pages table, seed=42)",
         "",
         f"sf dir: `{SF_DIR}` (sf={r['sf']}); encode input docs: {e['docs']}, "
         f"input bytes: {e['input_bytes']}",
         "",
-        "## Encode throughput at two parallelism levels (N=4 vs 4N=16)",
+        f"## Encode throughput at two parallelism levels (N={n} vs 4N={4 * n})",
         "",
         "Two layouts: **host** = salt-partitioned + sorted (one shuffle;"
         " ratio-optimal, resume-stable); **preserve** = zero-shuffle"
-        " mapInPandas on input splits (codec engine proper).",
+        " mapInArrow on input splits (codec engine proper). Input: one"
+        " shared uncompressed-parquet table, 4 MB splits, identical at"
+        " both levels; per level = best of 3 alternated subprocess"
+        " rounds × best-of-3 timed passes after 3 warm-ups (noise on"
+        " this VM is strictly additive — see Timing discipline).",
         "",
-        "| layout | MB/s @ local[4] | MB/s @ local[16] | efficiency | ratio |",
+        f"| layout | MB/s @ local[{n}] | MB/s @ local[{4 * n}] | efficiency | ratio |",
         "|---|---|---|---|---|",
         f"| host | {s['host']['throughput_mb_s_N']} | {s['host']['throughput_mb_s_4N']} "
         f"| **{s['host']['efficiency_N_to_4N']}** | {e['host']['ratio']} |",

@@ -39,14 +39,25 @@ def _add_common(p):
     p.add_argument(
         "--format", default="go", choices=["go", "csv", "json", "jsonl"]
     )
+    p.add_argument(
+        "--string",
+        dest="stringify",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="treat raw binary leaves as string (reference main.go:42; "
+        "--no-string keeps bytes)",
+    )
 
 
 def _pipeline(spark, path, args):
     from .parity.filters import where as _where
     from .parity.limits import head_tail
+    from .parity.meta import stringify_binary
     from .parity.shape import reshape as _reshape
 
     df = spark.read.parquet(path)
+    if getattr(args, "stringify", True):
+        df = stringify_binary(df)
     df = head_tail(df, args.head, args.tail)
     if args.where:
         df = _where(df, args.where)  # filter on SOURCE schema
@@ -96,6 +107,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("schema")
     p.add_argument("files", nargs="+")
     p.add_argument("--view", default="logical", choices=["message", "physical", "logical"])
+    p.add_argument(
+        "--string",
+        dest="stringify",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+    )
 
     p = sub.add_parser("gen")
     p.add_argument("--out", required=True)
@@ -134,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
             from .parity.meta import schema_views
 
             for f in args.files:
-                print(schema_views(spark, f)[args.view])
+                print(schema_views(spark, f, stringify=args.stringify)[args.view])
             return 0
         if args.cmd == "gen":
             from .generator import write_pages

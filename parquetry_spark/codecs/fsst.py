@@ -53,6 +53,7 @@ TRAIN_SAMPLE_BYTES = 1 << 17  # 128 KiB training sample cap (255 symbols
 #                               saturate well below this; halves train
 #                               cost on small partitions)
 PASSES_PER_LENGTH = 3
+MAX_PROBES = 3  # symbols sharing a 2-byte prefix kept per length
 
 
 def _window_keys(buf: np.ndarray, L: int) -> np.ndarray:
@@ -79,34 +80,6 @@ def _window_keys(buf: np.ndarray, L: int) -> np.ndarray:
     k = pad.view(np.uint64).ravel()
     k.byteswap(inplace=True)
     return k
-
-
-def _all_window_keys(buf: np.ndarray) -> dict[int, np.ndarray]:
-    """Window keys for every symbol length, derived from one pass.
-
-    k8 is materialized once; keys for L<8 over positions 0..n-8 are a
-    single right-shift of k8 (one vector op instead of a (n,8) pad +
-    copy + byteswap per length); the ≤7 tail positions per length are
-    computed directly on a tiny slice.
-    """
-    n = len(buf)
-    out: dict[int, np.ndarray] = {}
-    if n >= 8:
-        out[8] = _window_keys(buf, 8)
-    for L in SYMBOL_LENGTHS:
-        if L == 8 or n < L:
-            continue
-        if 8 not in out:
-            out[L] = _window_keys(buf, L)
-            continue
-        head = out[8] >> np.uint64(8 * (8 - L))
-        n_tail = (n - L + 1) - len(head)
-        if n_tail > 0:
-            tail = _window_keys(buf[len(head) :], L)
-            out[L] = np.concatenate([head, tail])
-        else:
-            out[L] = head
-    return out
 
 
 def train_symbols(buf: np.ndarray) -> list[bytes]:
@@ -140,6 +113,19 @@ def train_symbols(buf: np.ndarray) -> list[bytes]:
     return out
 
 
+def _gather_keys(buf: np.ndarray, pos: np.ndarray, L: int) -> np.ndarray:
+    """u64 big-endian-value window keys at selected positions only
+    (m×L gather instead of an n-length key materialization)."""
+    m = len(pos)
+    if m == 0:
+        return np.zeros(0, dtype=np.uint64)
+    pad = np.zeros((m, 8), dtype=np.uint8)
+    pad[:, 8 - L :] = buf[pos[:, None] + np.arange(L)]
+    k = pad.view(np.uint64).ravel()
+    k.byteswap(inplace=True)
+    return k
+
+
 def _match(buf: np.ndarray, symbols: list[bytes]):
     """Vectorized longest-first phase-aligned matching.
 
@@ -151,25 +137,83 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
     any_chosen = False
     all_pos: list[np.ndarray] = []
     all_ids: list[np.ndarray] = []
-    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    by_len: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for L in SYMBOL_LENGTHS:
-        ids = np.array([i for i, s in enumerate(symbols) if len(s) == L], dtype=np.int64)
-        if len(ids):
-            keys = np.array(
-                [int.from_bytes(symbols[i], "big") for i in ids], dtype=np.uint64
-            )
-            order = np.argsort(keys)
-            by_len[L] = (keys[order], ids[order])
-    wkeys_all = _all_window_keys(buf)
+        idxs = [i for i, s in enumerate(symbols) if len(s) == L]
+        if not idxs:
+            continue
+        # direct 2-byte-prefix dispatch: start2[first two bytes] →
+        # first slot of that prefix's symbols, cnt2 → how many (≤
+        # MAX_PROBES, gain order keeps the best). Match = 1 gather +
+        # ≤3 probe gathers per window instead of a log-time
+        # searchsorted (searchsorted was half the whole encode
+        # kernel before this).
+        by_prefix: dict[int, list[int]] = {}
+        for i in idxs:
+            p2 = (symbols[i][0] << 8) | symbols[i][1]
+            b = by_prefix.setdefault(p2, [])
+            if len(b) < MAX_PROBES:
+                b.append(i)
+        start2 = np.zeros(65536, dtype=np.int32)
+        cnt2 = np.zeros(65536, dtype=np.uint8)
+        keys_l: list[int] = []
+        sids_l: list[int] = []
+        for p2, members in by_prefix.items():
+            start2[p2] = len(keys_l)
+            cnt2[p2] = len(members)
+            for i in members:
+                keys_l.append(int.from_bytes(symbols[i], "big"))
+                sids_l.append(i)
+        by_len[L] = (
+            np.array(keys_l, dtype=np.uint64),
+            np.array(sids_l, dtype=np.int64),
+            start2,
+            cnt2,
+        )
+    # ONE u16 2-byte-key stream for all lengths (2 B/input-byte);
+    # full u64 window keys are gathered ONLY at candidate positions.
+    # (Materializing u64 keys for every position × every length was
+    # ~32 B of memory traffic per input byte — the kernel is memory-
+    # bound, and that traffic is what kills multicore scaling.)
+    key2_full = (
+        (buf[: n - 1].astype(np.uint16) << 8) | buf[1:n] if n >= 2 else
+        np.zeros(0, dtype=np.uint16)
+    )
     for L in SYMBOL_LENGTHS:
         if L not in by_len or n < L:
             continue
-        skeys, sids = by_len[L]
-        wkeys = wkeys_all[L]
-        pos_in_table = np.searchsorted(skeys, wkeys)
-        pos_in_table[pos_in_table >= len(skeys)] = 0
-        is_match = skeys[pos_in_table] == wkeys
-        cand = np.flatnonzero(is_match)
+        skeys, sids, start2, cnt2 = by_len[L]
+        key2 = key2_full[: n - L + 1]
+        cnt = cnt2[key2]
+        pre = np.flatnonzero(cnt > 0)
+        if len(pre) == 0:
+            continue
+        wk = _gather_keys(buf, pre, L)
+        st = start2[key2[pre]].astype(np.int64)
+        c = cnt[pre]
+        top = len(skeys) - 1
+        # probe 0 runs full-width (the 1-gather common case); probes
+        # 1-2 only touch the shrinking unresolved remainder (prefixes
+        # with >1 symbol AND a first-probe miss — a tiny tail)
+        hit = skeys[np.minimum(st, top)] == wk
+        cand_parts = [pre[hit]]
+        tbl_parts = [st[hit]]
+        rem = np.flatnonzero(~hit & (c > 1))
+        for j in (1, 2):
+            if len(rem) == 0 or j >= MAX_PROBES:
+                break
+            stj = st[rem] + j
+            okj = skeys[np.minimum(stj, top)] == wk[rem]
+            cand_parts.append(pre[rem[okj]])
+            tbl_parts.append(stj[okj])
+            rem = rem[(~okj) & (c[rem] > j + 1)]
+        if len(cand_parts) == 1 or all(len(p) == 0 for p in cand_parts[1:]):
+            cand, cand_tbl = cand_parts[0], tbl_parts[0]  # already sorted
+        else:
+            cand = np.concatenate(cand_parts)
+            cand_tbl = np.concatenate(tbl_parts)
+            order = np.argsort(cand)  # downstream overlap filter
+            cand, cand_tbl = cand[order], cand_tbl[order]  # sorted starts
         if len(cand) == 0:
             continue
         # one occupancy filter per length against all earlier (longer)
@@ -177,7 +221,7 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
         if any_chosen:
             cum = np.cumsum(covered, dtype=np.int32)
             free = (cum[cand + L - 1] - cum[cand] + covered[cand].astype(np.int32)) == 0
-            cand = cand[free]
+            cand, cand_tbl = cand[free], cand_tbl[free]
         for _ in range(PASSES_PER_LENGTH):
             if len(cand) == 0:
                 break
@@ -188,17 +232,18 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
             sel = phases == best_r
             chosen = cand[sel]
             all_pos.append(chosen)
-            all_ids.append(sids[pos_in_table[chosen]])
+            all_ids.append(sids[cand_tbl[sel]])
             covered[_ranges(chosen, np.full(len(chosen), L, dtype=np.int64))] = True
             any_chosen = True
-            cand = cand[~sel]
+            cand, cand_tbl = cand[~sel], cand_tbl[~sel]
             if len(cand) == 0:
                 break
             # incremental filter vs the just-chosen batch only:
             # overlap ⇔ ∃ q ∈ (p-L, p+L) among chosen starts
             lo = np.searchsorted(chosen, cand - L, side="right")
             hi = np.searchsorted(chosen, cand + L, side="left")
-            cand = cand[hi <= lo]
+            keep = hi <= lo
+            cand, cand_tbl = cand[keep], cand_tbl[keep]
     if not all_pos:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), covered
     pos = np.concatenate(all_pos)

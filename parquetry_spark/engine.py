@@ -232,6 +232,12 @@ def _ipc_write(tbl: pa.Table) -> bytes:
 def _encode_opaque_block(part_id: int, name: str, arr: pa.Array) -> dict:
     payload = _ipc_write(pa.table({name: arr}))
     in_bytes = int(arr.nbytes)
+    try:  # record the Spark type so decode-from-blocks-alone works
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        ltype = f"arrow:{from_arrow_type(arr.type).simpleString()}"
+    except Exception:
+        ltype = "arrow"
     return {
         "part_id": part_id,
         "column": name,
@@ -241,7 +247,7 @@ def _encode_opaque_block(part_id: int, name: str, arr: pa.Array) -> dict:
         "payload": payload,
         "validity": b"",  # validity lives inside the IPC buffers
         "params": {"codec": "arrow_ipc"},
-        "ltype": "arrow",
+        "ltype": ltype,
         "in_bytes": in_bytes,
         "out_bytes": len(payload),
         "checksum": hashlib.sha256(payload).hexdigest(),
@@ -416,7 +422,7 @@ def encode_preserve(
 
 
 def _decode_block_values(row: dict, name: str) -> pa.Array:
-    if row["ltype"] == "arrow":
+    if row["ltype"].startswith("arrow"):
         return _decode_opaque_block(bytes(row["payload"]), name)
     codec = get_codec(row["codec"])
     nn_count = int(row["rows"]) - int(row["nulls"])

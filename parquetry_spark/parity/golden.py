@@ -1,0 +1,286 @@
+"""Byte-exact parity renderers against the reference's own goldens.
+
+The reference is a single-node CLI; its cat/meta/schema text surfaces
+are debugging views over ONE local file. This module reimplements
+those renderers over pyarrow (driver-side by design — small files by
+contract; the distributed engine lives in engine.py) so the
+reference's testdata/*.txtar goldens can be asserted byte-for-byte:
+
+  cat_go      → cat.txtar     (Go %+v row rendering, main.go:261-265)
+  cat_jsonl   → to_jsonl.txtar / cat.txtar *.json
+  meta_text   → meta.txtar    (printMeta, main.go:120-148)
+  logical_go  → schema.txtar  (logical view, main.go:150-171 +
+                                logicalTypeField main.go:400-473)
+
+pyarrow (not Spark) reads the rows here because temporal PRECISION is
+part of the reference's value identity (types.go:26-31): Spark holds
+timestamps at µs and has no ns time — a ns golden can only be
+rendered from the raw stored int64.
+
+Temporal layouts are Go's RFC3339 '9'-verb forms (types.go:26-31):
+fraction printed at stored precision with trailing zeros (and a bare
+'.') trimmed. Times/stamps with isAdjustedToUTC=true render with 'Z';
+Loc types would render in local time (not exercised by the goldens —
+the fixtures are all UTC).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_UNIT_DIGITS = {"ms": 3, "us": 6, "ns": 9}
+_UNIT_DIV = {"ms": 10**3, "us": 10**6, "ns": 10**9}
+
+
+def _frac(units_frac: int, digits: int) -> str:
+    f = f"{units_frac:0{digits}d}".rstrip("0")
+    return "." + f if f else ""
+
+
+def _fmt_stamp(units: int, unit: str) -> str:
+    """RFC3339 at stored precision, Go '.999…' trimming, UTC."""
+    div, digits = _UNIT_DIV[unit], _UNIT_DIGITS[unit]
+    sec, frac = divmod(units, div)
+    dt = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(seconds=sec)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + _frac(frac, digits) + "Z"
+
+
+def _fmt_time(units: int, unit: str) -> str:
+    """Time-of-day at stored precision (types.go:29-31 layouts)."""
+    div, digits = _UNIT_DIV[unit], _UNIT_DIGITS[unit]
+    sec, frac = divmod(units, div)
+    sec %= 86400  # Go renders epoch+offset's TIME OF DAY: wraps at 24h
+    h, rem = divmod(sec, 3600)
+    m, s = divmod(rem, 60)
+    return f"{h:02d}:{m:02d}:{s:02d}" + _frac(frac, digits) + "Z"
+
+
+def _fmt_date(days: int) -> str:
+    return (_dt.date(1970, 1, 1) + _dt.timedelta(days=int(days))).isoformat()
+
+
+def _arrow_unit(t: pa.DataType) -> str:
+    return t.unit  # 'ms' | 'us' | 'ns' (time32 is s/ms, time64 us/ns)
+
+
+def _render_value(v, t: pa.DataType, *, json_mode: bool):
+    """One cell → Go %+v fragment (json_mode=False) or a JSON-ready
+    python value (json_mode=True). Temporal ints arrive RAW (cast
+    upstream) so ns precision survives."""
+    if v is None:
+        return None if json_mode else "<nil>"
+    if pa.types.is_timestamp(t):
+        return _fmt_stamp(int(v), _arrow_unit(t))
+    if pa.types.is_time(t):
+        return _fmt_time(int(v), _arrow_unit(t))
+    if pa.types.is_date(t):
+        return _fmt_date(int(v))
+    if pa.types.is_map(t):
+        items = {k: _render_value(x, t.item_type, json_mode=json_mode) for k, x in v}
+        if json_mode:
+            return items
+        inner = " ".join(f"{k}:{items[k]}" for k in sorted(items))  # Go fmt sorts
+        return f"map[{inner}]"
+    if pa.types.is_struct(t):
+        parts = {}
+        for i in range(t.num_fields):
+            f = t.field(i)
+            parts[f.name] = _render_value(v.get(f.name), f.type, json_mode=json_mode)
+        if json_mode:
+            return parts
+        body = " ".join(f"{_title(k)}:{x}" for k, x in parts.items())
+        return "{" + body + "}"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vals = [_render_value(x, t.value_type, json_mode=json_mode) for x in v]
+        return vals if json_mode else "[" + " ".join(str(x) for x in vals) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, bool):
+        return v if json_mode else ("true" if v else "false")
+    return v if json_mode else str(v)
+
+
+def _title(name: str) -> str:
+    """Reference field export: Title-case the first rune
+    (main.go:402-409); the original name survives in tags."""
+    return name[:1].upper() + name[1:] if name else name
+
+
+def _raw_temporal_table(tbl: pa.Table) -> pa.Table:
+    """Cast top-level temporal columns to raw ints so python never
+    truncates ns. Nested temporals are handled via as_py() (µs floor —
+    acceptable: no golden exercises nested ns)."""
+    cols = []
+    for i, f in enumerate(tbl.schema):
+        c = tbl.column(i)
+        if pa.types.is_timestamp(f.type) or pa.types.is_time(f.type) or pa.types.is_date(f.type):
+            width = pa.int64() if f.type.bit_width == 64 else pa.int32()
+            cols.append(c.cast(width))
+        else:
+            cols.append(c)
+    return pa.table(dict(zip(tbl.schema.names, cols)))
+
+
+def _range(head: int | None, tail: int | None, rows: int) -> tuple[int, int]:
+    """head/tail → [start, stop) (reference eachRow, main.go:325-342)."""
+    start, stop = 0, rows
+    if head and tail:
+        raise ValueError("head and tail are mutually exclusive")
+    if head:
+        if head > 0:
+            stop = min(head, rows)
+        else:
+            start = min(-head, rows)
+    if tail:
+        if tail > 0:
+            start = max(rows - tail, 0)
+        else:
+            stop = max(rows + tail, 0)
+    return start, stop
+
+
+def _read_rows(path: str, head: int | None, tail: int | None):
+    tbl = pq.read_table(path)
+    start, stop = _range(head, tail, tbl.num_rows)
+    sliced = tbl.slice(start, max(stop - start, 0))
+    raw = _raw_temporal_table(sliced)
+    return sliced.schema, raw.to_pylist()
+
+
+def cat_go(path: str, head: int | None = None, tail: int | None = None) -> str:
+    """Go-text sink over one file (cat.txtar goldens)."""
+    schema, rows = _read_rows(path, head, tail)
+    out = []
+    for row in rows:
+        body = " ".join(
+            f"{_title(f.name)}:{_render_value(row[f.name], f.type, json_mode=False)}"
+            for f in schema
+        )
+        out.append("{" + body + "}")
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def cat_jsonl(path: str, head: int | None = None, tail: int | None = None) -> str:
+    """JSONL sink (to_jsonl.txtar / *.json goldens): original
+    (lowercase) field names, HTML escaping off."""
+    schema, rows = _read_rows(path, head, tail)
+    out = []
+    for row in rows:
+        obj = {f.name: _render_value(row[f.name], f.type, json_mode=True) for f in schema}
+        out.append(json.dumps(obj, ensure_ascii=False, separators=(",", ":")))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def _ibytes(n: int) -> str:
+    """go-humanize IBytes (IEC): '49 B', '1.5 KiB', …"""
+    if n < 1024:
+        return f"{n} B"
+    for suffix in ("KiB", "MiB", "GiB", "TiB", "PiB"):
+        n /= 1024.0
+        if n < 1024:
+            val = int(n * 10 + 0.5) / 10
+            s = f"{val:.1f}".rstrip("0").rstrip(".")
+            return f"{s} {suffix}"
+    return f"{n:.1f} EiB"
+
+
+def meta_text(path: str) -> str:
+    """printMeta parity (main.go:120-148; meta.txtar goldens)."""
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    lines = [
+        f"created by: {md.created_by}",
+        f"format: {md.format_version.split('.')[0]}",
+        f"columns: {len(f.schema_arrow.names)}",  # root children, not leaves
+        f"rows: {md.num_rows}",
+        f"row groups: {md.num_row_groups}",
+    ]
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        comp = sum(rg.column(j).total_compressed_size for j in range(rg.num_columns))
+        offset = rg.column(0).file_offset or rg.column(0).data_page_offset
+        if rg.total_byte_size != comp:
+            lines.append(
+                f"  {i}: {_ibytes(rg.total_byte_size)} ({_ibytes(comp)} in file)"
+                f" at offset {offset:x}"
+            )
+        else:
+            lines.append(f"  {i}: {_ibytes(rg.total_byte_size)} at offset {offset:x}")
+    for k, v in (md.metadata or {}).items():
+        k = k.decode() if isinstance(k, bytes) else k
+        v = v.decode() if isinstance(v, bytes) else v
+        lines.append(f"meta: {k} = {v}")
+    return "\n".join(lines) + "\n"
+
+
+# --------------------------------------------------------------- schema views
+
+
+def _leaf_logicals(f: pq.ParquetFile) -> list[str]:
+    """Parquet leaf logical-type strings in schema order (the UTC flag
+    for time/timestamp lives only at the parquet level)."""
+    sch = f.schema
+    return [str(sch.column(i).logical_type) for i in range(len(sch.names))]
+
+
+def _go_logical_type(t: pa.DataType, leaves: list[str], stringify: bool) -> str:
+    """Arrow field type → reference logical Go type name
+    (logicalTypeField, main.go:400-473)."""
+
+    def take() -> str:
+        return leaves.pop(0)
+
+    if pa.types.is_map(t):
+        take()  # key leaf
+        vleaf = leaves[:1]
+        k = "string"
+        v = _go_logical_type(t.item_type, leaves, stringify)
+        del vleaf
+        return f"map[{k}]{v}"
+    if pa.types.is_struct(t):
+        parts = []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            parts.append(f"{_title(f.name)} {_go_logical_type(f.type, leaves, stringify)}")
+        return "struct { " + "; ".join(parts) + " }"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "[]" + _go_logical_type(t.value_type, leaves, stringify)
+    leaf = take()
+    utc = "isAdjustedToUTC=true" in leaf.replace(" ", "")
+    zone = "UTC" if utc else "Loc"
+    if pa.types.is_timestamp(t):
+        return f"Stamp{ {'ms': 'Milli', 'us': 'Micro', 'ns': 'Nano'}[t.unit] }{zone}"
+    if pa.types.is_time(t):
+        return f"Time{ {'ms': 'Milli', 'us': 'Micro', 'ns': 'Nano'}[t.unit] }{zone}"
+    if pa.types.is_date(t):
+        return "Date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "string" if stringify else "[]byte"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        sign = "" if pa.types.is_signed_integer(t) else "u"
+        return f"{sign}int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    return str(t)
+
+
+def logical_go(path: str, stringify: bool = True) -> str:
+    """Logical schema view (schema.txtar *.log goldens): the derived
+    Go struct type, optionals as pointers (main.go:469-471)."""
+    f = pq.ParquetFile(path)
+    leaves = _leaf_logicals(f)
+    parts = []
+    for fld in f.schema_arrow:
+        t = _go_logical_type(fld.type, leaves, stringify)
+        if fld.nullable and not t.startswith("map["):
+            t = "*" + t
+        parts.append(f"{_title(fld.name)} {t}")
+    return "struct { " + "; ".join(parts) + " }\n"

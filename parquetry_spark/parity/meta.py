@@ -48,14 +48,36 @@ def parquet_meta(path: str) -> dict:
     }
 
 
-def schema_views(spark: SparkSession, path: str) -> dict[str, str]:
-    """message (parquet), physical (arrow), logical (Spark) views."""
+def stringify_binary(df: DataFrame) -> DataFrame:
+    """--string mode (reference main.go:42,466-467, default ON):
+    treat raw binary leaves as UTF-8 strings. With --no-string the
+    physical bytes pass through untouched."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out = []
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, T.BinaryType):
+            out.append(c.cast("string").alias(f.name))
+        else:
+            out.append(c)
+    return df.select(*out)
+
+
+def schema_views(spark: SparkSession, path: str, stringify: bool = True) -> dict[str, str]:
+    """message (parquet), physical (arrow), logical (Spark) views.
+
+    `stringify` mirrors the reference's --string flag: the LOGICAL
+    view shows binary leaves as string (physical stays raw)."""
     f = pq.ParquetFile(path)
-    logical = spark.read.parquet(path).schema.treeString()
+    logical_df = spark.read.parquet(path)
+    if stringify:
+        logical_df = stringify_binary(logical_df)
     return {
         "message": str(f.schema),
         "physical": str(f.schema_arrow),
-        "logical": logical,
+        "logical": logical_df.schema.treeString(),
     }
 
 

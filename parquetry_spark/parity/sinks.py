@@ -7,10 +7,11 @@ Reference behaviors reproduced (SURVEY.md §2.1 W1-W5):
     HTML escaping off (write_json.go:18-51).
   - JSONL: one object per line (main.go:274-277).
   - Temporal rendering: dates 'YYYY-MM-DD'; timestamps RFC3339 at
-    stored precision — our engine stores µs, so 6 fractional digits
-    trimmed of trailing zeros is NOT applied: the reference prints
-    at fixed stored precision (types.go:26-31,89-101), we do the
-    same with µs.
+    stored precision with Go's '.999999' semantics — trailing zeros
+    of the fraction (and a bare trailing '.') are TRIMMED, so whole
+    seconds render as '…:05Z', not '…:05.000000Z'
+    (types.go:26-31 layouts; '9' verbs trim — observable in the
+    reference goldens rendering whole-second values).
 
 Distributed forms (`write_*`) write with Spark writers — the
 scale path. String forms (`*_string`) collect to the driver for
@@ -31,13 +32,20 @@ def _is_complex(dt: T.DataType) -> bool:
     return isinstance(dt, (T.StructType, T.MapType, T.ArrayType))
 
 
+def _trim_frac(col):
+    """Go '.999999'-layout semantics: strip trailing fraction zeros,
+    then a bare trailing '.' (types.go:26-31)."""
+    s = F.regexp_replace(col, r"(\.\d*?)0+Z$", r"$1Z")
+    return F.regexp_replace(s, r"\.Z$", "Z")
+
+
 def render_temporals(df: DataFrame) -> DataFrame:
     """Timestamps/dates → reference-format strings (types.go:85-157)."""
     out = []
     for f in df.schema.fields:
         c = F.col(f"`{f.name}`")
-        if isinstance(f.dataType, T.TimestampType):
-            out.append(F.date_format(c, TS_FMT).alias(f.name))
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            out.append(_trim_frac(F.date_format(c, TS_FMT)).alias(f.name))
         elif isinstance(f.dataType, T.DateType):
             out.append(F.date_format(c, DATE_FMT).alias(f.name))
         else:

@@ -21,19 +21,25 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 
 def column_stats(df: DataFrame, cols: list[str] | None = None, sample: float = 0.05):
-    """Planning stats: one row per column, computed in one Spark job.
+    """Planning stats: one row per column, computed in two Spark jobs.
 
     Returns dict[col] -> {n, approx_distinct, avg_len, frac_run}
     frac_run = fraction of consecutive equal values in natural order
     (run-friendliness signal for RLE).
+
+    Run detection is a shuffle-free mapInArrow pass: neighbor
+    equality is counted per Arrow batch on existing partitions and
+    the tiny per-batch sums are aggregated. (A global
+    Window.orderBy(monotonically_increasing_id()) would collapse the
+    whole sample onto ONE partition — a driver-killer on a 5 % sample
+    of 100 TB; batch-boundary adjacencies are lost, which is noise
+    for a planning statistic.)
     """
     cols = cols or df.columns
     sdf = df.sample(fraction=min(1.0, sample), seed=7) if sample < 1.0 else df
-    w = Window.orderBy(F.monotonically_increasing_id())
     aggs = []
     for c in cols:
         field = dict(zip(df.columns, df.schema.fields))[c]
@@ -43,23 +49,45 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, sample: float = 0
             aggs.append(F.avg(F.length(c)).alias(f"{c}__len"))
         else:
             aggs.append(F.lit(8.0).alias(f"{c}__len"))
-    # run detection on the sample, per column, via lag in one pass
-    lagged = sdf.select(
-        *[
-            (F.col(c) == F.lag(c, 1).over(w)).cast("int").alias(f"{c}__eq")
-            for c in cols
-        ]
+
+    def run_kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows < 2:
+                continue
+            data = {}
+            for c in cols:
+                arr = batch.column(batch.schema.get_field_index(c))
+                eq = pc.equal(arr.slice(1), arr.slice(0, len(arr) - 1))
+                data[f"{c}__eq"] = pa.array(
+                    [pc.sum(eq.cast(pa.int64())).as_py() or 0], pa.int64()
+                )
+                data[f"{c}__pairs"] = pa.array([len(arr) - 1], pa.int64())
+            yield pa.record_batch(data)
+
+    run_schema = ", ".join(f"`{c}__eq` long, `{c}__pairs` long" for c in cols)
+    run_sums = (
+        sdf.select(*cols)
+        .mapInArrow(run_kernel, run_schema)
+        .agg(
+            *[F.sum(f"{c}__eq").alias(f"{c}__eq") for c in cols],
+            *[F.sum(f"{c}__pairs").alias(f"{c}__pairs") for c in cols],
+        )
+        .collect()[0]
+        .asDict()
     )
-    run_aggs = [F.avg(f"{c}__eq").alias(f"{c}__run") for c in cols]
     row = sdf.agg(*aggs).collect()[0].asDict()
-    runs = lagged.agg(*run_aggs).collect()[0].asDict()
     out = {}
     for c in cols:
+        pairs = run_sums.get(f"{c}__pairs") or 0
+        eq = run_sums.get(f"{c}__eq") or 0
         out[c] = {
             "n": row[f"{c}__n"],
             "approx_distinct": row[f"{c}__d"],
             "avg_len": float(row[f"{c}__len"] or 0.0),
-            "frac_run": float(runs[f"{c}__run"] or 0.0),
+            "frac_run": float(eq / pairs) if pairs else 0.0,
         }
     return out
 

@@ -1,0 +1,74 @@
+"""CLI surface tests — including the --string toggle (reference
+main.go:42,466-467: raw binary leaves render as string by default,
+--no-string keeps bytes)."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import parquetry_spark.session as session_mod
+from parquetry_spark.cli import main as cli_main
+
+
+class _NoStop:
+    """CLI owns its session lifecycle; tests share one — swallow stop()."""
+
+    def __init__(self, s):
+        self._s = s
+
+    def __getattr__(self, k):
+        return getattr(self._s, k)
+
+    def stop(self):
+        pass
+
+
+@pytest.fixture()
+def cli(spark, monkeypatch):
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+
+    def run(*argv: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli_main(list(argv))
+        assert rc == 0
+        return buf.getvalue()
+
+    return run
+
+
+@pytest.fixture()
+def binfile(tmp_path):
+    """Parquet with an UNANNOTATED binary leaf (what --string targets)."""
+    path = str(tmp_path / "bin.parquet")
+    pq.write_table(
+        pa.table({"A": pa.array([b"ab", b"cd"], pa.binary()), "n": [1, 2]}), path
+    )
+    return path
+
+
+def test_cat_string_default(cli, binfile):
+    out = cli("cat", binfile)
+    assert "{A:ab n:1}" in out and "{A:cd n:2}" in out
+
+
+def test_cat_no_string_keeps_bytes(cli, binfile):
+    out = cli("cat", "--no-string", binfile)
+    assert "{A:ab n:1}" not in out  # bytes repr, not decoded text
+
+
+def test_schema_logical_string_toggle(cli, binfile):
+    log = cli("schema", binfile, "--view", "logical")
+    assert "string" in log
+    raw = cli("schema", binfile, "--view", "logical", "--no-string")
+    assert "binary" in raw
+
+
+def test_cat_head_golden_shape(cli):
+    out = cli("cat", "/root/testdata/sf0.001/nation.parquet", "--head", "2")
+    assert out.count("\n") == 2

@@ -1,0 +1,96 @@
+"""Byte-exact parity against the reference's OWN golden files
+(testdata/*.txtar): cat/meta/schema-logical/jsonl over the
+reference's binary parquet fixtures. No Spark session needed — the
+renderers are pyarrow-driven (temporal precision is part of value
+identity and Spark cannot hold ns; see parity/golden.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from parquetry_spark.parity.golden import cat_go, cat_jsonl, logical_go, meta_text
+
+REF = "/root/reference/testdata"
+FIX = os.path.join(REF, "parquet")
+
+
+def txtar(name: str) -> dict[str, str]:
+    """Parse a txtar archive → {filename: contents}."""
+    out: dict[str, str] = {}
+    cur: str | None = None
+    buf: list[str] = []
+    with open(os.path.join(REF, name)) as fh:
+        for line in fh:
+            m = re.match(r"^-- (.+?) --\n?$", line)
+            if m:
+                if cur is not None:
+                    out[cur] = "".join(buf)
+                cur, buf = m.group(1), []
+            elif cur is not None:
+                buf.append(line)
+    if cur is not None:
+        out[cur] = "".join(buf)
+    return out
+
+
+CAT = txtar("cat.txtar")
+META = txtar("meta.txtar")
+SCHEMA = txtar("schema.txtar")
+
+
+@pytest.mark.parametrize(
+    "fixture,golden",
+    [
+        ("alphav", "alphav.want"),
+        ("alphaw", "alphaw.want"),
+        ("alphamapv", "alphamapv.want"),
+        ("alphamapw", "alphamapw.want"),
+        ("dates", "dates.want"),
+        ("times", "times.want"),
+        ("timestamps", "timestamps.want"),
+    ],
+)
+def test_cat_go_golden(fixture, golden):
+    got = cat_go(os.path.join(FIX, f"{fixture}.parquet"))
+    assert got == CAT[golden]
+
+
+@pytest.mark.parametrize(
+    "head,tail,golden",
+    [
+        (3, None, "alphav-head3.want"),
+        (-4, None, "alphav-tail3.want"),
+        (None, 3, "alphav-tail3.want"),
+        (None, -4, "alphav-head3.want"),
+    ],
+)
+def test_cat_head_tail_golden(head, tail, golden):
+    got = cat_go(os.path.join(FIX, "alphav.parquet"), head=head, tail=tail)
+    assert got == CAT[golden]
+
+
+def test_cat_jsonl_golden():
+    got = cat_jsonl(os.path.join(FIX, "alphaw.parquet"))
+    assert got == CAT["alphaw.json"]
+
+
+@pytest.mark.parametrize(
+    "fixture",
+    ["alphav", "alphaw", "alphamapv", "alphamapw", "dates", "times", "timestamps"],
+)
+def test_meta_golden(fixture):
+    got = meta_text(os.path.join(FIX, f"{fixture}.parquet"))
+    assert got == META[f"{fixture}.meta"]
+
+
+@pytest.mark.parametrize(
+    "fixture",
+    ["alphav", "alphaw", "alphamapv", "alphamapw", "dates", "times", "timestamps"],
+)
+def test_schema_logical_golden(fixture):
+    got = logical_go(os.path.join(FIX, f"{fixture}.parquet"))
+    assert got == SCHEMA[f"{fixture}.log"]

@@ -183,7 +183,11 @@ def test_jsonl(example):
 
 
 def test_temporal_rendering(example):
-    # cat.txtar:112-122 style: timestamps at stored precision, UTC
+    # Go '.999999' layout semantics (types.go:26-31): trailing fraction
+    # zeros trim; whole seconds lose the '.' entirely — the reference's
+    # own golden renders 1000 ms as '1970-01-01T00:00:01Z'
+    # (where.txtar:213 w.s field)
     s = jsonl_string(example.orderBy("i").select("w.s"))
-    assert "1970-01-01T00:00:01.000000Z" in s
-    assert "1970-01-01T00:00:00.777000Z" in s
+    assert "1970-01-01T00:00:01Z" in s
+    assert "1970-01-01T00:00:00.777Z" in s
+    assert ".000000Z" not in s and ".777000Z" not in s

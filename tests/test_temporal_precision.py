@@ -1,0 +1,90 @@
+"""Nanosecond timestamps and time-of-day through the codec kernels.
+
+Spark's own column types stop at µs, but the ENGINE must not
+(reference StampNano*/Time* types, /root/reference/types.go:9-23):
+the encode/decode kernels are plain functions over Arrow tables, so
+ns/time columns round-trip bit-exactly at the kernel level — raw
+stored units, never rescaled (types.go:26-31: precision is part of
+the value's identity). No Spark session required here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from parquetry_spark.engine import _decode_block_values, _make_encode_kernel
+
+NS_VALS = [
+    1734513799123456789,  # 2024-12-18T09:23:19.123456789Z (reference golden)
+    1341630705123456789,
+    1519266142123456789,
+    0,
+    -1,
+]
+TIME_NS = [12345678, 123456789, 0, 86399999999999]
+TIME_MS = [12345678, 37056789, 0]
+
+
+def _kernel_roundtrip(table: pa.Table) -> dict[str, pa.Array]:
+    cols = [c for c in table.column_names if c != "part_id"]
+    kernel = _make_encode_kernel(cols, sort_cols=[])
+    blocks = kernel(table)
+    out = {}
+    for row in blocks.to_pylist():
+        out[row["column"]] = _decode_block_values(row, row["column"])
+    return out
+
+
+def _tagged(data: dict[str, pa.Array]) -> pa.Table:
+    n = len(next(iter(data.values())))
+    return pa.table({"part_id": pa.array(np.zeros(n, np.int64)), **data})
+
+
+def test_timestamp_ns_bit_identity():
+    arr = pa.array(NS_VALS, pa.int64()).cast(pa.timestamp("ns", tz="UTC"))
+    dec = _kernel_roundtrip(_tagged({"ts": arr}))["ts"]
+    assert dec.type == pa.timestamp("ns", tz="UTC")
+    assert dec.cast(pa.int64()).to_pylist() == NS_VALS  # raw units exact
+
+
+def test_timestamp_ns_ntz_and_nulls():
+    vals = pa.array(NS_VALS + [None], pa.int64()).cast(pa.timestamp("ns"))
+    dec = _kernel_roundtrip(_tagged({"ts": vals}))["ts"]
+    assert dec.type == pa.timestamp("ns")
+    assert dec.cast(pa.int64()).to_pylist() == NS_VALS + [None]
+
+
+def test_time64_ns_and_time32_ms():
+    t_ns = pa.array(TIME_NS, pa.int64()).cast(pa.time64("ns"))
+    t_ms = pa.array(TIME_MS, pa.int32()).cast(pa.time32("ms"))
+    # separate tables: columns of one table must share row count
+    dec_ns = _kernel_roundtrip(_tagged({"t_ns": t_ns}))["t_ns"]
+    dec_ms = _kernel_roundtrip(_tagged({"t_ms": t_ms}))["t_ms"]
+    assert dec_ns.type == pa.time64("ns")
+    assert dec_ns.cast(pa.int64()).to_pylist() == TIME_NS
+    assert dec_ms.type == pa.time32("ms")
+    assert dec_ms.cast(pa.int32()).to_pylist() == TIME_MS
+
+
+def test_ms_timestamp_keeps_unit():
+    """ms-precision stamps stay ms (no silent upscale to µs)."""
+    ms = [1734513799123, 0, -1]
+    arr = pa.array(ms, pa.int64()).cast(pa.timestamp("ms", tz="UTC"))
+    dec = _kernel_roundtrip(_tagged({"ts": arr}))["ts"]
+    assert dec.type == pa.timestamp("ms", tz="UTC")
+    assert dec.cast(pa.int64()).to_pylist() == ms
+
+
+def test_reference_fixture_timestamps_roundtrip():
+    """The reference's own ns fixture through the kernels, bit-exact."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/reference/testdata/parquet/timestamps.parquet")
+    tagged = _tagged({n: tbl.column(n).combine_chunks() for n in tbl.column_names})
+    dec = _kernel_roundtrip(tagged)
+    for name in tbl.column_names:
+        orig = tbl.column(name).combine_chunks()
+        got = dec[name]
+        assert got.cast(pa.int64()).to_pylist() == orig.cast(pa.int64()).to_pylist()
+        assert got.type == orig.type
