@@ -1,0 +1,68 @@
+"""spark-submit entrypoint for the encode pipeline (north rule: "runs
+via spark-submit --py-files on multi-executor clusters").
+
+Usage (cluster):
+
+    zip -r /tmp/parquetry_spark.zip parquetry_spark
+    spark-submit --py-files /tmp/parquetry_spark.zip \\
+        scripts/submit_encode.py \\
+        --in  <parquet-or-iceberg-path> \\
+        --out <output-dir> [--parts 4096] [--stage encode]
+
+Unlike the CLI (which builds its own local session), this script uses
+the session spark-submit provides — master, executor counts and all
+cluster conf come from spark-submit arguments, so the SAME script runs
+at N and 4N executors for the scaling evidence. Prints one JSON line
+with the run summary (bytes, ratio, parts, skipped — resumable: rerun
+with the same --out to encode only uncommitted partitions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(prog="submit_encode")
+    ap.add_argument("--in", dest="inp", required=True, help="input table path")
+    ap.add_argument("--out", required=True, help="output dir (blocks + manifest)")
+    ap.add_argument("--parts", type=int, default=256)
+    ap.add_argument("--cols", default=None, help="comma-separated column subset")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--ts-col", default="warc_ts")
+    ap.add_argument("--stage", default="encode")
+    ap.add_argument("--verify", action="store_true", help="decode + bit-identity check")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # session comes from spark-submit: master/executors/conf are the
+    # cluster's, not ours — only analysis-level settings are pinned
+    spark = (
+        SparkSession.builder.appName("parquetry-encode")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    from parquetry_spark.engine import run_encode, verify_roundtrip
+
+    df = spark.read.parquet(args.inp)
+    cols = args.cols.split(",") if args.cols else None
+    url_col = args.url_col if args.url_col in df.columns else None
+    ts_col = args.ts_col if args.ts_col in df.columns else None
+    res = run_encode(
+        spark, df, args.out, cols, args.parts, url_col, ts_col, stage=args.stage
+    )
+    if args.verify:
+        blocks = spark.read.parquet(res["blocks_path"])
+        key = url_col or df.columns[0]
+        mism = verify_roundtrip(spark, df, blocks, key_col=key)
+        res["mismatches"] = mism
+        res["bit_identical"] = all(v == 0 for v in mism.values())
+    print(json.dumps(res, default=str))
+    return 0 if res.get("bit_identical", True) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
