@@ -170,7 +170,7 @@ def encode_bench(cores: int, rows: int) -> dict:
     # map — production runs record it in the manifest and reuse it
     from parquetry_spark.partitioning import salt_counts, sample_host_shares
 
-    salts = salt_counts(sample_host_shares(pages, "url", 0.05), N_PARTS)
+    salts = salt_counts(sample_host_shares(pages, "url", 0.05, n_parts=N_PARTS), N_PARTS)
 
     # "stage" mode: the pure encode stage — same kernel, same shuffle-
     # free layout, but emitting only (rows, kernel_sec) per block set,

@@ -68,9 +68,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def exact_dedup_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """The deduplicated corpus itself (first occurrence wins)."""
+    """The deduplicated corpus itself (first occurrence wins).
+
+    No broadcast hint: the keep-set has one row per DISTINCT document —
+    unbounded at crawl scale (billions of ids broadcast to every
+    executor → OOM). A shuffled left-semi join on the id scales; AQE
+    still broadcasts at runtime when the set is genuinely small.
+    """
     keep = exact_dedup(df, text_col, id_col).select(id_col)
-    return df.join(F.broadcast(keep), id_col, "left_semi")
+    return df.join(keep, id_col, "left_semi")
 
 
 # --------------------------------------------------------------- minhash

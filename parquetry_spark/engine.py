@@ -344,7 +344,7 @@ def encode_table(
     columns = columns or [c for c in df.columns if c != "part_id"]
     if url_col and url_col in df.columns:
         if salts is None:
-            shares = sample_host_shares(df, url_col, skew_sample)
+            shares = sample_host_shares(df, url_col, skew_sample, n_parts=n_parts)
             salts = salt_counts(shares, n_parts)
         keyed = assign_part_id(df, n_parts, url_col, salts)
         sort_cols = [url_col] + ([ts_col] if ts_col and ts_col in df.columns else [])
@@ -546,7 +546,7 @@ def run_encode(
             with open(salts_path) as fh:
                 salts = _json.load(fh)
         else:
-            salts = salt_counts(sample_host_shares(df, url_col), n_parts)
+            salts = salt_counts(sample_host_shares(df, url_col, n_parts=n_parts), n_parts)
             os.makedirs(out_dir, exist_ok=True)
             with open(salts_path, "w") as fh:
                 _json.dump(salts, fh)

