@@ -1,0 +1,156 @@
+"""Iceberg substrate tests: the real-runtime probe (evidence for this
+sandbox) and the spec-shaped snapshot log (atomic commit, time
+travel, snapshot resume, orphan invisibility).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark.engine import encode_table, verify_roundtrip
+from parquetry_spark.iceberg import (
+    ICEBERG_CATALOG_IMPL,
+    CommitConflict,
+    SnapshotCatalog,
+    probe_iceberg,
+    run_encode_snapshots,
+)
+
+
+def test_probe_records_attempt(spark):
+    """The probe must attempt the REAL catalog config and come back
+    with a structured verdict. In this sandbox the runtime jar is
+    absent (no network, no ivy cache) — the probe documents that; on
+    a cluster with the jar it flips to available and the same config
+    drives the real catalog."""
+    rec = probe_iceberg(spark)
+    conf = rec["attempted_conf"]
+    assert conf["spark.sql.catalog.pq"] == ICEBERG_CATALOG_IMPL
+    assert conf["spark.sql.catalog.pq.type"] == "hadoop"
+    if not rec["available"]:
+        assert rec["error"]  # ClassNotFound evidence, cited in BASELINE.md
+    else:  # pragma: no cover - only on a real cluster
+        spark.sql("DROP NAMESPACE IF EXISTS pq.probe")
+
+
+@pytest.mark.skipif(
+    True, reason="iceberg-spark-runtime jar unavailable in this sandbox "
+    "(probe_iceberg records the ClassNotFound evidence); on a real "
+    "cluster remove this skip and the same test body runs against "
+    "the real catalog via iceberg_spark_conf()",
+)
+def test_real_iceberg_catalog_roundtrip(spark):  # pragma: no cover
+    spark.sql("CREATE TABLE pq.db.t (id BIGINT) USING iceberg")
+    spark.sql("INSERT INTO pq.db.t VALUES (1)")
+    assert spark.sql("SELECT * FROM pq.db.t").count() == 1
+
+
+def test_snapshot_commit_and_time_travel(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+    p1 = os.path.join(cat.data_dir("t"), "run-a")
+    df1.write.parquet(p1)
+    s1 = cat.commit_append("t", [{"path": p1, "part_ids": [0, 1]}])
+    df2 = spark.range(10, 25).withColumnRenamed("id", "v")
+    p2 = os.path.join(cat.data_dir("t"), "run-b")
+    df2.write.parquet(p2)
+    s2 = cat.commit_append("t", [{"path": p2, "part_ids": [2]}])
+
+    # current snapshot sees both file sets; snapshot 1 only the first
+    assert cat.read(spark, "t").count() == 25
+    assert cat.read(spark, "t", snapshot_id=s1["snapshot-id"]).count() == 10
+    # lineage: s2's parent is s1
+    assert s2["parent-snapshot-id"] == s1["snapshot-id"]
+    assert [h["snapshot-id"] for h in cat.history("t")] == [
+        s1["snapshot-id"],
+        s2["snapshot-id"],
+    ]
+    assert cat.committed_part_ids("t") == {0, 1, 2}
+
+
+def test_orphan_data_invisible_until_committed(spark, tmp_path):
+    """A writer that dies after writing data but before the metadata
+    swap leaves a directory NO reader resolves — the whole point of
+    snapshot isolation vs. directory listing."""
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    good = os.path.join(cat.data_dir("t"), "run-ok")
+    spark.range(5).write.parquet(good)
+    cat.commit_append("t", [{"path": good}])
+    orphan = os.path.join(cat.data_dir("t"), "run-crashed")
+    spark.range(100).write.parquet(orphan)  # no commit
+    assert cat.read(spark, "t").count() == 5
+    removed = cat.expire_orphans("t")
+    assert removed == [orphan]
+    assert not os.path.exists(orphan)
+    assert cat.read(spark, "t").count() == 5
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    p = os.path.join(cat.data_dir("t"), "run-a")
+    spark.range(3).write.parquet(p)
+    v0 = cat.current_version("t")
+    cat.commit_append("t", [{"path": p}], expected_version=v0)
+    with pytest.raises(CommitConflict):
+        # a second writer that read the table BEFORE the first commit
+        cat.commit_append("t", [{"path": p}], expected_version=v0)
+
+
+def test_metadata_files_immutable_versioned(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wh"))
+    p = os.path.join(cat.data_dir("t"), "run-a")
+    spark.range(3).write.parquet(p)
+    cat.commit_append("t", [{"path": p}])
+    meta_dir = tmp_path / "wh" / "t" / "metadata"
+    files = sorted(os.listdir(meta_dir))
+    assert "v1.metadata.json" in files and "version-hint.text" in files
+    meta = json.load(open(meta_dir / "v1.metadata.json"))
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == meta["snapshots"][-1]["snapshot-id"]
+
+
+def test_snapshot_resume_bit_identity(spark, pages, tmp_path):
+    """encode → interrupt (half the parts committed as snapshot 1) →
+    resume commits ONLY the rest → decode from the CURRENT snapshot is
+    bit-identical; snapshot 1 still readable (time travel)."""
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(wh)
+    all_blocks = encode_table(pages, n_parts=8).cache()
+    half = all_blocks.filter(F.col("part_id") < 4)
+    p1 = os.path.join(cat.data_dir("blocks"), "run-half")
+    half.write.parquet(p1)
+    parts1 = [r["part_id"] for r in half.select("part_id").distinct().collect()]
+    cat.commit_append("blocks", [{"path": p1, "part_ids": parts1}])
+
+    res = run_encode_snapshots(spark, pages, wh, n_parts=8)
+    assert res["skipped_parts"] == len(parts1)
+    assert set(res["new_parts"]).isdisjoint(parts1)
+    assert set(res["new_parts"]) | set(parts1) == set(range(8))
+
+    final = cat.read(spark, "blocks")
+    mismatches = verify_roundtrip(spark, pages, final, key_col="url")
+    assert all(v == 0 for v in mismatches.values())
+    # the pre-resume snapshot is still exactly the half set
+    first = cat.history("blocks")[0]
+    old = cat.read(spark, "blocks", snapshot_id=first["snapshot-id"])
+    assert {r["part_id"] for r in old.select("part_id").distinct().collect()} == set(
+        parts1
+    )
+    all_blocks.unpersist()
+
+
+def test_snapshot_resume_noop_when_complete(spark, pages, tmp_path):
+    """A rerun over a fully-committed table encodes nothing and adds
+    no snapshot."""
+    wh = str(tmp_path / "wh")
+    r1 = run_encode_snapshots(spark, pages, wh, n_parts=8)
+    assert len(r1["new_parts"]) == 8
+    n_snaps = len(SnapshotCatalog(wh).history("blocks"))
+    r2 = run_encode_snapshots(spark, pages, wh, n_parts=8)
+    assert r2["new_parts"] == [] and r2["skipped_parts"] == 8
+    assert len(SnapshotCatalog(wh).history("blocks")) == n_snaps
+    assert r2["snapshot_id"] == r1["snapshot_id"]
