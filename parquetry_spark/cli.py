@@ -47,6 +47,13 @@ def _add_common(p):
         help="treat raw binary leaves as string (reference main.go:42; "
         "--no-string keeps bytes)",
     )
+    p.add_argument(
+        "--out",
+        default=None,
+        help="write the result as a DIRECTORY with Spark's distributed "
+        "writers (csv/jsonl formats) instead of collecting to stdout — "
+        "the scale path for big outputs",
+    )
 
 
 def _pipeline(spark, path, args):
@@ -55,7 +62,9 @@ def _pipeline(spark, path, args):
     from .parity.meta import stringify_binary
     from .parity.shape import reshape as _reshape
 
-    df = spark.read.parquet(path)
+    from .sources import scan_parquet
+
+    df = scan_parquet(spark, path)
     if getattr(args, "stringify", True):
         df = stringify_binary(df)
     df = head_tail(df, args.head, args.tail)
@@ -64,6 +73,12 @@ def _pipeline(spark, path, args):
     if args.shape:
         df = _reshape(df, args.shape)
     return df
+
+
+def _stem(path: str) -> str:
+    import os as _os
+
+    return _os.path.splitext(_os.path.basename(path))[0]
 
 
 def _emit(df, fmt):
@@ -208,8 +223,30 @@ def main(argv: list[str] | None = None) -> int:
             args.where = args.expr
         if args.cmd == "reshape":
             args.shape = args.shapearg
+        out_dir = getattr(args, "out", None)
         for f in args.files:  # eachFile loop (main.go:284-291)
-            _emit(_pipeline(spark, f, args), args.format)
+            df = _pipeline(spark, f, args)
+            if out_dir:
+                # distributed sink: no driver collect — one output dir
+                # per input file (suffix only when looping >1 file)
+                from .parity import sinks
+
+                dest = (
+                    out_dir
+                    if len(args.files) == 1
+                    else f"{out_dir}/{_stem(f)}"
+                )
+                if args.format == "csv":
+                    sinks.write_csv(df, dest)
+                elif args.format in ("jsonl", "json"):
+                    sinks.write_jsonl(df, dest)
+                else:
+                    raise SystemExit(
+                        "--out supports csv/jsonl formats (go text is a "
+                        "stdout debug sink)"
+                    )
+            else:
+                _emit(df, args.format)
         return 0
     finally:
         spark.stop()

@@ -437,6 +437,24 @@ def _decode_block_values(row: dict, name: str) -> pa.Array:
     return _denormalize_arrow(np.asarray(vals), notnull, row["ltype"])
 
 
+def _lower_for_spark(arr: pa.Array) -> pa.Array:
+    """Kernel-exact temporal types Spark can't hold → the engine-wide
+    lowered convention (sources.py): time32/64 and ns timestamps become
+    raw int64 units; s/ms timestamps widen losslessly to µs. The
+    DataFrame side carries the unit in StructField metadata."""
+    t = arr.type
+    if pa.types.is_time32(t):
+        return arr.view(pa.int32()).cast(pa.int64())
+    if pa.types.is_time64(t):
+        return arr.view(pa.int64())
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            return arr.view(pa.int64())
+        if t.unit != "us":
+            return arr.cast(pa.timestamp("us", tz=t.tz))
+    return arr
+
+
 def _make_decode_kernel(columns: list[str]):
     def decode_kernel(table: pa.Table) -> pa.Table:
         by_col: dict[str, dict] = {}
@@ -450,7 +468,7 @@ def _make_decode_kernel(columns: list[str]):
             by_col[c] = r
         arrays: dict[str, pa.Array] = {}
         for c in columns:
-            arrays[c] = _decode_block_values(by_col[c], c)
+            arrays[c] = _lower_for_spark(_decode_block_values(by_col[c], c))
         n = len(next(iter(arrays.values()))) if arrays else 0
         pid = table["part_id"][0].as_py() if table.num_rows else -1
         data = {"part_id": pa.array(np.full(n, pid, dtype=np.int64))}
@@ -471,25 +489,40 @@ def decode_blocks(blocks: DataFrame, columns: list[str], ltypes: dict[str, str])
     (the kernel is deterministic, so any copy is valid).
     """
     _SPARK_T = {
-        "str": "string",
-        "bytes": "binary",
-        "timestamp_us": "timestamp",
-        "timestamp_ntz_us": "timestamp_ntz",
-        "date": "date",
-        "int64": "bigint",
-        "int32": "int",
-        "float64": "double",
-        "float32": "float",
-        "bool": "boolean",
+        "str": T.StringType(),
+        "bytes": T.BinaryType(),
+        "timestamp_us": T.TimestampType(),
+        "timestamp_ntz_us": T.TimestampNTZType(),
+        "date": T.DateType(),
+        "int64": T.LongType(),
+        "int32": T.IntegerType(),
+        "float64": T.DoubleType(),
+        "float32": T.FloatType(),
+        "bool": T.BooleanType(),
     }
 
-    def spark_t(lt: str) -> str:
+    def spark_field(c: str) -> T.StructField:
+        lt = ltypes[c]
         if lt.startswith("arrow:"):
-            return lt.split(":", 1)[1]
-        return _SPARK_T[lt]
+            return T.StructField(c, T._parse_datatype_string(lt.split(":", 1)[1]))
+        if lt in _SPARK_T:
+            return T.StructField(c, _SPARK_T[lt])
+        # kernel temporal units Spark can't hold natively, lowered to
+        # the engine-wide raw-int64 + ltype-metadata convention
+        # (sources.py; SURVEY.md §1.3): time_* → units-since-midnight,
+        # *_ns stamps → ns-since-epoch; s/ms stamps stay µs timestamps
+        # (lossless widen) with the stored unit in metadata.
+        if lt.startswith("time_") or lt in ("timestamp_ns", "timestamp_ntz_ns"):
+            return T.StructField(c, T.LongType(), True, {"ltype": lt})
+        if lt in ("timestamp_s", "timestamp_ms"):
+            return T.StructField(c, T.TimestampType(), True, {"ltype": lt})
+        if lt in ("timestamp_ntz_s", "timestamp_ntz_ms"):
+            return T.StructField(c, T.TimestampNTZType(), True, {"ltype": lt})
+        raise KeyError(f"no Spark decode mapping for ltype {lt!r}")
 
-    fields = ", ".join(f"`{c}` {spark_t(ltypes[c])}" for c in columns)
-    schema = f"part_id long, {fields}"
+    schema = T.StructType(
+        [T.StructField("part_id", T.LongType())] + [spark_field(c) for c in columns]
+    )
     pruned = blocks.filter(F.col("column").isin(columns)).dropDuplicates(
         ["part_id", "column"]
     )

@@ -203,20 +203,65 @@ def _unquote(s: str) -> str:
 
 
 _GO_DUR = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
-_DUR_US = {"ns": 1e-3, "us": 1.0, "µs": 1.0, "ms": 1e3, "s": 1e6, "m": 6e7, "h": 3.6e9}
+_DUR_NS = {
+    "ns": 1,
+    "us": 1000,
+    "µs": 1000,
+    "ms": 10**6,
+    "s": 10**9,
+    "m": 60 * 10**9,
+    "h": 3600 * 10**9,
+}
 
 
-def parse_go_duration_us(s: str) -> int:
-    """Go duration string ('1h30m', '250ms') → microseconds."""
-    pos, total = 0, 0.0
+def parse_go_duration_ns(s: str) -> int:
+    """Go duration string ('1h30m', '3h25m45.6789s') → nanoseconds,
+    EXACT integer arithmetic (a float accumulator loses ns bits past
+    2^53 — ~104 days)."""
+    pos, total = 0, 0
     for m in _GO_DUR.finditer(s):
         if m.start() != pos:
             raise FilterError(f"bad duration {s!r}")
-        total += float(m.group(1)) * _DUR_US[m.group(2)]
+        num, unit = m.group(1), _DUR_NS[m.group(2)]
+        if "." in num:
+            whole, frac = num.split(".")
+            total += int(whole or 0) * unit + (int(frac) * unit) // 10 ** len(frac)
+        else:
+            total += int(num) * unit
         pos = m.end()
     if pos != len(s) or pos == 0:
         raise FilterError(f"bad duration {s!r}")
-    return int(total)
+    return total
+
+
+def parse_go_duration_us(s: str) -> int:
+    """Go duration string → microseconds (truncating, Go d/unit)."""
+    return parse_go_duration_ns(s) // 1000
+
+
+_RFC3339 = re.compile(
+    r"(\d{4})-(\d\d)-(\d\d)[Tt ](\d\d):(\d\d):(\d\d)"
+    r"(?:\.(\d+))?(Z|z|[+-]\d\d:\d\d)?$"
+)
+
+
+def parse_rfc3339_ns(s: str) -> int:
+    """RFC3339 string → ns since epoch, exact to the 9th fractional
+    digit (datetime/float paths truncate at µs / 2^53)."""
+    m = _RFC3339.match(s)
+    if not m:
+        raise FilterError(f"bad timestamp {s!r}")
+    import calendar
+
+    y, mo, d, h, mi, sec = (int(m.group(i)) for i in range(1, 7))
+    frac = m.group(7) or ""
+    frac_ns = int(frac.ljust(9, "0")[:9]) if frac else 0
+    off = m.group(8) or "Z"
+    epoch_s = calendar.timegm((y, mo, d, h, mi, sec, 0, 0, 0))
+    if off not in ("Z", "z"):
+        sign = 1 if off[0] == "+" else -1
+        epoch_s -= sign * (int(off[1:3]) * 3600 + int(off[4:6]) * 60)
+    return epoch_s * 10**9 + frac_ns
 
 
 # --------------------------------------------------------------- compiler
@@ -227,6 +272,27 @@ class _Compiler:
 
     def __init__(self, schema: T.StructType):
         self.schema = schema
+
+    def field_of(self, node) -> T.StructField | None:
+        if node[0] == "name":
+            for f in self.schema.fields:
+                if f.name.lower() == node[1].lower():
+                    return f
+            raise FilterError(f"unknown name {node[1]}")  # where.txtar:7-9
+        return None
+
+    def ltype_of(self, node) -> str | None:
+        """Raw-units temporal tag (time_* / timestamp_*ns) carried as
+        StructField metadata by sources.scan_parquet's lowered leaves
+        and engine.decode_blocks' non-µs outputs."""
+        f = self.field_of(node) if node[0] == "name" else None
+        if f is not None and f.metadata:
+            lt = f.metadata.get("ltype")
+            if isinstance(lt, str) and (
+                lt.startswith("time_") or lt.startswith("timestamp_")
+            ):
+                return lt
+        return None
 
     def type_of(self, node) -> T.DataType | None:
         if node[0] == "name":
@@ -330,10 +396,21 @@ class _Compiler:
         lt = self.type_of(ln) if ln[0] in ("name", "member") else None
         rt = self.type_of(rn) if rn[0] in ("name", "member") else None
         left, right = self.compile(ln), self.compile(rn)
+        # raw-units temporal columns (lowered time-of-day / ns stamps):
+        # vs int = raw units in the column's unit; vs string = Go
+        # duration (time) / RFC3339 (stamp); vs duration() = truncating
+        # unit division — reference timeCompare, types.go:67-83
+        llt, rlt = self.ltype_of(ln), self.ltype_of(rn)
+        if llt:
+            left, right = self._coerce_raw(llt, left, rn, right)
+        if rlt:
+            right, left = self._coerce_raw(rlt, right, ln, left)
         # temporal overloads (filter.go:47-82): column vs int = raw units
         # (µs since epoch / days since epoch); vs string = parsed literal
-        left, right = self._coerce(lt, left, rn, right)
-        right, left = self._coerce(rt, right, ln, left)
+        if not llt:
+            left, right = self._coerce(lt, left, rn, right)
+        if not rlt:
+            right, left = self._coerce(rt, right, ln, left)
         return {
             "==": left == right,
             "!=": left != right,
@@ -342,6 +419,46 @@ class _Compiler:
             ">": left > right,
             ">=": left >= right,
         }[op]
+
+    _UNIT_NS = {
+        "time_s": 10**9,
+        "time_ms": 10**6,
+        "time_us": 1000,
+        "time_ns": 1,
+        "timestamp_s": 10**9,
+        "timestamp_ms": 10**6,
+        "timestamp_us": 1000,
+        "timestamp_ns": 1,
+    }
+
+    def _coerce_raw(self, ltype: str, col_c, other_node, other_c):
+        """Raw-unit temporal compare at the COLUMN's stored unit
+        (reference time/stampCompare, types.go:45-83): vs int = raw
+        units; vs string = parsed literal truncated (integer-divided)
+        to the unit; vs duration() = Go d/unit. Returns (col, other)."""
+        base = ltype.removesuffix("_ntz")
+        unit = self._UNIT_NS[base]
+        if base.startswith("timestamp_") and base != "timestamp_ns":
+            # Spark holds these as µs timestamps; compare in raw units
+            col_units = F.unix_micros(col_c.cast("timestamp"))
+            if unit > 1000:
+                col_units = (
+                    col_units - F.pmod(col_units, F.lit(unit // 1000))
+                ) / F.lit(unit // 1000)
+                col_units = col_units.cast("long")
+            col_c = col_units
+        if other_node[0] == "num":
+            return col_c, other_c  # already raw units (where.txtar:85-91)
+        if base.startswith("time_"):
+            if other_node[0] == "lit":
+                return col_c, F.lit(parse_go_duration_ns(other_node[1]) // unit)
+            if other_node[0] == "call" and other_node[1] == "duration":
+                ns = parse_go_duration_ns(self.compile_lit_value(other_node[2][0]))
+                return col_c, F.lit(ns // unit)
+        else:  # epoch stamps at stored precision
+            if other_node[0] == "lit":
+                return col_c, F.lit(parse_rfc3339_ns(other_node[1]) // unit)
+        return col_c, other_c
 
     def _coerce(self, col_t, col_c, other_node, other_c):
         if isinstance(col_t, T.TimestampNTZType):

@@ -39,12 +39,65 @@ def _trim_frac(col):
     return F.regexp_replace(s, r"\.Z$", "Z")
 
 
+_LTYPE_DIV = {
+    "time_s": (1, 0),
+    "time_ms": (10**3, 3),
+    "time_us": (10**6, 6),
+    "time_ns": (10**9, 9),
+    "timestamp_ns": (10**9, 9),
+    "timestamp_ntz_ns": (10**9, 9),
+}
+
+
+def _frac_str(frac_units, digits: int):
+    """Fraction → Go '.999…' string ('' when zero) — pure codegen."""
+    if digits == 0:
+        return F.lit("")
+    padded = F.lpad(frac_units.cast("string"), digits, "0")
+    trimmed = F.regexp_replace(padded, "0+$", "")
+    return F.when(trimmed != "", F.concat(F.lit("."), trimmed)).otherwise("")
+
+
+def _render_raw_temporal(name: str, ltype: str):
+    """Lowered raw-int64 temporal (sources.scan_parquet metadata) →
+    the reference's text form, exact to ns. All INTEGER Column math:
+    `/` on longs goes through double and loses ns bits past 2^53
+    (an ns epoch stamp is ~1.5e18), so seconds come from SQL `div`."""
+    div, digits = _LTYPE_DIV[ltype]
+    c = F.col(f"`{name}`")
+    frac = F.pmod(c, F.lit(div))
+    secs = F.expr(f"(`{name}` - pmod(`{name}`, {div})) div {div}")
+    fs = _frac_str(frac, digits)
+    if ltype.startswith("time_"):
+        day = F.pmod(secs, F.lit(86400))  # Go renders TIME OF DAY: wraps
+        return F.concat(
+            F.format_string(
+                "%02d:%02d:%02d",
+                F.floor(day / 3600).cast("long"),
+                F.pmod(F.floor(day / 60).cast("long"), F.lit(60)),
+                F.pmod(day, F.lit(60)),
+            ),
+            fs,
+            F.lit("Z"),
+        )
+    return F.concat(
+        F.date_format(F.timestamp_seconds(secs), "yyyy-MM-dd'T'HH:mm:ss"),
+        fs,
+        F.lit("Z"),
+    )
+
+
 def render_temporals(df: DataFrame) -> DataFrame:
-    """Timestamps/dates → reference-format strings (types.go:85-157)."""
+    """Timestamps/dates → reference-format strings (types.go:85-157).
+    Raw-int64 lowered temporals (ltype field metadata) render at their
+    stored precision — time-of-day hh:mm:ss.f*Z, ns stamps RFC3339."""
     out = []
     for f in df.schema.fields:
         c = F.col(f"`{f.name}`")
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+        lt = (f.metadata or {}).get("ltype")
+        if lt in _LTYPE_DIV:
+            out.append(_render_raw_temporal(f.name, lt).alias(f.name))
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
             out.append(_trim_frac(F.date_format(c, TS_FMT)).alias(f.name))
         elif isinstance(f.dataType, T.DateType):
             out.append(F.date_format(c, DATE_FMT).alias(f.name))

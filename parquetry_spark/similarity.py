@@ -4,17 +4,30 @@
   One narrow projection (JVM zip_with/aggregate) + one global top-k
   (Spark's TakeOrderedAndProject — no full sort, no full shuffle).
 - ivf_topk: the scale path — k-means-lite (hash-seeded centroid
-  sample, one refinement pass via Spark agg), probe the nearest
-  n_probe centroids, exact cosine only within probed cells.
-  At 10^12 vectors the probe prunes ~(1 - n_probe/n_cells) of work;
-  centroids broadcast (tiny), so the only shuffle is the cell agg
-  during build.
+  sample, one refinement pass), probe the nearest n_probe centroids,
+  exact cosine only within probed cells. At 10^12 vectors the probe
+  prunes ~(1 - n_probe/n_cells) of work.
+
+Scale design (r3 rework — the r2 version compiled n_cells chained
+CASE WHEN cosines and per-dim avg(element_at) aggs; fine at 16 cells,
+dead at 256+):
+  - centroid assignment = ONE broadcast numpy matrix (n_cells × dim,
+    L2-normalized) and a mapInArrow batch matmul+argmax per Arrow
+    batch — no plan growth with n_cells, no Python per-row;
+  - refinement = map-side combine: each task emits its per-cell
+    (count, sum-vector) partials (≤ n_cells rows per task), reduced
+    by a posexplode + groupBy(cell, dim) shuffle whose row count is
+    bounded by tasks × n_cells × dim — independent of data size;
+  - the driver only ever holds n_cells × dim floats (the centroids).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import cosine
 
@@ -34,20 +47,45 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
-def _assign_cell(df, centroids_b, vec_col):
-    """Nearest centroid id via posexplode-free zip: argmax cosine."""
-    cents = centroids_b  # list[(cell_id, [floats])]
-    best_id, best_cos = None, None
-    for cid, cvec in cents:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = cosine(F.col(vec_col), c)
-        if best_id is None:
-            best_id, best_cos = F.lit(cid), cos
-        else:
-            cond = cos > best_cos
-            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-            best_cos = F.when(cond, cos).otherwise(best_cos)
-    return df.withColumn("cell", best_id)
+def _vec_matrix(batch_col, dim: int) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float64 matrix, zero
+    object boxing. Rejects ragged vectors loudly."""
+    arr = batch_col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size != len(arr) * dim:
+        raise ValueError(f"ragged embedding column: {flat.size} != {len(arr)}x{dim}")
+    return flat.reshape(len(arr), dim)
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1e-12
+    return m / n
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
+    """df + `cell` column = argmax-cosine centroid, via one broadcast
+    matrix and a batch matmul per Arrow batch (no per-row Python, no
+    plan growth with n_cells)."""
+    n_cells, dim = centroids.shape
+    bc = df.sparkSession.sparkContext.broadcast(_unit_rows(centroids))
+    out_schema = T.StructType(df.schema.fields + [T.StructField("cell", T.IntegerType())])
+    names = df.columns
+    vi = names.index(vec_col)
+
+    def assign(batches):
+        C = bc.value  # (n_cells, dim), unit rows
+        for b in batches:
+            V = _unit_rows(_vec_matrix(b.column(vi), dim))
+            cell = pa.array(np.argmax(V @ C.T, axis=1).astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)] + [cell],
+                names=names + ["cell"],
+            )
+
+    return df.mapInArrow(assign, out_schema)
 
 
 def build_ivf(
@@ -56,10 +94,10 @@ def build_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ):
-    """One-pass IVF build: deterministic seed centroids (hash-sampled
-    rows), one Lloyd refinement via groupBy mean. Returns
-    (assigned_df, centroids) where centroids is a small driver list.
-    """
+    """IVF build: deterministic seed centroids (hash-sampled rows),
+    one Lloyd refinement with map-side-combined partial sums.
+    Returns (assigned_df, centroids) — centroids as [(cell, [floats])]
+    (n_cells × dim driver floats, bounded by construction)."""
     dim = len(df.select(vec_col).first()[0])
     seeds = (
         df.select(id_col, vec_col)
@@ -67,21 +105,60 @@ def build_ivf(
         .limit(n_cells)
         .collect()
     )
-    centroids = [(i, list(map(float, r[vec_col]))) for i, r in enumerate(seeds)]
-    assigned = _assign_cell(df, centroids, vec_col)
-    # one refinement: per-cell mean (dim aggregations, one shuffle)
-    means = assigned.groupBy("cell").agg(
-        *[
-            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}")
-            for i in range(dim)
+    C0 = np.array([list(map(float, r[vec_col])) for r in seeds])
+    n_seeded = len(C0)
+    bc = df.sparkSession.sparkContext.broadcast(_unit_rows(C0))
+    names = df.columns
+    vi = names.index(vec_col)
+    partial_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
         ]
     )
-    refined = [
-        (int(r["cell"]), [float(r[f"d{i}"]) for i in range(dim)])
-        for r in means.collect()
-    ]
-    assigned2 = _assign_cell(df.drop("cell"), refined, vec_col)
-    return assigned2, refined
+
+    def partials(batches):
+        """Per-task combine: (n_cells × dim) sum matrix + counts —
+        emits ≤ n_cells rows per TASK regardless of row count."""
+        C = bc.value
+        sums = np.zeros((n_seeded, dim))
+        cnts = np.zeros(n_seeded, dtype=np.int64)
+        for b in batches:
+            V = _vec_matrix(b.column(vi), dim)
+            cells = np.argmax(_unit_rows(V) @ C.T, axis=1)
+            np.add.at(sums, cells, V)
+            cnts += np.bincount(cells, minlength=n_seeded)
+        live = np.nonzero(cnts)[0]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(live.astype(np.int32)),
+                pa.array(cnts[live]),
+                pa.array(list(sums[live])),
+            ],
+            names=["cell", "cnt", "sums"],
+        )
+
+    # reduce partials: rows = tasks × n_cells × dim after posexplode —
+    # bounded by parallelism, independent of data size; the driver
+    # collects exactly n_cells × dim means
+    part_df = df.mapInArrow(partials, partial_schema)
+    mean_rows = (
+        part_df.select("cell", "cnt", F.posexplode("sums").alias("d", "v"))
+        .groupBy("cell", "d")
+        .agg((F.sum("v") / F.sum("cnt")).alias("m"))
+        .collect()
+    )
+    refined = {int(r["cell"]): np.zeros(dim) for r in mean_rows}
+    for r in mean_rows:
+        refined[int(r["cell"])][int(r["d"])] = float(r["m"])
+    # empty cells keep their seed (standard Lloyd fallback)
+    C1 = np.array(
+        [refined.get(i, C0[i]) for i in range(n_seeded)]
+    )
+    assigned = _assign_cells(df, C1, vec_col)
+    centroids = [(i, [float(x) for x in C1[i]]) for i in range(n_seeded)]
+    return assigned, centroids
 
 
 def ivf_topk(

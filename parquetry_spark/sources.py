@@ -1,0 +1,143 @@
+"""Temporal-safe parquet scan (time-of-day + nanosecond stamps).
+
+Spark 4.1's parquet reader REJECTS two leaf types the reference reads
+natively (probed; PARQUET_TYPE_ILLEGAL):
+
+  - TIME(MILLIS/MICROS/NANOS)  — reference Time{Milli,Micro,Nano},
+    /root/reference/types.go:29-31
+  - TIMESTAMP(NANOS)           — reference StampNano{Loc,UTC}
+
+`scan_parquet` sniffs the footer schema first. Clean files go through
+the normal `spark.read.parquet` (full pushdown / pruning / vectorized
+scan — nothing changes on the fast path). Files with an illegal leaf
+fall back to a DISTRIBUTED pyarrow scan: one Spark task per file
+reads row groups with pyarrow and *lowers* each illegal leaf to its
+raw int64 units — the exact representation the encode kernels
+(engine.py time/ns paths) and golden renderers already use — tagging
+the StructField with metadata ``{"ltype": "time_ms" | "time_us" |
+"time_ns" | "timestamp_ns" | "timestamp_ntz_ns"}`` so downstream
+surfaces (the filter DSL's temporal overloads, sinks) recover the
+semantics. No driver-side materialization: the driver touches only
+the file list and one footer.
+
+Scale: parallelism is per-file (one task per file), matching
+spark.read.parquet's granularity for many-file tables; single giant
+files could additionally split per row group by exploding
+(file, row_group) pairs into the path DataFrame. Partition i carries
+file i, so collected row order equals file order — the reference
+CLI's contract for head/tail/golden output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_TIME_LTYPE = {"s": "time_s", "ms": "time_ms", "us": "time_us", "ns": "time_ns"}
+
+
+def _lower_ltype(t: pa.DataType) -> str | None:
+    """ltype tag if this arrow type needs lowering to int64, else None."""
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        return _TIME_LTYPE[t.unit]
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return "timestamp_ns" if t.tz else "timestamp_ntz_ns"
+    return None
+
+
+def needs_arrow_scan(schema: pa.Schema) -> bool:
+    return any(_lower_ltype(f.type) is not None for f in schema)
+
+
+def _spark_field(f: pa.Field) -> T.StructField:
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    lt = _lower_ltype(f.type)
+    if lt is not None:
+        return T.StructField(f.name, T.LongType(), True, {"ltype": lt})
+    t = f.type
+    if pa.types.is_timestamp(t):  # non-ns → µs Spark timestamp; keep
+        # the STORED unit as metadata — comparisons against string
+        # literals truncate the literal to the column's unit
+        # (reference stampCompare, types.go:45-65)
+        return T.StructField(
+            f.name,
+            T.TimestampType() if t.tz else T.TimestampNTZType(),
+            True,
+            {"ltype": f"timestamp_{t.unit}" + ("" if t.tz else "_ntz")},
+        )
+    return T.StructField(f.name, from_arrow_type(t), True)
+
+
+def lowered_spark_schema(schema: pa.Schema) -> T.StructType:
+    return T.StructType([_spark_field(f) for f in schema])
+
+
+def _arrow_out_type(f: pa.Field) -> pa.DataType:
+    if _lower_ltype(f.type) is not None:
+        return pa.int64()
+    t = f.type
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us", tz="UTC" if t.tz else None)
+    return t
+
+
+def _lower_batch(rb: pa.RecordBatch, out_schema: pa.Schema) -> pa.RecordBatch:
+    arrays = []
+    for i, f in enumerate(rb.schema):
+        col = rb.column(i)
+        lt = _lower_ltype(f.type)
+        if lt is not None:
+            # bit-reinterpret raw units (validity bitmap preserved),
+            # then widen 32-bit time to int64
+            width32 = pa.types.is_time32(f.type)
+            col = col.view(pa.int32() if width32 else pa.int64())
+            if width32:
+                col = col.cast(pa.int64())
+        elif pa.types.is_timestamp(f.type):
+            col = col.cast(out_schema.field(i).type)
+        arrays.append(col)
+    return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def list_parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for name in sorted(files):
+            if name.endswith(".parquet"):
+                out.append(os.path.join(root, name))
+    return sorted(out)
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet with full temporal coverage (see module doc)."""
+    paths = list_parquet_files(path)
+    if not paths:
+        return spark.read.parquet(path)  # let Spark raise its error
+    footer = pq.read_schema(paths[0])
+    if not needs_arrow_scan(footer):
+        return spark.read.parquet(path)
+
+    out_spark = lowered_spark_schema(footer)
+    out_arrow = pa.schema(
+        [pa.field(f.name, _arrow_out_type(f)) for f in footer]
+    )
+
+    # one partition per file, in file order → stable global row order
+    rdd = spark.sparkContext.parallelize(paths, len(paths))
+    paths_df = rdd.map(lambda p: (p,)).toDF(["path"])
+
+    def read_files(batches):
+        for b in batches:
+            for p in b.column(0).to_pylist():
+                pf = pq.ParquetFile(p)
+                for rb in pf.iter_batches():
+                    yield _lower_batch(rb, out_arrow)
+
+    return paths_df.mapInArrow(read_files, out_spark)

@@ -52,6 +52,11 @@ def stream_encode(
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
         stage = f"stream-{epoch}"
+        # salts or {}: passing None would trigger PER-EPOCH host
+        # sampling inside encode_table — nondeterministic across epoch
+        # replays (resume depends on stable part assignment) and a
+        # driver job per micro-batch. {} = unsalted host hashing; for
+        # skewed streams pass the dataset's recorded salt map.
         blocks = encode_table(
             batch_df, n_parts=n_parts, url_col="url", ts_col="warc_ts", salts=salts or {}
         )

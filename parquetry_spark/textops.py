@@ -112,13 +112,21 @@ def shingles(col: Column, k: int = 8) -> Column:
 def fingerprint(col: Column, k: int = 8) -> Column:
     """Document fingerprint: min of md5 over character k-gram shingles
     (a 1-permutation MinHash — deterministic, oracle-replicable:
-    DuckDB computes the identical value with md5 + list_min)."""
+    DuckDB computes the identical value with md5 + list_min).
+
+    Incremental F.aggregate min, NOT transform-then-array_min: the
+    transform form materializes len(text) 32-hex strings before
+    reducing (~64× the text bytes transient — a 10 MB doc ballooned to
+    ~640 MB); here each hash is folded into the running min and only
+    the int index sequence is ever materialized. least() skips its
+    NULL init, so the first gram's hash seeds the min."""
     n = F.length(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.md5(F.substr(col, i, F.lit(k))),
+    idxs = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.aggregate(
+        idxs,
+        F.lit(None).cast("string"),
+        lambda acc, i: F.least(acc, F.md5(F.substr(col, i, F.lit(k)))),
     )
-    return F.array_min(grams)
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

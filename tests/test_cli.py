@@ -72,3 +72,66 @@ def test_schema_logical_string_toggle(cli, binfile):
 def test_cat_head_golden_shape(cli):
     out = cli("cat", "/root/testdata/sf0.001/nation.parquet", "--head", "2")
     assert out.count("\n") == 2
+
+
+def test_cat_out_dir_distributed_csv(cli, tmp_path):
+    """--out routes through the distributed writers (no driver
+    collect): a directory of part files with the expected rows."""
+    import csv
+    import glob
+
+    dest = str(tmp_path / "outcsv")
+    cli(
+        "cat",
+        "/root/testdata/sf0.001/nation.parquet",
+        "--format",
+        "csv",
+        "--out",
+        dest,
+    )
+    parts = glob.glob(f"{dest}/part-*.csv")
+    assert parts, "expected Spark part files"
+    rows = []
+    for p in parts:
+        with open(p, newline="") as fh:
+            r = csv.reader(fh)
+            header = next(r)
+            rows.extend(list(r))
+    assert len(rows) == 25  # nation table
+    assert "n_nationkey" in header
+
+
+def test_where_out_dir_jsonl(cli, tmp_path):
+    import glob
+    import json as _json
+
+    dest = str(tmp_path / "outjl")
+    cli(
+        "where",
+        "n_regionkey == 0",
+        "/root/testdata/sf0.001/nation.parquet",
+        "--format",
+        "jsonl",
+        "--out",
+        dest,
+    )
+    lines = []
+    for p in glob.glob(f"{dest}/part-*"):
+        if p.endswith((".crc", "_SUCCESS")):
+            continue
+        with open(p) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    recs = [_json.loads(ln) for ln in lines]
+    assert len(recs) == 5 and all(r["n_regionkey"] == 0 for r in recs)
+
+
+def test_out_dir_go_format_rejected(cli, tmp_path, spark, monkeypatch):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli(
+            "cat",
+            "/root/testdata/sf0.001/nation.parquet",
+            "--out",
+            str(tmp_path / "x"),
+        )

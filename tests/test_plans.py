@@ -119,3 +119,23 @@ def test_text_ops_stay_jvm_side(spark):
     with contextlib.redirect_stdout(buf):
         text_profile(df).explain(mode="codegen")
     assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_simhash64_stays_in_codegen(spark):
+    """The 64-bit production simhash builds a 64-wide expression per
+    token — confirm the projection does NOT trip the codegen size
+    limit (no fallback to interpreted eval, no Python nodes)."""
+    from parquetry_spark.dedup import simhash
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = df.select("doc_id", simhash(F.col("text"), bits=64).alias("sh"))
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="codegen")
+    body = buf.getvalue()
+    assert "Found 1 WholeStageCodegen subtrees." in body

@@ -88,3 +88,66 @@ def test_reference_fixture_timestamps_roundtrip():
         got = dec[name]
         assert got.cast(pa.int64()).to_pylist() == orig.cast(pa.int64()).to_pylist()
         assert got.type == orig.type
+
+
+# ---------------------------------------------------------------------------
+# non-µs decode through the DATAFRAME path (decode_blocks) — the
+# kernel-level bit-exactness above must survive the Spark surface:
+# time_*/ns blocks come back as raw int64 units + ltype metadata
+# (the sources.scan_parquet convention), ms stamps widen losslessly
+# to µs TimestampType.
+# ---------------------------------------------------------------------------
+
+
+def _blocks_df(spark, table: pa.Table):
+    from parquetry_spark.engine import BLOCK_SCHEMA
+
+    cols = [c for c in table.column_names if c != "part_id"]
+    blocks = _make_encode_kernel(cols, sort_cols=[])(table)
+    rows = blocks.to_pylist()
+    for r in rows:  # arrow map → python dict for createDataFrame
+        r["params"] = dict(r["params"])
+    return spark.createDataFrame(rows, BLOCK_SCHEMA)
+
+
+def test_decode_blocks_ns_timestamp_dataframe_path(spark):
+    from parquetry_spark.engine import decode_blocks
+
+    arr = pa.array(NS_VALS, pa.int64()).cast(pa.timestamp("ns", tz="UTC"))
+    bdf = _blocks_df(spark, _tagged({"ts": arr}))
+    out = decode_blocks(bdf, ["ts"], {"ts": "timestamp_ns"})
+    f = {x.name: x for x in out.schema.fields}["ts"]
+    assert f.dataType.simpleString() == "bigint"
+    assert f.metadata.get("ltype") == "timestamp_ns"
+    got = sorted(r["ts"] for r in out.collect())
+    assert got == sorted(NS_VALS)  # raw ns bit-exact
+
+
+def test_decode_blocks_time_units_dataframe_path(spark):
+    from parquetry_spark.engine import decode_blocks
+
+    t_ns = pa.array(TIME_NS, pa.int64()).cast(pa.time64("ns"))
+    t_ms = pa.array(TIME_MS + [0], pa.int32())[:3].cast(pa.time32("ms"))
+    bdf = _blocks_df(spark, _tagged({"tns": t_ns[:3], "tms": t_ms}))
+    out = decode_blocks(bdf, ["tns", "tms"], {"tns": "time_ns", "tms": "time_ms"})
+    lts = {x.name: (x.metadata or {}).get("ltype") for x in out.schema.fields}
+    assert lts["tns"] == "time_ns" and lts["tms"] == "time_ms"
+    rows = out.collect()
+    assert sorted(r["tns"] for r in rows) == sorted(TIME_NS[:3])
+    assert sorted(r["tms"] for r in rows) == sorted(TIME_MS)
+
+
+def test_decode_blocks_ms_timestamp_widens_to_us(spark):
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.engine import decode_blocks
+
+    ms_vals = [1734513799123, 0, -1]
+    arr = pa.array(ms_vals, pa.int64()).cast(pa.timestamp("ms", tz="UTC"))
+    bdf = _blocks_df(spark, _tagged({"ts": arr}))
+    out = decode_blocks(bdf, ["ts"], {"ts": "timestamp_ms"})
+    f = {x.name: x for x in out.schema.fields}["ts"]
+    assert f.dataType.simpleString() == "timestamp"
+    assert f.metadata.get("ltype") == "timestamp_ms"
+    got = sorted(r["us"] for r in out.select(F.unix_micros("ts").alias("us")).collect())
+    assert got == sorted(v * 1000 for v in ms_vals)  # lossless widen

@@ -1,0 +1,133 @@
+"""F2 time-of-day / ns-stamp filter coercion + the temporal-safe scan.
+
+Replicates the reference's where.txtar:60-119 temporal cases against
+its OWN fixtures (times.parquet, timestamps.parquet, dates.parquet) —
+Spark 4.1 rejects TIME(*) and TIMESTAMP(NANOS) parquet outright, so
+these run through sources.scan_parquet's lowered distributed scan.
+Reference semantics: types.go:45-83 (timeCompare/stampCompare —
+vs int = raw units, vs string = parsed literal integer-divided to the
+column's stored unit, vs duration() = Go d/unit).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquetry_spark.parity.filters import (
+    parse_go_duration_ns,
+    parse_rfc3339_ns,
+    where,
+)
+from parquetry_spark.parity.sinks import render_temporals
+from parquetry_spark.sources import scan_parquet
+
+REF = "/root/reference/testdata/parquet"
+
+
+def test_duration_parser_exact_ns():
+    assert parse_go_duration_ns("3h25m45.6789s") == 12_345_678_900_000
+    assert parse_go_duration_ns("12.345678s") == 12_345_678_000
+    assert parse_go_duration_ns("0.123456789s") == 123_456_789
+    assert parse_go_duration_ns("1h30m") == 5_400_000_000_000
+    assert parse_go_duration_ns("250ms") == 250_000_000
+    # ns-exactness past 2^53 (a float accumulator would round)
+    assert parse_go_duration_ns("2562047h47m16.854775807s") == (1 << 63) - 1
+
+
+def test_rfc3339_parser_exact_ns():
+    # the exact constant from where.txtar:112
+    assert parse_rfc3339_ns("2018-02-22T02:22:22.123456789Z") == 1519266142123456789
+    assert parse_rfc3339_ns("2018-02-22T02:22:22Z") == 1519266142 * 10**9
+    assert parse_rfc3339_ns("2018-02-22T03:22:22.5+01:00") == 1519266142500000000
+
+
+@pytest.fixture(scope="module")
+def times(spark):
+    return scan_parquet(spark, f"{REF}/times.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def stamps(spark):
+    return scan_parquet(spark, f"{REF}/timestamps.parquet").cache()
+
+
+def test_time_scan_lowers_with_metadata(times):
+    assert dict(times.dtypes) == {"ms": "bigint", "us": "bigint", "ns": "bigint"}
+    lts = {f.name: f.metadata.get("ltype") for f in times.schema.fields}
+    assert lts == {"ms": "time_ms", "us": "time_us", "ns": "time_ns"}
+    rows = {tuple(r) for r in times.collect()}
+    assert rows == {(12345678, 12345678, 12345678), (123456789, 123456789, 123456789)}
+
+
+# where.txtar:77-91 — times vs duration-string and raw int
+@pytest.mark.parametrize(
+    "expr,n",
+    [
+        ('ms == "3h25m45.6789s"', 1),
+        ('us > "12.345678s"', 1),
+        ('ns < "0.123456789s"', 1),
+        ("ms == 12345678", 1),
+        ("us > 12345678", 1),
+        ("ns < 123456789", 1),
+        ('ms == duration("3h25m45.6789s")', 1),
+    ],
+)
+def test_time_of_day_compare(times, expr, n):
+    assert where(times, expr).count() == n
+
+
+# where.txtar:95-119 — stamps vs RFC3339 string (truncated to column
+# unit) and raw unit-since-epoch ints, across ms/us/ns × S/T variants
+@pytest.mark.parametrize(
+    "expr,n",
+    [
+        ('Sms=="2018-02-22T02:22:22.123456789Z"', 1),
+        ('Sus > "2018-02-22T02:22:22.123456789Z"', 1),
+        ('Sns < "2018-02-22T02:22:22.123456789Z"', 1),
+        ('Tms=="2018-02-22T02:22:22.123456789Z"', 1),
+        ('Tus > "2018-02-22T02:22:22.123456789Z"', 1),
+        ('Tns < "2018-02-22T02:22:22.123456789Z"', 1),
+        ("Sms == 1519266142123", 1),
+        ("Sus > 1519266142123456", 1),
+        ("Sns < 1519266142123456789", 1),
+        ("Tms == 1519266142123", 1),
+        ("Tus > 1519266142123456", 1),
+        ("Tns < 1519266142123456789", 1),
+    ],
+)
+def test_stamp_compare_at_stored_unit(stamps, expr, n):
+    assert where(stamps, expr).count() == n
+
+
+def test_time_rendering_matches_want(times):
+    """Rendered values = times-1.want / times-2.want bytes
+    (where.txtar:201-204)."""
+    out = {
+        tuple(r)
+        for r in render_temporals(times.orderBy("ms")).collect()
+    }
+    assert out == {
+        ("03:25:45.678Z", "00:00:12.345678Z", "00:00:00.012345678Z"),
+        ("10:17:36.789Z", "00:02:03.456789Z", "00:00:00.123456789Z"),
+    }
+
+
+def test_ns_stamp_rendering(stamps):
+    got = [
+        r["Sns"]
+        for r in render_temporals(stamps.select("Sns").orderBy("Sns")).collect()
+    ]
+    assert got == [
+        "2012-07-07T03:11:45.123456789Z",
+        "2018-02-22T02:22:22.123456789Z",
+        "2024-12-18T09:23:19.123456789Z",
+    ]
+
+
+def test_clean_files_keep_native_scan(spark):
+    """No temporal lowering needed → the plain Spark scan (pushdown,
+    pruning, vectorized read) is untouched."""
+    df = scan_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+    plan = df._jdf.queryExecution().toString()
+    assert "FileScan parquet" in plan
+    assert "mapInArrow" not in plan.lower()
