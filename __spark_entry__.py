@@ -37,7 +37,11 @@ from parquetry_spark.multimodal import extract_features, media_table_from_pages 
 from parquetry_spark.parity.filters import where  # noqa: E402
 from parquetry_spark.parity.limits import head_tail  # noqa: E402
 from parquetry_spark.parity.shape import reshape  # noqa: E402
-from parquetry_spark.similarity import brute_force_topk  # noqa: E402
+from parquetry_spark.similarity import (  # noqa: E402
+    brute_force_topk,
+    build_ivf,
+    ivf_topk,
+)
 from parquetry_spark.textops import (  # noqa: E402
     bpe_ish_token_count,
     fingerprint,
@@ -272,6 +276,23 @@ def q_encode_manifest_full(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+def q_prune_decode(spark, sf):
+    """Zone-map pruned decode (r3): encode documents, prune block
+    metadata on a doc_id range (partitions whose [zmin,zmax] cannot
+    intersect are never fetched/decoded), decode the survivors and
+    apply the exact predicate. Must equal a plain SQL range filter."""
+    from parquetry_spark.engine import prune_blocks
+
+    df = _t(spark, sf, "documents").select("doc_id", "lang")
+    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    lo, hi = 100, 299
+    pruned = prune_blocks(blocks, "doc_id", lo=lo, hi=hi)
+    dec = decode_blocks(pruned, ["doc_id", "lang"], {"doc_id": "int64", "lang": "str"})
+    return dec.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)).select(
+        "doc_id", "lang"
+    )
+
+
 def q_token_count(spark, sf):
     df = _t(spark, sf, "documents")
     return df.select(
@@ -355,6 +376,21 @@ def q_ann_topk(spark, sf):
     qv = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
     top = brute_force_topk(df, qv, k=10)
     return top.select("vec_id", F.floor(F.col("cosine") * 1e4).cast("long").alias("cos_u"))
+
+
+def q_ivf_topk(spark, sf):
+    """IVF (the ANN scale path) probing ALL cells: with
+    n_probe = n_cells the candidate set is the whole table, so the
+    result must EXACTLY equal brute force — a full-oracle end-to-end
+    check of the broadcast-matmul assignment + probe machinery
+    (completeness: every vector reachable through its cell)."""
+    df = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    assigned, cents = build_ivf(df, n_cells=16)
+    top = ivf_topk(assigned, cents, qv, k=10, n_probe=16)
+    return top.select(
+        "vec_id", F.floor(F.col("cosine") * 1e4).cast("long").alias("cos_u")
+    )
 
 
 def q_media_features(spark, sf):
@@ -471,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_stats": q_codec_stats,
         "encode_manifest": q_encode_manifest,
         "encode_manifest_full": q_encode_manifest_full,
+        "prune_decode": q_prune_decode,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -481,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "temporal_render": q_temporal_render,
         "agg_pushdown": q_agg_pushdown,
@@ -760,6 +798,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "sha256(text) AS sha FROM documents"
         ),
+        "ivf_topk": (
+            # identical to ann_topk: probing every cell must be exact
+            "SELECT vec_id, CAST(floor(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+            ") * 1e4) AS BIGINT) AS cos_u FROM embeddings "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) "
+            "DESC, vec_id LIMIT 10"
+        ),
         "ann_topk": (
             "SELECT vec_id, CAST(floor(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), "
@@ -822,6 +870,10 @@ def oracle_sql() -> dict[str, str]:
                 AS time_ns
             FROM r
         """,
+        "prune_decode": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE doc_id BETWEEN 100 AND 299"
+        ),
         # structural manifest oracle: the column set and per-column row
         # coverage are engine-independent (every column appears; blocks
         # for a column cover exactly count(*) rows)

@@ -207,6 +207,61 @@ def _denormalize_arrow(vals: np.ndarray, notnull: np.ndarray, ltype: str) -> pa.
     return pa.array(scatter(_LTYPE_NP[ltype]), type=_LTYPE_PA[ltype], mask=mask)
 
 
+def _zone_map(vals: np.ndarray) -> dict[str, str]:
+    """Per-block min/max for scan pruning (classic zone maps /
+    parquet column-chunk statistics). Integer-kind values (ints,
+    raw-unit temporals, bools) store exact decimal strings under
+    zmin_i/zmax_i; floats under zmin_f/zmax_f (skipped when NaN is
+    present — NaN has no order, and a wrong bound silently drops
+    rows). Codec decoders ignore unknown params keys."""
+    if vals.size == 0:
+        return {}
+    k = vals.dtype.kind
+    if k in ("i", "u", "b"):
+        return {"zmin_i": str(int(vals.min())), "zmax_i": str(int(vals.max()))}
+    if k == "f" and not np.isnan(vals).any():
+        return {"zmin_f": repr(float(vals.min())), "zmax_f": repr(float(vals.max()))}
+    return {}
+
+
+def prune_blocks(
+    blocks: DataFrame,
+    column: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Zone-map partition pruning: keep only part_ids whose block for
+    `column` can intersect [lo, hi] (either bound may be None).
+
+    The filter runs on block METADATA (params map) — pruned
+    partitions' payloads are never fetched or decoded, the columnar
+    analogue of parquet row-group skipping. Blocks without a zone map
+    (strings, arrow_ipc fallback, all-null, NaN floats) are always
+    kept — pruning is an optimization, never a correctness filter.
+    Integer bounds compare as decimal(38,0) (a double cast would
+    round ns-scale int64 at the boundary); float bounds as double.
+    """
+    z = blocks.filter(F.col("column") == column)
+    zmin_i = F.element_at("params", F.lit("zmin_i")).cast(T.DecimalType(38, 0))
+    zmax_i = F.element_at("params", F.lit("zmax_i")).cast(T.DecimalType(38, 0))
+    zmin_f = F.element_at("params", F.lit("zmin_f")).cast("double")
+    zmax_f = F.element_at("params", F.lit("zmax_f")).cast("double")
+    unmapped = zmin_i.isNull() & zmin_f.isNull()
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (
+            F.coalesce(zmax_i >= F.lit(lo).cast(T.DecimalType(38, 0)), F.lit(False))
+            | F.coalesce(zmax_f >= F.lit(float(lo)), F.lit(False))
+        )
+    if hi is not None:
+        keep = keep & (
+            F.coalesce(zmin_i <= F.lit(hi).cast(T.DecimalType(38, 0)), F.lit(False))
+            | F.coalesce(zmin_f <= F.lit(float(hi)), F.lit(False))
+        )
+    kept_parts = z.filter(unmapped | keep).select("part_id")
+    return blocks.join(kept_parts, "part_id", "left_semi")
+
+
 def _checksum(in_payload: bytes, notnull: np.ndarray) -> str:
     h = hashlib.sha256(in_payload)
     h.update(np.packbits(notnull).tobytes())
@@ -297,6 +352,7 @@ def _make_encode_kernel(columns: list[str], sort_cols: list[str]):
                     payload, params, codec_name = p, prm, cand
                 if cand != "plain" and payload is not None and len(payload) < len(in_payload):
                     break  # prediction beat plain on real bytes — done
+            params = {**params, **_zone_map(vals)}
             validity = b"" if nn == n else np.packbits(notnull).tobytes()
             rows_out.append(
                 {

@@ -20,12 +20,12 @@ surfaces (the filter DSL's temporal overloads, sinks) recover the
 semantics. No driver-side materialization: the driver touches only
 the file list and one footer.
 
-Scale: parallelism is per-file (one task per file), matching
-spark.read.parquet's granularity for many-file tables; single giant
-files could additionally split per row group by exploding
-(file, row_group) pairs into the path DataFrame. Partition i carries
-file i, so collected row order equals file order — the reference
-CLI's contract for head/tail/golden output.
+Scale: the fallback parallelizes over (file, row-group) pairs — a
+single giant file still fans out across the cluster at row-group
+granularity (the same unit Spark's native reader splits on).
+Partition i carries split i in (file, row-group) order, so collected
+row order equals file order — the reference CLI's contract for
+head/tail/golden output.
 """
 
 from __future__ import annotations
@@ -129,15 +129,26 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
         [pa.field(f.name, _arrow_out_type(f)) for f in footer]
     )
 
-    # one partition per file, in file order → stable global row order
-    rdd = spark.sparkContext.parallelize(paths, len(paths))
-    paths_df = rdd.map(lambda p: (p,)).toDF(["path"])
+    # split at ROW-GROUP granularity (footer metadata only — no data
+    # read on the driver): one giant file still fans out. One
+    # partition per split, in (file, row-group) order → stable global
+    # row order.
+    splits: list[tuple[str, int]] = []
+    for p in paths:
+        n_rg = pq.ParquetFile(p).metadata.num_row_groups
+        splits.extend((p, g) for g in range(max(n_rg, 1)))
+    rdd = spark.sparkContext.parallelize(splits, len(splits))
+    splits_df = rdd.map(lambda s: (s[0], s[1])).toDF(["path", "row_group"])
 
-    def read_files(batches):
+    def read_splits(batches):
         for b in batches:
-            for p in b.column(0).to_pylist():
+            for p, g in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist()
+            ):
                 pf = pq.ParquetFile(p)
-                for rb in pf.iter_batches():
+                if pf.metadata.num_row_groups == 0:
+                    continue
+                for rb in pf.iter_batches(row_groups=[g]):
                     yield _lower_batch(rb, out_arrow)
 
-    return paths_df.mapInArrow(read_files, out_spark)
+    return splits_df.mapInArrow(read_splits, out_spark)

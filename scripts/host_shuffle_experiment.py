@@ -1,0 +1,105 @@
+"""Host-layout scaling experiment (VERDICT r2 #6): can shuffle-side
+config lift the host (one-shuffle) layout's N→4N efficiency from
+0.698 toward ≥0.75 on this single box?
+
+Hypothesis: at 16 cores the box is CPU-saturated, so the lz4
+compress/decompress work the shuffle pays per byte costs the 16-core
+leg more than the 4-core leg — turning shuffle compression OFF (the
+page cache absorbs the ~190 MB spill) or switching to a cheaper
+codec should close part of the gap. On a real cluster the opposite
+trade (zstd, NIC-bound) applies; this probe is about what the single
+box can evidence.
+
+Usage: python scripts/host_shuffle_experiment.py CORES VARIANT
+Prints one JSON line {"cores":…, "variant":…, "sec": best, ...}.
+Run from a parent that alternates cores/variants.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VARIANTS = {
+    "baseline": {},
+    "nocompress": {
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+    },
+    "zstd": {"spark.io.compression.codec": "zstd"},
+    "snappy": {"spark.io.compression.codec": "snappy"},
+}
+
+
+def main() -> None:
+    cores, variant = int(sys.argv[1]), sys.argv[2]
+    rows = int(sys.argv[3]) if len(sys.argv) > 3 else 120_000
+    from pyspark.sql import functions as F
+
+    from bench import N_PARTS, bench_input_path, ensure_bench_input
+    from parquetry_spark.engine import encode_table
+    from parquetry_spark.partitioning import salt_counts, sample_host_shares
+    from parquetry_spark.session import get_spark, warm_python_workers
+
+    ensure_bench_input(rows)
+    spark = get_spark(
+        f"hostexp-{cores}-{variant}",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra={
+            "spark.sql.files.maxPartitionBytes": "3145728",
+            "spark.sql.files.openCostInBytes": "262144",
+            **VARIANTS[variant],
+        },
+    )
+    warm_python_workers(spark, 192)
+    pages = spark.read.parquet(bench_input_path(rows))
+    pages.count()
+    in_bytes = pages.select(
+        (
+            F.sum(F.length("url"))
+            + F.sum(F.length("text"))
+            + F.sum(F.octet_length("html"))
+            + F.sum(F.length("lang"))
+            + F.lit(8) * F.count("*")
+        ).alias("b")
+    ).collect()[0]["b"]
+    salts = salt_counts(
+        sample_host_shares(pages, "url", 0.05, n_parts=N_PARTS), N_PARTS
+    )
+
+    def run():
+        blocks = encode_table(
+            pages, n_parts=N_PARTS, url_col="url", ts_col="warc_ts", salts=salts
+        )
+        return blocks.agg(F.sum("out_bytes")).collect()[0][0]
+
+    for _ in range(3):  # warm
+        run()
+    samples = []
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        samples.append(round(time.time() - t0, 3))
+    best = min(samples)
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "variant": variant,
+                "samples": samples,
+                "sec": best,
+                "mb_per_sec": round(in_bytes / 1e6 / best, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -143,3 +143,41 @@ def test_decode_column_pruning(spark, pages):
     got = {r["lang"]: r["count"] for r in counts.collect()}
     want = {r["lang"]: r["count"] for r in orig.collect()}
     assert got == want
+
+
+def test_zone_map_pruning(spark, pages):
+    """Blocks carry per-block min/max (params zmin/zmax); prune_blocks
+    skips partitions whose range cannot intersect the predicate —
+    metadata-only, payloads of pruned parts never decoded — and the
+    pruned decode is exactly the filtered original."""
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.engine import (
+        decode_blocks,
+        encode_table,
+        infer_ltypes,
+        prune_blocks,
+    )
+
+    blocks = encode_table(pages, n_parts=8).cache()
+    zoned = blocks.filter(F.col("column") == "warc_ts").select("params").collect()
+    assert all("zmin_i" in dict(r["params"]) for r in zoned)
+
+    # a range past the global max prunes EVERYTHING
+    gmax = max(int(dict(r["params"])["zmax_i"]) for r in zoned)
+    assert prune_blocks(blocks, "warc_ts", lo=gmax + 1).count() == 0
+
+    # a mid-range predicate prunes some partitions and decodes exactly
+    # the rows the original filter keeps
+    gmin = min(int(dict(r["params"])["zmin_i"]) for r in zoned)
+    mid = (gmin + gmax) // 2
+    pruned = prune_blocks(blocks, "warc_ts", lo=mid)
+    ltypes = infer_ltypes(pages)
+    dec = decode_blocks(pruned, ["url", "warc_ts"], ltypes).filter(
+        F.unix_micros("warc_ts") >= mid
+    )
+    want = pages.filter(F.unix_micros("warc_ts") >= mid)
+    assert dec.count() == want.count()
+    # string columns carry no zone map but survive pruning via part_id
+    assert prune_blocks(blocks, "warc_ts", lo=gmin).count() == blocks.count()
+    blocks.unpersist()

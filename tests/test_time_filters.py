@@ -131,3 +131,28 @@ def test_clean_files_keep_native_scan(spark):
     plan = df._jdf.queryExecution().toString()
     assert "FileScan parquet" in plan
     assert "mapInArrow" not in plan.lower()
+
+
+def test_arrow_scan_splits_per_row_group(spark, tmp_path):
+    """A single multi-row-group file fans out across tasks (the
+    native reader's split unit), and row order is preserved."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "big_ns.parquet")
+    n = 10_000
+    tbl = pa.table(
+        {
+            "i": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [1_500_000_000_000_000_000 + k for k in range(n)],
+                pa.timestamp("ns", tz="UTC"),
+            ),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=1000)  # 10 row groups
+    df = scan_parquet(spark, path)
+    assert df.rdd.getNumPartitions() == 10
+    rows = df.collect()
+    assert [r["i"] for r in rows] == list(range(n))  # order preserved
+    assert rows[5]["ts"] == 1_500_000_000_000_000_005  # raw ns exact
