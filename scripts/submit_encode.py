@@ -1,67 +1,122 @@
-"""spark-submit entrypoint for the encode pipeline (north rule: "runs
-via spark-submit --py-files on multi-executor clusters").
+"""Cluster job entrypoint — the north rule's `spark-submit --py-files`
+deployment shape.
 
-Usage (cluster):
+Package and launch (any Spark cluster — YARN/K8s/standalone; the
+session takes the master/executor topology from spark-submit, never
+hard-coding local[*]):
 
-    zip -r /tmp/parquetry_spark.zip parquetry_spark
-    spark-submit --py-files /tmp/parquetry_spark.zip \\
-        scripts/submit_encode.py \\
-        --in  <parquet-or-iceberg-path> \\
-        --out <output-dir> [--parts 4096] [--stage encode]
+    cd /root/repo && zip -qr /tmp/parquetry_spark.zip parquetry_spark
+    spark-submit \
+        --py-files /tmp/parquetry_spark.zip \
+        --num-executors $N --executor-cores 4 --executor-memory 8g \
+        scripts/submit_encode.py \
+        --input  <parquet dir or Iceberg-style warehouse table> \
+        --warehouse <output warehouse dir> \
+        --n-parts 500000 --verify
 
-Unlike the CLI (which builds its own local session), this script uses
-the session spark-submit provides — master, executor counts and all
-cluster conf come from spark-submit arguments, so the SAME script runs
-at N and 4N executors for the scaling evidence. Prints one JSON line
-with the run summary (bytes, ratio, parts, skipped — resumable: rerun
-with the same --out to encode only uncommitted partitions).
+Run it twice — at N and 4N executors — against the same input and
+compare the printed `mb_per_sec` for the scaling-efficiency evidence
+(BENCH/BASELINE.md documents the single-box local[4]/local[16] proxy
+used in this sandbox).
+
+The job is checkpoint-resumable: re-submitting after a failure skips
+committed partitions (snapshot metadata only — see
+parquetry_spark/iceberg.py) and commits one new snapshot.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="submit_encode")
-    ap.add_argument("--in", dest="inp", required=True, help="input table path")
-    ap.add_argument("--out", required=True, help="output dir (blocks + manifest)")
-    ap.add_argument("--parts", type=int, default=256)
-    ap.add_argument("--cols", default=None, help="comma-separated column subset")
+    ap.add_argument("--input", required=True, help="source pages parquet dir")
+    ap.add_argument("--warehouse", required=True, help="output warehouse dir")
+    ap.add_argument("--table", default="blocks")
+    ap.add_argument("--n-parts", type=int, default=256)
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--ts-col", default="warc_ts")
-    ap.add_argument("--stage", default="encode")
-    ap.add_argument("--verify", action="store_true", help="decode + bit-identity check")
-    args = ap.parse_args()
+    ap.add_argument("--verify", action="store_true",
+                    help="decode + bit-identity check after encode")
+    args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    # session comes from spark-submit: master/executors/conf are the
-    # cluster's, not ours — only analysis-level settings are pinned
+    # master/topology comes from spark-submit; only job-level SQL conf
+    # here (identical on every cluster size so runs are comparable)
     spark = (
         SparkSession.builder.appName("parquetry-encode")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    from parquetry_spark.engine import run_encode, verify_roundtrip
 
-    df = spark.read.parquet(args.inp)
-    cols = args.cols.split(",") if args.cols else None
-    url_col = args.url_col if args.url_col in df.columns else None
-    ts_col = args.ts_col if args.ts_col in df.columns else None
-    res = run_encode(
-        spark, df, args.out, cols, args.parts, url_col, ts_col, stage=args.stage
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.iceberg import SnapshotCatalog, probe_iceberg, run_encode_snapshots
+    from parquetry_spark.sources import scan_parquet
+
+    ice = probe_iceberg(spark)
+    df = scan_parquet(spark, args.input)
+    # logical byte meter (same accounting as bench.py): payload bytes
+    # for string/binary columns + 8 per row for fixed-width columns
+    aggs = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t == "binary":
+            aggs.append(F.sum(F.octet_length(f.name)))
+        elif t == "string":
+            aggs.append(F.sum(F.length(f.name)))
+        else:
+            aggs.append(F.lit(8) * F.count("*"))
+    in_bytes = df.agg(
+        sum(aggs[1:], aggs[0]).alias("b")
+    ).collect()[0]["b"]
+
+    t0 = time.time()
+    res = run_encode_snapshots(
+        spark,
+        df,
+        args.warehouse,
+        table=args.table,
+        n_parts=args.n_parts,
+        url_col=args.url_col if args.url_col in df.columns else None,
+        ts_col=args.ts_col if args.ts_col in df.columns else None,
     )
+    encode_sec = time.time() - t0
+
+    out = {
+        "iceberg_runtime_available": ice["available"],
+        "snapshot_id": res["snapshot_id"],
+        "new_parts": len(res["new_parts"]),
+        "skipped_parts": res["skipped_parts"],
+        "encode_sec": round(encode_sec, 3),
+        "input_bytes": int(in_bytes or 0),
+        "mb_per_sec": round((in_bytes or 0) / 1e6 / max(encode_sec, 1e-9), 2),
+    }
+
     if args.verify:
-        blocks = spark.read.parquet(res["blocks_path"])
-        key = url_col or df.columns[0]
+        from parquetry_spark.engine import verify_roundtrip
+
+        cat = SnapshotCatalog(args.warehouse)
+        blocks = cat.read(spark, args.table)
+        key = args.url_col if args.url_col in df.columns else df.columns[0]
         mism = verify_roundtrip(spark, df, blocks, key_col=key)
-        res["mismatches"] = mism
-        res["bit_identical"] = all(v == 0 for v in mism.values())
-    print(json.dumps(res, default=str))
-    return 0 if res.get("bit_identical", True) else 1
+        out["verify_mismatches"] = mism
+        out["bit_identical"] = all(v == 0 for v in mism.values())
+
+    print(json.dumps(out))
+    spark.stop()
+    return 0 if out.get("bit_identical", True) else 1
 
 
 if __name__ == "__main__":

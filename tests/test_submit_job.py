@@ -1,0 +1,104 @@
+"""The north rule's deployment shape: `spark-submit --py-files` runs
+the encode job end-to-end in a FRESH JVM with the package shipped as
+a zip — no repo on the executor path, no local[*] hard-coding in the
+job (topology comes from spark-submit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on this box"
+)
+def test_spark_submit_pyfiles_encode(tmp_path):
+    zip_path = str(tmp_path / "parquetry_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        pkg = os.path.join(REPO, "parquetry_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for name in files:
+                if name.endswith(".py"):
+                    full = os.path.join(root, name)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    wh = str(tmp_path / "wh")
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
+    # run a COPY of the entrypoint from tmp: its repo-relative
+    # sys.path fallback then finds nothing, so parquetry_spark can
+    # only come from --py-files
+    job = str(tmp_path / "submit_encode.py")
+    shutil.copyfile(os.path.join(REPO, "scripts", "submit_encode.py"), job)
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master",
+            "local[2]",
+            "--py-files",
+            zip_path,
+            job,
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--warehouse",
+            wh,
+            "--n-parts",
+            "4",
+            "--url-col",
+            "none",  # documents has no url → deterministic id-hash parts
+            "--ts-col",
+            "none",
+            "--verify",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=str(tmp_path),  # NOT the repo — imports must come from the zip
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON from job\nstdout:{out.stdout[-800:]}\nstderr:{out.stderr[-800:]}"
+    res = json.loads(lines[-1])
+    assert res["new_parts"] == 4 and res["skipped_parts"] == 0
+    assert res["bit_identical"] is True
+    assert res["iceberg_runtime_available"] is False  # sandbox evidence
+    # resubmit = full resume: nothing re-encoded
+    out2 = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master",
+            "local[2]",
+            "--py-files",
+            zip_path,
+            job,
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--warehouse",
+            wh,
+            "--n-parts",
+            "4",
+            "--url-col",
+            "none",
+            "--ts-col",
+            "none",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    res2 = json.loads(
+        [ln for ln in out2.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert res2["new_parts"] == 0 and res2["skipped_parts"] == 4
