@@ -31,14 +31,29 @@ from .base import (
 class DictCodec(Codec):
     name = "dict"
 
+    _FVIEW = {4: np.uint32, 8: np.uint64}
+
     def _encode(self, arr: np.ndarray):
+        params_extra = {}
+        if arr.dtype.kind == "f":
+            # factorize on the BIT PATTERN: value-hashing collapses
+            # every NaN payload into one dictionary slot, silently
+            # rewriting non-canonical NaNs on decode — the engine's
+            # contract is bit-identity, not semantic equality
+            params_extra["fdtype"] = arr.dtype.str
+            arr = arr.view(self._FVIEW[arr.dtype.itemsize])
         codes, uniques = pd.factorize(arr, use_na_sentinel=False)
         uarr = np.asarray(uniques)
         dict_payload, tag = serialize_values(uarr)
         width = bit_width(max(len(uarr) - 1, 0))
         packed = pack_bits(codes.astype(np.uint64), width)
         payload = struct.pack("<I", len(dict_payload)) + dict_payload + packed
-        return payload, {"dtype": tag, "dict_size": str(len(uarr)), "width": str(width)}
+        return payload, {
+            "dtype": tag,
+            "dict_size": str(len(uarr)),
+            "width": str(width),
+            **params_extra,
+        }
 
     def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
         (dlen,) = struct.unpack_from("<I", payload, 0)
@@ -47,7 +62,10 @@ class DictCodec(Codec):
         width = int(params["width"])
         uniques = deserialize_values(dict_payload, params["dtype"], dsize)
         codes = unpack_bits(payload[4 + dlen :], width, count).astype(np.int64)
-        return uniques[codes] if dsize else uniques[:0]
+        out = uniques[codes] if dsize else uniques[:0]
+        if "fdtype" in params:
+            out = np.asarray(out).view(np.dtype(params["fdtype"]))
+        return out
 
 
 DICT = register(DictCodec())

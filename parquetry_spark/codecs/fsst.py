@@ -267,6 +267,11 @@ class FsstCodec(Codec):
     name = "fsst"
 
     def _encode(self, arr: np.ndarray):
+        if arr.dtype.kind != "O":
+            # contract: reject non-varlen input loudly so the kernel's
+            # candidate loop falls through (an AttributeError deep in
+            # the row loop reads as a bug, not a rejection)
+            raise TypeError("fsst encodes str/bytes arrays only")
         is_bytes = len(arr) > 0 and isinstance(arr[0], (bytes, bytearray))
         if is_bytes:
             rows = [bytes(b) for b in arr]

@@ -30,7 +30,12 @@ from .base import (
 
 
 def run_starts(arr: np.ndarray) -> np.ndarray:
-    """Boolean mask of positions where a new run starts."""
+    """Boolean mask of positions where a new run starts.
+
+    Floats compare on their BIT PATTERN, not value: `0.0 == -0.0`
+    would merge a run and decode rewrites -0.0 as +0.0 (and NaN !=
+    NaN would split-but-never-merge, which is safe but the merge
+    direction is a bit-identity bug — the engine's contract)."""
     if len(arr) == 0:
         return np.zeros(0, dtype=bool)
     starts = np.ones(len(arr), dtype=bool)
@@ -39,7 +44,10 @@ def run_starts(arr: np.ndarray) -> np.ndarray:
         b = np.asarray(arr[:-1])
         starts[1:] = a != b
     else:
-        starts[1:] = arr[1:] != arr[:-1]
+        cmp = arr
+        if arr.dtype.kind == "f":
+            cmp = arr.view(np.uint32 if arr.dtype.itemsize == 4 else np.uint64)
+        starts[1:] = cmp[1:] != cmp[:-1]
     return starts
 
 

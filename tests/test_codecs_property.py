@@ -1,0 +1,134 @@
+"""Property-based round-trip guarantees for the codec layer.
+
+The hand-written cases in test_codecs.py pin known edge behaviors;
+these hypothesis properties assert the UNIVERSAL contract — decode ∘
+encode = identity, bit-exactly, for arbitrary inputs — across every
+codec that accepts the dtype, plus the full encode kernel with nulls.
+Float equality is bit-pattern equality (NaN payloads and signed
+zeros must survive; `==` would pass -0.0 vs 0.0 and fail NaN vs NaN).
+No Spark session: kernels are plain functions over numpy/Arrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays as np_arrays
+
+from parquetry_spark.codecs import get_codec
+from parquetry_spark.engine import _decode_block_values, _make_encode_kernel
+
+SET = settings(max_examples=60, deadline=None)
+
+
+def _bits_equal(a: np.ndarray, b: np.ndarray) -> bool:
+    if a.dtype.kind == "f":
+        return np.array_equal(
+            a.view(np.uint64 if a.dtype.itemsize == 8 else np.uint32),
+            b.view(np.uint64 if b.dtype.itemsize == 8 else np.uint32),
+        )
+    return np.array_equal(a, b)
+
+
+def _roundtrip_all_codecs(vals: np.ndarray):
+    for name in ("plain", "dict", "rle", "bitpack", "delta_for", "fsst"):
+        codec = get_codec(name)
+        try:
+            payload, params = codec.encode(vals)
+        except (TypeError, ValueError):
+            continue  # codec rejects this dtype/shape — allowed
+        out = codec.decode(payload, params, len(vals))
+        out = np.asarray(out)
+        assert len(out) == len(vals), name
+        if vals.dtype.kind in ("i", "u", "f", "b"):
+            assert _bits_equal(
+                out.astype(vals.dtype, copy=False), vals
+            ), name
+        else:
+            assert list(out) == list(vals), name
+
+
+@SET
+@given(
+    np_arrays(
+        dtype=np.int64,
+        shape=st.integers(0, 300),
+        elements=st.integers(-(2**63), 2**63 - 1),
+    )
+)
+def test_int64_roundtrip_property(vals):
+    _roundtrip_all_codecs(vals)
+
+
+@SET
+@given(
+    np_arrays(
+        dtype=np.int64,
+        shape=st.integers(1, 300),
+        elements=st.integers(-5, 5),  # run/dict-friendly shape
+    )
+)
+def test_small_domain_int_roundtrip_property(vals):
+    _roundtrip_all_codecs(vals)
+
+
+@SET
+@given(
+    np_arrays(
+        dtype=np.float64,
+        shape=st.integers(0, 300),
+        elements=st.floats(
+            allow_nan=True, allow_infinity=True, width=64
+        ),
+    )
+)
+def test_float64_roundtrip_property(vals):
+    _roundtrip_all_codecs(vals)
+
+
+@SET
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=40),
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_string_roundtrip_property(strings):
+    _roundtrip_all_codecs(np.array(strings, dtype=object))
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+        min_size=1,
+        max_size=200,
+    ),
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=24)),
+        min_size=1,
+        max_size=200,
+    ),
+)
+def test_kernel_roundtrip_with_nulls_property(ints, texts):
+    """Full encode kernel → block rows → decode: values AND null
+    positions identical, any codec the selector picks."""
+    n = max(len(ints), len(texts))
+    ints = (ints + [None] * n)[:n]
+    texts = (texts + [None] * n)[:n]
+    table = pa.table(
+        {
+            "part_id": pa.array(np.zeros(n, np.int64)),
+            "i": pa.array(ints, pa.int64()),
+            "t": pa.array(texts, pa.string()),
+        }
+    )
+    blocks = _make_encode_kernel(["i", "t"], sort_cols=[])(table)
+    decoded = {}
+    for row in blocks.to_pylist():
+        decoded[row["column"]] = _decode_block_values(row, row["column"])
+    assert decoded["i"].to_pylist() == ints
+    assert decoded["t"].to_pylist() == texts
