@@ -27,6 +27,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pyarrow as pa
 
 # ---------------------------------------------------------------------------
 # dtype tags (stored in params["dtype"]) — the logical value type of a column
@@ -109,18 +110,71 @@ def unpack_bits(payload: bytes, width: int, count: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def serialize_values(arr: np.ndarray) -> tuple[bytes, str]:
-    """Serialize any supported array to bytes; returns (payload, dtype_tag)."""
-    tag = dtype_tag(arr)
-    if tag in SCALAR_DTYPES:
-        return np.ascontiguousarray(arr).astype(to_numpy_dtype(tag)).tobytes(), tag
-    # varlen
-    if tag == "str":
-        data = [s.encode("utf-8") for s in arr]
+def varlen_to_blob(arr) -> tuple[bytes, np.ndarray, str]:
+    """str/bytes array → (concatenated blob, int64 row lengths, tag).
+
+    Accepts a numpy object/U array OR a pyarrow string/binary Array.
+    Arrow builds the (offsets, data) buffers in C — the blob and row
+    lengths come straight off those buffers, so there is no per-row
+    Python in the hot encode path.
+    """
+    if isinstance(arr, pa.Array):
+        a = arr
+        if pa.types.is_binary(a.type) or pa.types.is_large_binary(a.type):
+            tag = "bytes"
+            if not pa.types.is_large_binary(a.type):
+                a = a.cast(pa.large_binary())
+        else:
+            tag = "str"
+            if not pa.types.is_large_string(a.type):
+                a = a.cast(pa.large_string())
     else:
-        data = [bytes(b) for b in arr]
-    lens = np.fromiter((len(b) for b in data), dtype=np.uint32, count=len(data))
-    return struct.pack("<I", len(data)) + lens.tobytes() + b"".join(data), tag
+        tag = dtype_tag(arr)
+        pa_type = pa.large_string() if tag == "str" else pa.large_binary()
+        a = pa.array(arr, type=pa_type)
+    n = len(a)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64), tag
+    offsets = np.frombuffer(
+        a.buffers()[1], dtype=np.int64, count=n + 1, offset=a.offset * 8
+    )
+    data_buf = a.buffers()[2]
+    if data_buf is None or offsets[-1] == offsets[0]:
+        blob = b""
+    else:
+        blob = memoryview(data_buf)[offsets[0] : offsets[-1]].tobytes()
+    return blob, np.diff(offsets), tag
+
+
+def blob_to_varlen(blob, lens: np.ndarray, tag: str) -> np.ndarray:
+    """Inverse of varlen_to_blob → object ndarray of str/bytes.
+
+    `blob` is any buffer-protocol object (bytes, memoryview, uint8
+    ndarray). Rows are reconstructed by wrapping (offsets, data) as an
+    Arrow array — no per-row slice loop.
+    """
+    n = len(lens)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    pa_type = pa.large_string() if tag == "str" else pa.large_binary()
+    a = pa.Array.from_buffers(
+        pa_type, n, [None, pa.py_buffer(offsets), pa.py_buffer(blob)]
+    )
+    out = a.to_numpy(zero_copy_only=False)
+    return np.asarray(out, dtype=object)
+
+
+def serialize_values(arr) -> tuple[bytes, str]:
+    """Serialize any supported array to bytes; returns (payload, dtype_tag).
+
+    Varlen input may be a numpy object array or a pyarrow Array.
+    """
+    if not isinstance(arr, pa.Array):
+        tag = dtype_tag(arr)
+        if tag in SCALAR_DTYPES:
+            return np.ascontiguousarray(arr).astype(to_numpy_dtype(tag)).tobytes(), tag
+    blob, lens, tag = varlen_to_blob(arr)
+    return struct.pack("<I", len(lens)) + lens.astype(np.uint32).tobytes() + blob, tag
 
 
 def deserialize_values(payload: bytes, tag: str, count: int) -> np.ndarray:
@@ -128,19 +182,9 @@ def deserialize_values(payload: bytes, tag: str, count: int) -> np.ndarray:
     if tag in SCALAR_DTYPES:
         return np.frombuffer(payload, dtype=to_numpy_dtype(tag), count=count).copy()
     (n,) = struct.unpack_from("<I", payload, 0)
-    lens = np.frombuffer(payload, dtype=np.uint32, count=n, offset=4)
+    lens = np.frombuffer(payload, dtype=np.uint32, count=n, offset=4).astype(np.int64)
     data = payload[4 + 4 * n :]
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    mv = memoryview(data)
-    chunks = [bytes(mv[offsets[i] : offsets[i + 1]]) for i in range(n)]
-    if tag == "str":
-        out = np.empty(n, dtype=object)
-        out[:] = [c.decode("utf-8") for c in chunks]
-    else:
-        out = np.empty(n, dtype=object)
-        out[:] = chunks
-    return out
+    return blob_to_varlen(data, lens, tag)
 
 
 # ---------------------------------------------------------------------------

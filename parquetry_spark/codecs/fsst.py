@@ -44,7 +44,15 @@ import struct
 
 import numpy as np
 
-from .base import Codec, bit_width, pack_bits, register, unpack_bits
+from .base import (
+    Codec,
+    bit_width,
+    blob_to_varlen,
+    pack_bits,
+    register,
+    unpack_bits,
+    varlen_to_blob,
+)
 
 SYMBOL_LENGTHS = (8, 6, 4, 3)  # longest first; max 8 fits a uint64 key
 MAX_SYMBOLS = 255
@@ -272,13 +280,11 @@ class FsstCodec(Codec):
             # candidate loop falls through (an AttributeError deep in
             # the row loop reads as a bug, not a rejection)
             raise TypeError("fsst encodes str/bytes arrays only")
-        is_bytes = len(arr) > 0 and isinstance(arr[0], (bytes, bytearray))
-        if is_bytes:
-            rows = [bytes(b) for b in arr]
-        else:
-            rows = [s.encode("utf-8") for s in arr]
-        row_lens = np.fromiter((len(r) for r in rows), dtype=np.uint64, count=len(rows))
-        blob = b"".join(rows)
+        # Arrow builds the (offsets, data) buffers in C — blob and row
+        # lengths come straight off them, no per-row encode loop
+        blob, row_lens64, vtag = varlen_to_blob(arr)
+        is_bytes = vtag == "bytes"
+        row_lens = row_lens64.astype(np.uint64)
         buf = np.frombuffer(blob, dtype=np.uint8)
         n = len(buf)
 
@@ -361,18 +367,8 @@ class FsstCodec(Codec):
             covered[dest] = True
         out[~covered] = literals
 
-        blob = out.tobytes()
-        offsets = np.zeros(count + 1, dtype=np.int64)
-        np.cumsum(row_lens, out=offsets[1:])
-        mv = memoryview(blob)
-        res = np.empty(count, dtype=object)
-        if params["dtype"] == "bytes":
-            res[:] = [bytes(mv[offsets[i] : offsets[i + 1]]) for i in range(count)]
-        else:
-            res[:] = [
-                str(mv[offsets[i] : offsets[i + 1]], "utf-8") for i in range(count)
-            ]
-        return res
+        # rows reconstructed from (offsets, data) via Arrow — no per-row slice
+        return blob_to_varlen(out, row_lens, params["dtype"])
 
 
 FSST = register(FsstCodec())
