@@ -436,7 +436,10 @@ class _Compiler:
         (reference time/stampCompare, types.go:45-83): vs int = raw
         units; vs string = parsed literal truncated (integer-divided)
         to the unit; vs duration() = Go d/unit. Returns (col, other)."""
-        base = ltype.removesuffix("_ntz")
+        # tz-less columns compare identically in raw units; accept both
+        # the canonical prefix spelling (timestamp_ntz_<unit>) and the
+        # legacy suffix spelling (timestamp_<unit>_ntz)
+        base = ltype.removesuffix("_ntz").replace("timestamp_ntz_", "timestamp_")
         unit = self._UNIT_NS[base]
         if base.startswith("timestamp_") and base != "timestamp_ns":
             # Spark holds these as µs timestamps; compare in raw units

@@ -68,7 +68,10 @@ def _spark_field(f: pa.Field) -> T.StructField:
             f.name,
             T.TimestampType() if t.tz else T.TimestampNTZType(),
             True,
-            {"ltype": f"timestamp_{t.unit}" + ("" if t.tz else "_ntz")},
+            # canonical spelling is prefix-style timestamp_ntz_<unit>
+            # (matches engine.decode_blocks / sinks; filters normalizes
+            # both forms defensively)
+            {"ltype": ("timestamp_" if t.tz else "timestamp_ntz_") + t.unit},
         )
     return T.StructField(f.name, from_arrow_type(t), True)
 
@@ -87,19 +90,30 @@ def _arrow_out_type(f: pa.Field) -> pa.DataType:
 
 
 def _lower_batch(rb: pa.RecordBatch, out_schema: pa.Schema) -> pa.RecordBatch:
+    """Lower one batch onto the unified output schema, BY NAME.
+
+    Columns are matched by name (files may be column-reordered or
+    schema-evolved); a column absent from this file comes out all-null
+    — the same union-by-name semantics as Spark's mergeSchema.
+    """
     arrays = []
-    for i, f in enumerate(rb.schema):
-        col = rb.column(i)
-        lt = _lower_ltype(f.type)
+    for f_out in out_schema:
+        idx = rb.schema.get_field_index(f_out.name)
+        if idx < 0:
+            arrays.append(pa.nulls(rb.num_rows, type=f_out.type))
+            continue
+        col = rb.column(idx)
+        ft = rb.schema.field(idx).type
+        lt = _lower_ltype(ft)
         if lt is not None:
             # bit-reinterpret raw units (validity bitmap preserved),
             # then widen 32-bit time to int64
-            width32 = pa.types.is_time32(f.type)
+            width32 = pa.types.is_time32(ft)
             col = col.view(pa.int32() if width32 else pa.int64())
             if width32:
                 col = col.cast(pa.int64())
-        elif pa.types.is_timestamp(f.type):
-            col = col.cast(out_schema.field(i).type)
+        elif pa.types.is_timestamp(ft):
+            col = col.cast(f_out.type)
         arrays.append(col)
     return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
@@ -115,27 +129,80 @@ def list_parquet_files(path: str) -> list[str]:
     return sorted(out)
 
 
+# Up to this many files, footers are sniffed serially on the driver
+# (a footer read is ~1 ms of metadata). Past it, the sniff runs as a
+# Spark job — at 100k files a serial driver loop is minutes, and the
+# row-group counts ride along in the same job.
+_DRIVER_SNIFF_MAX = 64
+
+
+def _sniff_file(p: str) -> tuple[str, int, pa.Schema]:
+    """(path, num_row_groups, footer arrow schema) — metadata only."""
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(p)
+    return p, pf.metadata.num_row_groups, pf.schema_arrow
+
+
+def _field_fp(f: pa.Field) -> tuple[str, str, str]:
+    """Per-column semantic fingerprint: (name, engine ltype, out arrow
+    type). Two files may only be scanned together when every shared
+    column name agrees on BOTH — out type alone would let a
+    timestamp(ms) and timestamp(us) column (same µs out type, different
+    string-literal truncation unit) silently alias."""
+    sf = _spark_field(f)
+    lt = sf.metadata.get("ltype", "") if sf.metadata else ""
+    return (f.name, lt, str(_arrow_out_type(f)))
+
+
 def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read parquet with full temporal coverage (see module doc)."""
+    """Read parquet with full temporal coverage (see module doc).
+
+    Every file's footer is sniffed (distributed past _DRIVER_SNIFF_MAX
+    files): a directory mixing clean and TIME/ns files takes the arrow
+    path for ALL files, unified by name (mergeSchema semantics); a true
+    type conflict between files raises a clear error instead of a
+    positional misread mid-scan.
+    """
     paths = list_parquet_files(path)
     if not paths:
         return spark.read.parquet(path)  # let Spark raise its error
-    footer = pq.read_schema(paths[0])
-    if not needs_arrow_scan(footer):
+    if len(paths) <= _DRIVER_SNIFF_MAX:
+        infos = [_sniff_file(p) for p in paths]
+    else:
+        n_tasks = max(1, (len(paths) + 255) // 256)
+        infos = (
+            spark.sparkContext.parallelize(paths, n_tasks).map(_sniff_file).collect()
+        )
+    if not any(needs_arrow_scan(sch) for _, _, sch in infos):
         return spark.read.parquet(path)
 
-    out_spark = lowered_spark_schema(footer)
-    out_arrow = pa.schema(
-        [pa.field(f.name, _arrow_out_type(f)) for f in footer]
-    )
+    # unified output schema: union of columns by name, first-seen order;
+    # same name must carry the same (ltype, out type) in every file
+    fields: dict[str, tuple[tuple[str, str, str], pa.Field]] = {}
+    order: list[str] = []
+    for p, _, sch in infos:
+        for f in sch:
+            fp = _field_fp(f)
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = (fp, f)
+                order.append(f.name)
+            elif prev[0] != fp:
+                raise ValueError(
+                    f"scan_parquet: column {f.name!r} has conflicting types "
+                    f"across files: {prev[0]} (first seen) vs {fp} in {p}"
+                )
+    unified = pa.schema([fields[n][1] for n in order])
+    out_spark = lowered_spark_schema(unified)
+    out_arrow = pa.schema([pa.field(f.name, _arrow_out_type(f)) for f in unified])
 
-    # split at ROW-GROUP granularity (footer metadata only — no data
-    # read on the driver): one giant file still fans out. One
-    # partition per split, in (file, row-group) order → stable global
-    # row order.
+    # split at ROW-GROUP granularity (footer metadata only — already
+    # gathered by the sniff, no second pass): one giant file still fans
+    # out. One partition per split, in (file, row-group) order →
+    # stable global row order.
     splits: list[tuple[str, int]] = []
-    for p in paths:
-        n_rg = pq.ParquetFile(p).metadata.num_row_groups
+    for p, n_rg, _ in infos:
         splits.extend((p, g) for g in range(max(n_rg, 1)))
     rdd = spark.sparkContext.parallelize(splits, len(splits))
     splits_df = rdd.map(lambda s: (s[0], s[1])).toDF(["path", "row_group"])

@@ -124,6 +124,40 @@ def test_ns_stamp_rendering(stamps):
     ]
 
 
+def test_ntz_lowered_filters(spark, tmp_path):
+    """Round-3 ADVICE (high, live repro): tz-less ns parquet — the
+    pandas/pyarrow DEFAULT output — is tagged timestamp_ntz_ns, but
+    _coerce_raw only stripped a '_ntz' SUFFIX before the unit lookup,
+    so every comparison raised KeyError 'timestamp_ntz_ns'. Covers
+    lowered ns plus µs/ms ntz columns riding the same arrow scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1519266142123456789  # 2018-02-22T02:22:22.123456789Z
+    vals = [base - 10**9, base, base + 10**9]
+    tbl = pa.table(
+        {
+            "ns": pa.array(vals, type=pa.timestamp("ns")),
+            "us": pa.array([v // 1000 for v in vals], type=pa.timestamp("us")),
+            "ms": pa.array([v // 10**6 for v in vals], type=pa.timestamp("ms")),
+        }
+    )
+    path = str(tmp_path / "ntz.parquet")
+    pq.write_table(tbl, path)
+    df = scan_parquet(spark, path)
+    lts = {f.name: f.metadata.get("ltype") for f in df.schema.fields}
+    assert lts == {
+        "ns": "timestamp_ntz_ns",
+        "us": "timestamp_ntz_us",
+        "ms": "timestamp_ntz_ms",
+    }
+    assert where(df, f"ns < {base}").count() == 1
+    assert where(df, f"us == {base // 1000}").count() == 1
+    assert where(df, f"ms > {base // 10**6}").count() == 1
+    assert where(df, 'ns == "2018-02-22T02:22:22.123456789Z"').count() == 1
+    assert where(df, 'us > "2018-02-22T02:22:22.123456789Z"').count() == 1
+
+
 def test_clean_files_keep_native_scan(spark):
     """No temporal lowering needed → the plain Spark scan (pushdown,
     pruning, vectorized read) is untouched."""
@@ -131,6 +165,76 @@ def test_clean_files_keep_native_scan(spark):
     plan = df._jdf.queryExecution().toString()
     assert "FileScan parquet" in plan
     assert "mapInArrow" not in plan.lower()
+
+
+def test_mixed_directory_scan(spark, tmp_path):
+    """Round-3 gap: a directory mixing a clean file and a TIME file
+    used to sniff only the FIRST footer — alphabetical luck decided
+    between a native-scan crash and a positional misread. Now every
+    footer is sniffed and the union is by name (mergeSchema
+    semantics), with ltypes intact."""
+    import shutil
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    shutil.copy(f"{REF}/alphav.parquet", d / "a_clean.parquet")
+    shutil.copy(f"{REF}/times.parquet", d / "b_times.parquet")
+    df = scan_parquet(spark, str(d))
+    lts = {f.name: f.metadata.get("ltype") for f in df.schema.fields}
+    assert lts["ms"] == "time_ms" and lts["ns"] == "time_ns"
+    assert df.count() == 7 + 2
+    # clean-file rows carry nulls for the time columns; time rows null A
+    assert df.where("A is not null").count() == 7
+    assert where(df, "ns > 12345678").count() == 1
+
+
+def test_mixed_directory_conflict_raises(spark, tmp_path):
+    """Same column name with conflicting types across files must fail
+    loudly at plan time, not misread positionally mid-scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "conflict"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"x": pa.array([1, 2], type=pa.timestamp("ns"))}),
+        str(d / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"x": pa.array(["y"], type=pa.string())}), str(d / "b.parquet")
+    )
+    with pytest.raises(ValueError, match="conflicting types"):
+        scan_parquet(spark, str(d))
+
+
+def test_reordered_columns_matched_by_name(spark, tmp_path):
+    """Column order differing across files must not positionally
+    misread (round-3 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "reorder"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "t": pa.array([1], type=pa.timestamp("ns")),
+                "v": pa.array([10], type=pa.int64()),
+            }
+        ),
+        str(d / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "v": pa.array([20], type=pa.int64()),
+                "t": pa.array([2], type=pa.timestamp("ns")),
+            }
+        ),
+        str(d / "b.parquet"),
+    )
+    rows = {(r["t"], r["v"]) for r in scan_parquet(spark, str(d)).collect()}
+    assert rows == {(1, 10), (2, 20)}
 
 
 def test_arrow_scan_splits_per_row_group(spark, tmp_path):
