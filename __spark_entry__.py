@@ -293,6 +293,28 @@ def q_prune_decode(spark, sf):
     )
 
 
+def q_prune_decode_str(spark, sf):
+    """String zone-map pruned decode (r4): range-partition documents
+    by lang so partitions carry disjoint [zmin_s, zmax_s] string
+    bounds, prune on a lang range from block METADATA only, decode
+    survivors, apply the exact predicate. Equals a plain SQL range
+    filter."""
+    from parquetry_spark.engine import encode_preserve, prune_blocks
+
+    df = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "lang")
+        .repartitionByRange(8, "lang", "doc_id")
+    )
+    blocks = encode_preserve(df)
+    lo, hi = "de", "en"
+    pruned = prune_blocks(blocks, "lang", lo=lo, hi=hi)
+    dec = decode_blocks(pruned, ["doc_id", "lang"], {"doc_id": "int64", "lang": "str"})
+    return dec.filter((F.col("lang") >= lo) & (F.col("lang") <= hi)).select(
+        "doc_id", "lang"
+    )
+
+
 def q_token_count(spark, sf):
     df = _t(spark, sf, "documents")
     return df.select(
@@ -390,6 +412,26 @@ def q_ivf_topk(spark, sf):
     top = ivf_topk(assigned, cents, qv, k=10, n_probe=16)
     return top.select(
         "vec_id", F.floor(F.col("cosine") * 1e4).cast("long").alias("cos_u")
+    )
+
+
+def q_ivf_topk_batch(spark, sf):
+    """Batch IVF (r4): top-10 per query ROW of a 3-query DataFrame in
+    ONE plan (query-side broadcast-matmul cell assignment → cell join
+    → windowed top-k). Probing all cells makes it exact, so the
+    oracle is a per-query brute-force window in SQL."""
+    from parquetry_spark.similarity import ivf_topk_batch
+
+    df = _t(spark, sf, "embeddings")
+    assigned, cents = build_ivf(df, n_cells=16)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_topk_batch(assigned, cents, queries, k=10, n_probe=16)
+    return top.select(
+        "query_id",
+        "vec_id",
+        F.floor(F.col("cosine") * 1e4).cast("long").alias("cos_u"),
     )
 
 
@@ -508,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_manifest": q_encode_manifest,
         "encode_manifest_full": q_encode_manifest_full,
         "prune_decode": q_prune_decode,
+        "prune_decode_str": q_prune_decode_str,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -519,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_batch": q_ivf_topk_batch,
         "media_features": q_media_features,
         "temporal_render": q_temporal_render,
         "agg_pushdown": q_agg_pushdown,
@@ -808,6 +852,19 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) "
             "DESC, vec_id LIMIT 10"
         ),
+        "ivf_topk_batch": (
+            "SELECT query_id, vec_id, cos_u FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id,"
+            "    CAST(floor(list_cosine_similarity("
+            "      CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])"
+            "    ) * 1e4) AS BIGINT) AS cos_u,"
+            "    row_number() OVER (PARTITION BY q.vec_id"
+            "      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+            "        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn"
+            "  FROM embeddings e, "
+            "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q"
+            ") WHERE rn <= 10"
+        ),
         "ann_topk": (
             "SELECT vec_id, CAST(floor(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), "
@@ -873,6 +930,10 @@ def oracle_sql() -> dict[str, str]:
         "prune_decode": (
             "SELECT doc_id, lang FROM documents "
             "WHERE doc_id BETWEEN 100 AND 299"
+        ),
+        "prune_decode_str": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE lang >= 'de' AND lang <= 'en'"
         ),
         # structural manifest oracle: the column set and per-column row
         # coverage are engine-independent (every column appears; blocks

@@ -207,13 +207,47 @@ def _denormalize_arrow(vals: np.ndarray, notnull: np.ndarray, ltype: str) -> pa.
     return pa.array(scatter(_LTYPE_NP[ltype]), type=_LTYPE_PA[ltype], mask=mask)
 
 
+_ZTRUNC = 64  # parquet-style truncated string bounds
+
+
+def _str_bounds(vals: np.ndarray) -> dict[str, str]:
+    """Truncated string min/max (parquet ColumnIndex practice): zmin
+    is a prefix of the true min (a prefix is ≤ the full string, so
+    still a valid lower bound); zmax is the true max when short, else
+    the truncated prefix with its last code point bumped (every
+    string with that prefix sorts below the bump) — omitted when the
+    prefix can't be bumped. min/max computed C-side by Arrow.
+    Comparison orders agree engine-wide: Spark's UTF8String, DuckDB
+    and Python all compare UTF-8 strings bytewise, and UTF-8 byte
+    order equals code-point order."""
+    mm = pa.compute.min_max(pa.array(vals, type=pa.large_string()))
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    out = {"zmin_s": lo[:_ZTRUNC]}
+    if len(hi) <= _ZTRUNC:
+        out["zmax_s"] = hi
+    else:
+        t = hi[:_ZTRUNC]
+        for i in range(len(t) - 1, -1, -1):
+            cp = ord(t[i])
+            if cp < 0x10FFFF:
+                ncp = cp + 1
+                if 0xD800 <= ncp <= 0xDFFF:  # skip the surrogate gap
+                    ncp = 0xE000
+                out["zmax_s"] = t[:i] + chr(ncp)
+                break
+    return out
+
+
 def _zone_map(vals: np.ndarray) -> dict[str, str]:
     """Per-block min/max for scan pruning (classic zone maps /
     parquet column-chunk statistics). Integer-kind values (ints,
     raw-unit temporals, bools) store exact decimal strings under
     zmin_i/zmax_i; floats under zmin_f/zmax_f (skipped when NaN is
     present — NaN has no order, and a wrong bound silently drops
-    rows). Codec decoders ignore unknown params keys."""
+    rows); strings under zmin_s/zmax_s (truncated, see _str_bounds —
+    bytes blocks stay unmapped: params values are strings and a lossy
+    transcode could corrupt the bound). Codec decoders ignore unknown
+    params keys."""
     if vals.size == 0:
         return {}
     k = vals.dtype.kind
@@ -221,6 +255,8 @@ def _zone_map(vals: np.ndarray) -> dict[str, str]:
         return {"zmin_i": str(int(vals.min())), "zmax_i": str(int(vals.max()))}
     if k == "f" and not np.isnan(vals).any():
         return {"zmin_f": repr(float(vals.min())), "zmax_f": repr(float(vals.max()))}
+    if k == "O" and isinstance(vals[0], str):
+        return _str_bounds(vals)
     return {}
 
 
@@ -236,28 +272,46 @@ def prune_blocks(
     The filter runs on block METADATA (params map) — pruned
     partitions' payloads are never fetched or decoded, the columnar
     analogue of parquet row-group skipping. Blocks without a zone map
-    (strings, arrow_ipc fallback, all-null, NaN floats) are always
+    (bytes, arrow_ipc fallback, all-null, NaN floats) are always
     kept — pruning is an optimization, never a correctness filter.
     Integer bounds compare as decimal(38,0) (a double cast would
-    round ns-scale int64 at the boundary); float bounds as double.
+    round ns-scale int64 at the boundary); float bounds as double;
+    string bounds (str lo/hi) compare bytewise as plain strings. A
+    string block may carry zmin_s without zmax_s (un-bumpable
+    truncated max, _str_bounds) — its upper side is then
+    unbounded-conservative.
     """
     z = blocks.filter(F.col("column") == column)
+    str_probe = isinstance(lo, str) or isinstance(hi, str)
     zmin_i = F.element_at("params", F.lit("zmin_i")).cast(T.DecimalType(38, 0))
     zmax_i = F.element_at("params", F.lit("zmax_i")).cast(T.DecimalType(38, 0))
     zmin_f = F.element_at("params", F.lit("zmin_f")).cast("double")
     zmax_f = F.element_at("params", F.lit("zmax_f")).cast("double")
-    unmapped = zmin_i.isNull() & zmin_f.isNull()
+    zmin_s = F.element_at("params", F.lit("zmin_s"))
+    zmax_s = F.element_at("params", F.lit("zmax_s"))
+    unmapped = zmin_i.isNull() & zmin_f.isNull() & zmin_s.isNull()
     keep = F.lit(True)
     if lo is not None:
-        keep = keep & (
-            F.coalesce(zmax_i >= F.lit(lo).cast(T.DecimalType(38, 0)), F.lit(False))
-            | F.coalesce(zmax_f >= F.lit(float(lo)), F.lit(False))
-        )
+        if str_probe:
+            # zmax_s missing on a mapped string block → can't exclude
+            keep = keep & F.coalesce(zmax_s >= F.lit(lo), zmin_s.isNotNull())
+        else:
+            keep = keep & (
+                F.coalesce(
+                    zmax_i >= F.lit(lo).cast(T.DecimalType(38, 0)), F.lit(False)
+                )
+                | F.coalesce(zmax_f >= F.lit(float(lo)), F.lit(False))
+            )
     if hi is not None:
-        keep = keep & (
-            F.coalesce(zmin_i <= F.lit(hi).cast(T.DecimalType(38, 0)), F.lit(False))
-            | F.coalesce(zmin_f <= F.lit(float(hi)), F.lit(False))
-        )
+        if str_probe:
+            keep = keep & F.coalesce(zmin_s <= F.lit(hi), F.lit(False))
+        else:
+            keep = keep & (
+                F.coalesce(
+                    zmin_i <= F.lit(hi).cast(T.DecimalType(38, 0)), F.lit(False)
+                )
+                | F.coalesce(zmin_f <= F.lit(float(hi)), F.lit(False))
+            )
     kept_parts = z.filter(unmapped | keep).select("part_id")
     return blocks.join(kept_parts, "part_id", "left_semi")
 

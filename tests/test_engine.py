@@ -178,6 +178,73 @@ def test_zone_map_pruning(spark, pages):
     )
     want = pages.filter(F.unix_micros("warc_ts") >= mid)
     assert dec.count() == want.count()
-    # string columns carry no zone map but survive pruning via part_id
+    # a whole-range predicate keeps every block
     assert prune_blocks(blocks, "warc_ts", lo=gmin).count() == blocks.count()
     blocks.unpersist()
+
+
+def test_string_zone_map_pruning(spark, pages):
+    """String blocks carry truncated min/max bounds (zmin_s/zmax_s);
+    a string-range probe prunes partitions and the pruned decode +
+    exact filter equals the plain filter (r3 VERDICT #6)."""
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.engine import (
+        decode_blocks,
+        encode_table,
+        infer_ltypes,
+        prune_blocks,
+    )
+
+    from parquetry_spark.engine import encode_preserve
+
+    # range-partition by url so partitions hold disjoint url ranges
+    # (makes the prune observable, as host/range clustering does in
+    # the production layout)
+    df = pages.select("url", "lang").repartitionByRange(8, "url")
+    blocks = encode_preserve(df).cache()
+    zoned = [dict(r["params"]) for r in
+             blocks.filter(F.col("column") == "url").select("params").collect()]
+    assert all("zmin_s" in p for p in zoned)
+
+    # past the global max → everything pruned
+    gmax = max(p.get("zmax_s", "\U0010ffff") for p in zoned)
+    assert prune_blocks(blocks, "url", lo=gmax + "￿").count() == 0
+
+    gmin = min(p["zmin_s"] for p in zoned)
+    mid = sorted(p["zmin_s"] for p in zoned)[4]
+    pruned = prune_blocks(blocks, "url", lo=mid)
+    assert 0 < pruned.count() < blocks.count()
+    dec = decode_blocks(pruned, ["url", "lang"], infer_ltypes(df)).filter(
+        F.col("url") >= mid
+    )
+    want = df.filter(F.col("url") >= mid)
+    assert dec.count() == want.count()
+    assert prune_blocks(blocks, "url", lo=gmin).count() == blocks.count()
+    blocks.unpersist()
+
+
+def test_str_bounds_truncation():
+    """Truncated bounds stay valid: zmin prefix ≤ min, bumped zmax >
+    max; un-bumpable prefixes omit zmax."""
+    import numpy as np
+
+    from parquetry_spark.engine import _ZTRUNC, _str_bounds
+
+    long_lo = "a" * 200
+    long_hi = "b" * 200
+    arr = np.empty(2, dtype=object)
+    arr[:] = [long_lo, long_hi]
+    b = _str_bounds(arr)
+    assert len(b["zmin_s"]) == _ZTRUNC and long_lo >= b["zmin_s"]
+    assert len(b["zmax_s"]) <= _ZTRUNC and long_hi < b["zmax_s"]
+
+    arr2 = np.empty(2, dtype=object)
+    arr2[:] = ["a", "\U0010ffff" * 100]  # max code point — un-bumpable
+    b2 = _str_bounds(arr2)
+    assert b2["zmin_s"] == "a" and "zmax_s" not in b2
+
+    arr3 = np.empty(3, dtype=object)
+    arr3[:] = ["", "x\x00y", "x\x00z"]  # NUL-bearing bounds round-trip
+    b3 = _str_bounds(arr3)
+    assert b3["zmin_s"] == "" and b3["zmax_s"] == "x\x00z"
