@@ -28,6 +28,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from .dedup import cosine
 
@@ -186,3 +187,78 @@ def ivf_topk(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def ivf_topk_batch(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch IVF: top-k per ROW of a query DataFrame — the production
+    shape (a single Python query vector doesn't scale past ad-hoc use).
+
+    Query-side cell assignment reuses the same broadcast-centroid
+    matmul as the data side (one argpartition per Arrow batch → each
+    query explodes to its n_probe probe cells); the (query, cell)
+    pairs join the assigned table on `cell`, exact cosine runs only
+    within probed cells (JVM zip_with/aggregate — no Python per pair),
+    and a per-query window keeps the top k.
+
+    Scale: queries × n_probe rows cross the join — the join side is
+    small relative to the data and AQE broadcast-joins it when it fits
+    (no static hint: query sets can be arbitrarily large, and an
+    unconditional broadcast of an unbounded side is the exact failure
+    the r2 review flagged on dedup). Candidate volume is bounded by
+    the probed cells' sizes; per-query state never touches the driver.
+    """
+    n_cells = len(centroids)
+    dim = len(centroids[0][1])
+    C = np.zeros((n_cells, dim))
+    for i, v in centroids:
+        C[i] = v
+    npb = min(n_probe, n_cells)
+    bc = queries.sparkSession.sparkContext.broadcast(_unit_rows(C))
+
+    qsrc = queries.select(
+        F.col(q_id_col).alias("__qid"), F.col(q_vec_col).alias("__qvec")
+    )
+    out_schema = T.StructType(
+        list(qsrc.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def probe(batches):
+        Cm = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            V = _unit_rows(_vec_matrix(b.column(1), dim))
+            S = V @ Cm.T  # (n, n_cells)
+            idx = np.argpartition(-S, npb - 1, axis=1)[:, :npb]
+            rep = pa.array(np.repeat(np.arange(len(idx), dtype=np.int64), npb))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).take(rep),
+                    b.column(1).take(rep),
+                    pa.array(idx.ravel().astype(np.int32)),
+                ],
+                names=["__qid", "__qvec", "cell"],
+            )
+
+    probed = qsrc.mapInArrow(probe, out_schema)
+    scored = assigned.join(probed, "cell").select(
+        F.col("__qid").alias(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

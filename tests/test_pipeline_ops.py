@@ -197,6 +197,50 @@ def test_ivf_scales_to_256_cells(spark):
     assigned.unpersist()
 
 
+def test_ivf_topk_batch_probe_all_equals_brute(vectors):
+    """Batch IVF (r4): with probe-all, every query row's top-k must
+    equal its per-query brute-force top-k — and the batch runs as ONE
+    plan, not a driver loop over queries."""
+    from pyspark.sql import Row
+
+    from parquetry_spark.similarity import ivf_topk_batch
+
+    assigned, cents = build_ivf(vectors, n_cells=4)
+    assigned = assigned.cache()
+    qrows = vectors.orderBy("vec_id").limit(3).collect()
+    queries = vectors.sparkSession.createDataFrame(
+        [Row(query_id=r["vec_id"], embedding=r["embedding"]) for r in qrows]
+    )
+    got = ivf_topk_batch(
+        assigned, cents, queries, k=3, n_probe=4  # probe-all ≡ exact
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (-r["cosine"], r["vec_id"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for r in qrows:
+        exact = [
+            x["vec_id"]
+            for x in brute_force_topk(vectors, r["embedding"], k=3).collect()
+        ]
+        assert by_q[r["vec_id"]] == exact
+    assigned.unpersist()
+
+
+def test_ivf_topk_batch_partial_probe_recall(vectors):
+    """n_probe < n_cells still finds the query's own vector (its cell
+    is always the nearest probe)."""
+    from pyspark.sql import Row
+
+    from parquetry_spark.similarity import ivf_topk_batch
+
+    assigned, cents = build_ivf(vectors, n_cells=8)
+    queries = vectors.sparkSession.createDataFrame(
+        [Row(query_id=0, embedding=vectors.filter("vec_id = 0").first()["embedding"])]
+    )
+    got = ivf_topk_batch(assigned, cents, queries, k=3, n_probe=2).collect()
+    assert got and got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
+
+
 def test_ivf_cell_assignment_complete(vectors):
     """Every vector lands in exactly one valid cell."""
     assigned, cents = build_ivf(vectors, n_cells=16)
