@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -41,18 +42,63 @@ def _frac(units_frac: int, digits: int) -> str:
     return "." + f if f else ""
 
 
-def _fmt_stamp(units: int, unit: str) -> str:
-    """RFC3339 at stored precision, Go '.999…' trimming, UTC."""
+def loc_tz():
+    """Zone used for Loc (isAdjustedToUTC=false) rendering — the
+    reference formats these via Go `time.Local` (types.go:131-143:
+    `loc()` → time.Local; epochString types.go:46 converts the epoch
+    instant `.In(loc)`). SPARK_GRAFT_TZ overrides (e.g. for
+    deterministic tests); default is this process's local zone, which
+    is what the reference binary would use on the same host."""
+    name = os.environ.get("SPARK_GRAFT_TZ")
+    if name:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    return _dt.datetime.now().astimezone().tzinfo
+
+
+def _go_zone_suffix(local: _dt.datetime) -> str:
+    """Go 'Z07:00' layout element: 'Z' iff the offset is zero, else
+    ±hh:mm (offset seconds truncated, as Go renders)."""
+    total = int(local.utcoffset().total_seconds())
+    if total == 0:
+        return "Z"
+    sign = "+" if total >= 0 else "-"
+    h, m = divmod(abs(total) // 60, 60)
+    return f"{sign}{h:02d}:{m:02d}"
+
+
+def _fmt_stamp(units: int, unit: str, tz=None) -> str:
+    """RFC3339 at stored precision, Go '.999…' trimming. tz=None →
+    UTC leaf ('Z'); else the Loc path: epoch instant converted into
+    `tz` with Go's Z07:00 offset suffix (types.go:46)."""
     div, digits = _UNIT_DIV[unit], _UNIT_DIGITS[unit]
     sec, frac = divmod(units, div)
     dt = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(seconds=sec)
-    return dt.strftime("%Y-%m-%dT%H:%M:%S") + _frac(frac, digits) + "Z"
+    if tz is None:
+        return dt.strftime("%Y-%m-%dT%H:%M:%S") + _frac(frac, digits) + "Z"
+    local = dt.astimezone(tz)
+    return (
+        local.strftime("%Y-%m-%dT%H:%M:%S")
+        + _frac(frac, digits)
+        + _go_zone_suffix(local)
+    )
 
 
-def _fmt_time(units: int, unit: str) -> str:
-    """Time-of-day at stored precision (types.go:29-31 layouts)."""
+def _fmt_time(units: int, unit: str, tz=None) -> str:
+    """Time-of-day at stored precision (types.go:29-31 layouts).
+    Loc path mirrors the reference exactly: the EPOCH INSTANT is
+    converted into the zone and only the clock + offset render
+    (timeOnlyRFC3339* layouts) — so the wall clock shifts by the
+    zone's offset *at the 1970 epoch date*, exactly as Go does."""
     div, digits = _UNIT_DIV[unit], _UNIT_DIGITS[unit]
     sec, frac = divmod(units, div)
+    if tz is not None:
+        dt = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+            seconds=sec
+        )
+        local = dt.astimezone(tz)
+        return local.strftime("%H:%M:%S") + _frac(frac, digits) + _go_zone_suffix(local)
     sec %= 86400  # Go renders epoch+offset's TIME OF DAY: wraps at 24h
     h, rem = divmod(sec, 3600)
     m, s = divmod(rem, 60)
@@ -67,16 +113,18 @@ def _arrow_unit(t: pa.DataType) -> str:
     return t.unit  # 'ms' | 'us' | 'ns' (time32 is s/ms, time64 us/ns)
 
 
-def _render_value(v, t: pa.DataType, *, json_mode: bool):
+def _render_value(v, t: pa.DataType, *, json_mode: bool, tz=None):
     """One cell → Go %+v fragment (json_mode=False) or a JSON-ready
     python value (json_mode=True). Temporal ints arrive RAW (cast
-    upstream) so ns precision survives."""
+    upstream) so ns precision survives. `tz` is set for top-level Loc
+    (isAdjustedToUTC=false) temporal columns — nested temporals render
+    UTC (no golden exercises nested Loc)."""
     if v is None:
         return None if json_mode else "<nil>"
     if pa.types.is_timestamp(t):
-        return _fmt_stamp(int(v), _arrow_unit(t))
+        return _fmt_stamp(int(v), _arrow_unit(t), tz)
     if pa.types.is_time(t):
-        return _fmt_time(int(v), _arrow_unit(t))
+        return _fmt_time(int(v), _arrow_unit(t), tz)
     if pa.types.is_date(t):
         return _fmt_date(int(v))
     if pa.types.is_map(t):
@@ -143,21 +191,39 @@ def _range(head: int | None, tail: int | None, rows: int) -> tuple[int, int]:
     return start, stop
 
 
+def _loc_columns(path: str) -> set[str]:
+    """Top-level column names whose TIME/TIMESTAMP leaf has
+    isAdjustedToUTC=false — the flag lives only in the parquet footer
+    (arrow TIME types drop it; arrow timestamps keep tz but reading
+    the footer once covers both uniformly)."""
+    sch = pq.ParquetFile(path).schema
+    out = set()
+    for i in range(len(sch.names)):
+        col = sch.column(i)
+        leaf = str(col.logical_type).replace(" ", "")
+        if leaf.startswith(("Time(", "Timestamp(")) and "isAdjustedToUTC=false" in leaf:
+            out.add(col.path.split(".")[0])
+    return out
+
+
 def _read_rows(path: str, head: int | None, tail: int | None):
     tbl = pq.read_table(path)
     start, stop = _range(head, tail, tbl.num_rows)
     sliced = tbl.slice(start, max(stop - start, 0))
     raw = _raw_temporal_table(sliced)
-    return sliced.schema, raw.to_pylist()
+    loc_cols = _loc_columns(path)
+    tzmap = {n: loc_tz() for n in loc_cols} if loc_cols else {}
+    return sliced.schema, raw.to_pylist(), tzmap
 
 
 def cat_go(path: str, head: int | None = None, tail: int | None = None) -> str:
     """Go-text sink over one file (cat.txtar goldens)."""
-    schema, rows = _read_rows(path, head, tail)
+    schema, rows, tzmap = _read_rows(path, head, tail)
     out = []
     for row in rows:
         body = " ".join(
-            f"{_title(f.name)}:{_render_value(row[f.name], f.type, json_mode=False)}"
+            f"{_title(f.name)}:"
+            f"{_render_value(row[f.name], f.type, json_mode=False, tz=tzmap.get(f.name))}"
             for f in schema
         )
         out.append("{" + body + "}")
@@ -167,10 +233,15 @@ def cat_go(path: str, head: int | None = None, tail: int | None = None) -> str:
 def cat_jsonl(path: str, head: int | None = None, tail: int | None = None) -> str:
     """JSONL sink (to_jsonl.txtar / *.json goldens): original
     (lowercase) field names, HTML escaping off."""
-    schema, rows = _read_rows(path, head, tail)
+    schema, rows, tzmap = _read_rows(path, head, tail)
     out = []
     for row in rows:
-        obj = {f.name: _render_value(row[f.name], f.type, json_mode=True) for f in schema}
+        obj = {
+            f.name: _render_value(
+                row[f.name], f.type, json_mode=True, tz=tzmap.get(f.name)
+            )
+            for f in schema
+        }
         out.append(json.dumps(obj, ensure_ascii=False, separators=(",", ":")))
     return "\n".join(out) + ("\n" if out else "")
 

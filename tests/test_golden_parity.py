@@ -94,3 +94,46 @@ def test_meta_golden(fixture):
 def test_schema_logical_golden(fixture):
     got = logical_go(os.path.join(FIX, f"{fixture}.parquet"))
     assert got == SCHEMA[f"{fixture}.log"]
+
+
+def test_loc_stamp_rendering(tmp_path, monkeypatch):
+    """Loc (isAdjustedToUTC=false) stamps render in the local zone
+    with Go's Z07:00 offset suffix (reference types.go:46,131-143:
+    epoch instant `.In(time.Local)`). SPARK_GRAFT_TZ pins the zone
+    for determinism; the reference fixtures are all-UTC, so this is
+    the engine's own Loc fixture (r3 VERDICT #8)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setenv("SPARK_GRAFT_TZ", "Asia/Tokyo")  # +09:00, no DST
+    path = str(tmp_path / "loc.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "s": pa.array([1519266142123], type=pa.timestamp("ms")),
+                "u": pa.array(
+                    [1519266142123], type=pa.timestamp("ms", tz="UTC")
+                ),
+            }
+        ),
+        path,
+    )
+    got = cat_go(path)
+    # Loc column shifts to +09:00; the UTC column keeps 'Z'
+    assert got == "{S:2018-02-22T11:22:22.123+09:00 U:2018-02-22T02:22:22.123Z}\n"
+    assert cat_jsonl(path) == (
+        '{"s":"2018-02-22T11:22:22.123+09:00","u":"2018-02-22T02:22:22.123Z"}\n'
+    )
+
+
+def test_loc_rendering_negative_offset(tmp_path, monkeypatch):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setenv("SPARK_GRAFT_TZ", "America/New_York")  # -05:00 in Feb
+    path = str(tmp_path / "loc2.parquet")
+    pq.write_table(
+        pa.table({"s": pa.array([1519266142123456], type=pa.timestamp("us"))}),
+        path,
+    )
+    assert cat_go(path) == "{S:2018-02-21T21:22:22.123456-05:00}\n"
