@@ -67,7 +67,18 @@ def _pipeline(spark, path, args):
     df = scan_parquet(spark, path)
     if getattr(args, "stringify", True):
         df = stringify_binary(df)
-    df = head_tail(df, args.head, args.tail)
+    total = None
+    if args.tail is not None:  # tail forms need the table's row count:
+        # take it from footer METADATA (the reference's own source,
+        # pq footer NumRows) instead of a count() job over the data
+        import pyarrow.parquet as _pq
+
+        from .sources import list_parquet_files
+
+        total = sum(
+            _pq.ParquetFile(p).metadata.num_rows for p in list_parquet_files(path)
+        )
+    df = head_tail(df, args.head, args.tail, total_rows=total)
     if args.where:
         df = _where(df, args.where)  # filter on SOURCE schema
     if args.shape:

@@ -28,21 +28,32 @@ def head_tail(
     head: int | None = None,
     tail: int | None = None,
     order_by: str | list[str] | None = None,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Apply parquetry head/tail semantics.
 
     With order_by=None, uses plan order (limit/offset — cheap, exact
     for single-file scans; Catalyst pushes the limit into the scan).
     With order_by, uses a global row_number — deterministic at scale.
+
+    `total_rows`: the table's row count when the caller already knows
+    it from METADATA (parquet footers, Iceberg snapshot stats — the
+    reference's own source, its footer NumRows). Tail forms need the
+    count; without this hint they run a count() job per call, which
+    at 100 TB is a full scan that metadata answers for free.
     """
     if head is not None and tail is not None:
         raise ValueError("head and tail are exclusive")  # main.go:326-328
     if head is None and tail is None:
         return df
+
+    def _count() -> int:
+        return total_rows if total_rows is not None else df.count()
+
     if order_by is None:
         if head is not None:
             return df.limit(head) if head >= 0 else df.offset(-head)
-        n = df.count()
+        n = _count()
         if tail >= 0:
             return df.offset(max(n - tail, 0))
         return df.limit(max(n + tail, 0))
@@ -54,7 +65,7 @@ def head_tail(
     # Window would collapse to ONE partition — wrong at scale.)
     if head is not None:
         return ordered.limit(head) if head >= 0 else ordered.offset(-head)
-    n = df.count()
+    n = _count()
     if tail >= 0:
         return ordered.offset(max(n - tail, 0))
     return ordered.limit(max(n + tail, 0))

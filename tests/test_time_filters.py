@@ -237,6 +237,35 @@ def test_reordered_columns_matched_by_name(spark, tmp_path):
     assert rows == {(1, 10), (2, 20)}
 
 
+def test_many_files_distributed_sniff(spark, tmp_path):
+    """Past _DRIVER_SNIFF_MAX files the footer sniff runs as a Spark
+    job instead of a serial driver loop; results must be identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquetry_spark import sources
+
+    d = tmp_path / "many"
+    d.mkdir()
+    n_files = sources._DRIVER_SNIFF_MAX + 6
+    for i in range(n_files):
+        pq.write_table(
+            pa.table(
+                {
+                    "t": pa.array([i * 10, i * 10 + 1], type=pa.timestamp("ns")),
+                    "v": pa.array([i, i], type=pa.int64()),
+                }
+            ),
+            str(d / f"f{i:03d}.parquet"),
+        )
+    df = scan_parquet(spark, str(d))
+    assert df.count() == 2 * n_files
+    assert {f.metadata.get("ltype") for f in df.schema.fields if f.name == "t"} == {
+        "timestamp_ntz_ns"
+    }
+    assert df.agg({"v": "sum"}).first()[0] == 2 * sum(range(n_files))
+
+
 def test_arrow_scan_splits_per_row_group(spark, tmp_path):
     """A single multi-row-group file fans out across tasks (the
     native reader's split unit), and row order is preserved."""
