@@ -1,0 +1,86 @@
+"""Engine-level property test (r3 VERDICT #10): hypothesis-generated
+tables — ints/floats/strings with nulls, NaN payloads, ±0.0, embedded
+NULs, astral unicode — through the FULL distributed path
+(encode_table → blocks → decode_blocks) must come back bit-identical.
+This composes what the codec-level properties cannot see: validity
+bitmaps, zone-map params, the codec selector's fallback, the Spark
+createDataFrame/toArrow boundary.
+
+Each example is a real Spark job, so the example count is small and
+the session fixture is reused (hypothesis's function-scoped-fixture
+health check is suppressed deliberately: the session is
+session-scoped and stateless across examples).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquetry_spark.engine import decode_blocks, encode_table, infer_ltypes
+
+TEXT = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=0, max_codepoint=0x10FFFF, blacklist_categories=("Cs",)
+        ),
+        max_size=24,
+    ),
+)
+INTS = st.one_of(st.none(), st.integers(-(2**62), 2**62))
+FLOATS = st.one_of(
+    st.none(), st.floats(allow_nan=True, allow_infinity=True, width=64)
+)
+
+
+def _sorted_by_k(tbl: pa.Table) -> pa.Table:
+    return tbl.sort_by("k")
+
+
+def _assert_col_bit_identical(a: pa.ChunkedArray, b: pa.ChunkedArray, name: str):
+    a, b = a.combine_chunks(), b.combine_chunks()
+    assert a.is_null().to_pylist() == b.is_null().to_pylist(), f"{name}: validity"
+    av, bv = a.drop_null(), b.drop_null()
+    if pa.types.is_floating(a.type):
+        abits = [struct.pack("<d", x.as_py()) for x in av]
+        bbits = [struct.pack("<d", x.as_py()) for x in bv]
+        assert abits == bbits, f"{name}: float bits"
+    else:
+        assert av.to_pylist() == bv.to_pylist(), name
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(data=st.data())
+def test_engine_roundtrip_property(spark, data):
+    n = data.draw(st.integers(1, 50))
+    ints = data.draw(st.lists(INTS, min_size=n, max_size=n))
+    floats = data.draw(st.lists(FLOATS, min_size=n, max_size=n))
+    texts = data.draw(st.lists(TEXT, min_size=n, max_size=n))
+    src = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "i": pa.array(ints, pa.int64()),
+            "f": pa.array(floats, pa.float64()),
+            "t": pa.array(texts, pa.string()),
+        }
+    )
+    # pyspark 4 accepts a pa.Table directly — no pandas NaN/None conflation
+    df = spark.createDataFrame(src)
+    blocks = encode_table(df, n_parts=3, url_col=None, ts_col=None)
+    dec = decode_blocks(blocks, ["k", "i", "f", "t"], infer_ltypes(df))
+    got = _sorted_by_k(dec.toArrow())
+    want = _sorted_by_k(df.toArrow())
+    for col in ("i", "f", "t"):
+        _assert_col_bit_identical(want[col], got[col], col)
