@@ -11,8 +11,10 @@ BASELINE.md). Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "encode": {...}, "scaling": {...}}
 
-Subprocess mode (internal): bench.py --encode-only CORES ROWS
-prints one JSON line with the encode measurement at that core count.
+Subprocess modes (internal): `--encode-server CORES ROWS` — the
+persistent warm measurement leg the parent drives over stdin/stdout;
+`--encode-only CORES ROWS [BUDGET_S]` — one-shot leg for ad-hoc
+probes and the evidence scripts.
 
 Timing discipline: one untimed warm-up pass precedes every timed
 pass — this VM lazily faults memory pages on first touch (measured
@@ -46,13 +48,16 @@ def _sf_of(path: str) -> float:
 N_PARTS = 64  # SAME logical partitioning at both parallelism levels
 #               the scaling measure must vary only the core count
 
-WARMUPS = 3  # this VM faults fresh anon pages at ~10 MB/s and keeps
-#              improving through the first few passes (page cache +
-#              JIT + worker heap growth) — measured: run 4 of a cold
-#              session is still 2-3× faster than run 1
-TIMED = {"preserve": 3, "stage": 3, "host": 1}  # host (the shuffle
-#              layout) is reported but is never the scaling headline —
-#              one timed pass per leg keeps rounds short
+# Per-mode pass schedule for a scaling leg. Every pass is timed and
+# the best-of (excluding the always-cold first pass) is the estimate:
+# with strictly additive noise, "warm-up" vs "timed" is bookkeeping —
+# a pass is a pass — so the leg runs passes until its seconds budget,
+# a cap, or convergence, whichever first. Minimums guarantee ≥1 warm
+# + 1 counted pass per mode even on a slow box.
+PASS_CAP = {"preserve": 6, "stage": 5, "host": 3}
+PASS_MIN = {"preserve": 2, "stage": 2, "host": 2}
+# budget shares per mode (preserve/stage are the scaling headline)
+PASS_SHARE = {"preserve": 0.42, "stage": 0.36, "host": 0.22}
 ROUNDS = 4
 
 
@@ -101,6 +106,27 @@ def machine_ceiling(cores: int, seconds: float = 6.0) -> float:
     return sum(rates)
 
 
+def fault_probe_mb_s() -> float:
+    """Measure the VM's FRESH-page population rate (fault+zero) in a
+    throwaway subprocess — the single number that explains this
+    sandbox's slow phases: it swings between ~5 MB/s and >1 GB/s on a
+    tens-of-minutes cycle (hypervisor lazy restore). Recorded next to
+    every scaling pair so a reader can tell 'engine got slower' from
+    'the box was in a cold-fault phase'."""
+    code = (
+        "import time,numpy as np;t0=time.time();"
+        "a=np.ones(50_000_000,dtype=np.uint8);"
+        "print(50/(time.time()-t0))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=60
+        )
+        return round(float(out.stdout.strip()), 1)
+    except Exception:
+        return -1.0
+
+
 def bench_input_path(rows: int) -> str:
     return f"/tmp/spark_graft_bench_pages_{rows}_{SEED}"
 
@@ -124,19 +150,10 @@ def ensure_bench_input(rows: int) -> None:
     spark.stop()
 
 
-def encode_bench(cores: int, rows: int) -> dict:
-    """Measure the encode stage at one parallelism level (warm), in
-    both layouts:
-      host     — salt-partitioned + sorted (one shuffle): the
-                 ratio-optimal, resume-stable production layout;
-      preserve — zero-shuffle mapInArrow on input splits: the
-                 bandwidth-lean fast path (streaming micro-batches,
-                 backfills). Scaling of the codec engine itself.
-    Input: the shared uncompressed parquet table, read with 4 MB
-    splits — fat splits make each task allocate far past the
-    pre-faulted worker heap, and first-touch faults on this VM run at
-    ~10 MB/s (measured: 100 MB splits at 4 cores → 1 MB/s).
-    """
+def _encode_setup(cores: int, rows: int):
+    """Shared setup for a measurement leg at one parallelism level:
+    session, pre-faulted workers, warmed input, salt map, mode
+    runners. Returns (spark, run_mode, n_docs, in_bytes)."""
     from pyspark.sql import functions as F
 
     from parquetry_spark.engine import encode_preserve, encode_table
@@ -151,6 +168,11 @@ def encode_bench(cores: int, rows: int) -> dict:
             # 4 and 16 cores (53 splits left a 3.3-wave straggler tail)
             "spark.sql.files.maxPartitionBytes": "3145728",
             "spark.sql.files.openCostInBytes": "262144",
+            # measurement servers are SIGSTOPped while the other level
+            # samples — generous timeouts so a paused JVM is not
+            # declared dead on resume
+            "spark.network.timeout": "600s",
+            "spark.executor.heartbeatInterval": "60s",
         },
     )
     warm_python_workers(spark, 192)  # ≥ per-task FSST transient peak
@@ -166,16 +188,12 @@ def encode_bench(cores: int, rows: int) -> dict:
         ).alias("b")
     ).collect()[0]["b"]
 
-    # plan-time constant, computed once per dataset (untimed): the salt
-    # map — production runs record it in the manifest and reuse it
     from parquetry_spark.partitioning import salt_counts, sample_host_shares
 
-    salts = salt_counts(sample_host_shares(pages, "url", 0.05, n_parts=N_PARTS), N_PARTS)
+    salts = salt_counts(
+        sample_host_shares(pages, "url", 0.05, n_parts=N_PARTS), N_PARTS
+    )
 
-    # "stage" mode: the pure encode stage — same kernel, same shuffle-
-    # free layout, but emitting only (rows, kernel_sec) per block set,
-    # isolating codec work from block-payload transfer/IO. Clean
-    # supplementary evidence of kernel scaling on a noisy box.
     from parquetry_spark.engine import _make_encode_kernel
 
     inner = _make_encode_kernel([c for c in pages.columns], sort_cols=[])
@@ -193,8 +211,10 @@ def encode_bench(cores: int, rows: int) -> dict:
             )
             inner(tbl)
             yield pa.record_batch(
-                {"rows": pa.array([batch.num_rows], pa.int64()),
-                 "kernel_sec": pa.array([time.time() - t0], pa.float64())}
+                {
+                    "rows": pa.array([batch.num_rows], pa.int64()),
+                    "kernel_sec": pa.array([time.time() - t0], pa.float64()),
+                }
             )
 
     def run_mode(mode: str):
@@ -205,31 +225,99 @@ def encode_bench(cores: int, rows: int) -> dict:
         elif mode == "preserve":
             blocks = encode_preserve(pages)
         else:  # stage
-            res = pages.mapInArrow(stage_kernel, "rows long, kernel_sec double").collect()
+            pages.mapInArrow(stage_kernel, "rows long, kernel_sec double").collect()
             return int(in_bytes), int(in_bytes)
         agg = blocks.agg(
             F.sum("in_bytes").alias("i"), F.sum("out_bytes").alias("o")
         ).collect()[0]
         return agg["i"], agg["o"]
 
+    return spark, run_mode, n_docs, in_bytes
+
+
+def encode_server(cores: int, rows: int) -> int:
+    """Persistent measurement leg (internal: bench.py --encode-server
+    CORES ROWS). Performs setup ONCE, prints a ready line, then serves
+    `pass <mode>` commands on stdin — one timed encode pass per
+    command, one JSON line per result — until `quit`/EOF. The parent
+    alternates commands between two levels, so every second of the
+    wall budget buys a SAMPLE instead of repeated session/warm/salt
+    setup (the old per-round subprocess paid ~50 s setup per leg per
+    round)."""
+    spark, run_mode, n_docs, in_bytes = _encode_setup(cores, rows)
+    print(
+        json.dumps(
+            {"ready": True, "cores": cores, "docs": n_docs, "input_bytes": int(in_bytes)}
+        ),
+        flush=True,
+    )
+    for line in sys.stdin:
+        cmd = line.strip().split()
+        if not cmd or cmd[0] == "quit":
+            break
+        if cmd[0] == "pass" and len(cmd) == 2 and cmd[1] in PASS_SHARE:
+            t0 = time.time()
+            ib, ob = run_mode(cmd[1])
+            print(
+                json.dumps(
+                    {
+                        "mode": cmd[1],
+                        "sec": round(time.time() - t0, 3),
+                        "ib": int(ib),
+                        "ob": int(ob),
+                    }
+                ),
+                flush=True,
+            )
+        else:
+            print(json.dumps({"error": f"bad command {line.strip()!r}"}), flush=True)
+    spark.stop()
+    return 0
+
+
+def encode_bench(cores: int, rows: int, leg_budget: float = 180.0) -> dict:
+    """Measure the encode stage at one parallelism level (warm), in
+    both layouts:
+      host     — salt-partitioned + sorted (one shuffle): the
+                 ratio-optimal, resume-stable production layout;
+      preserve — zero-shuffle mapInArrow on input splits: the
+                 bandwidth-lean fast path (streaming micro-batches,
+                 backfills). Scaling of the codec engine itself.
+    Input: the shared uncompressed parquet table, read with 4 MB
+    splits — fat splits make each task allocate far past the
+    pre-faulted worker heap, and first-touch faults on this VM run at
+    ~10 MB/s (measured: 100 MB splits at 4 cores → 1 MB/s).
+
+    One-shot form (--encode-only), kept for ad-hoc probes and the
+    scaling-evidence scripts; the main harness drives the persistent
+    --encode-server form instead.
+    """
+    spark, run_mode, n_docs, in_bytes = _encode_setup(cores, rows)
     out: dict = {"cores": cores, "docs": n_docs, "input_bytes": int(in_bytes)}
-    for mi, mode in enumerate(("preserve", "stage", "host")):
-        # warm-ups: page-in worker heaps to peak (hypervisor lazy
-        # faults), JIT codegen, shuffle files — see module docstring;
-        # workers stay warm across modes, so later modes warm less
-        for _ in range(WARMUPS if mi == 0 else 1):
-            run_mode(mode)
-        best = None
-        samples = []
-        for _ in range(TIMED[mode]):  # best-of-TIMED × alternated parent
-            # rounds (khugepaged noise on this VM is strictly
-            # additive: nothing makes a run spuriously FAST, so the
-            # minimum is the estimator of true throughput)
+    # Budgeted pass schedule (see PASS_* above): each mode gets a slice
+    # of the leg budget; within it, passes run until cap/deadline, all
+    # timed, estimate = min over passes after the first (the first pass
+    # of a mode still pages in worker heaps / JIT — on this VM cold
+    # first-touch faults run ~10 MB/s). Session setup above is outside
+    # the budget; the parent sizes its subprocess timeout accordingly.
+    t_modes0 = time.time()
+    cum = 0.0
+    for mode in ("preserve", "stage", "host"):
+        cum += PASS_SHARE[mode]
+        mode_deadline = t_modes0 + leg_budget * cum
+        samples: list[float] = []
+        while True:
             t0 = time.time()
             ib, ob = run_mode(mode)
             dt = time.time() - t0
             samples.append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
+            if len(samples) >= PASS_CAP[mode]:
+                break
+            if len(samples) >= PASS_MIN[mode] and (
+                time.time() + dt * 0.9 > mode_deadline
+            ):
+                break
+        best = min(samples[1:]) if len(samples) > 1 else samples[0]
         out[mode] = {
             "samples_sec": samples,
             "encoded_in_bytes": int(ib),
@@ -262,30 +350,87 @@ HEADLINE = [
 def main() -> int:
     if len(sys.argv) >= 2 and sys.argv[1] == "--encode-only":
         cores, rows = int(sys.argv[2]), int(sys.argv[3])
-        print(json.dumps(encode_bench(cores, rows)))
+        leg_budget = float(sys.argv[4]) if len(sys.argv) > 4 else 180.0
+        print(json.dumps(encode_bench(cores, rows, leg_budget)))
         return 0
+    if len(sys.argv) >= 2 and sys.argv[1] == "--encode-server":
+        return encode_server(int(sys.argv[2]), int(sys.argv[3]))
+
+    import signal
 
     import __spark_entry__ as entrymod
     from parquetry_spark.session import get_spark
 
     sf = _sf_of(SF_DIR)
 
-    # scaling FIRST (before the headline session churns memory): the
-    # same encode job (identical input, identical N_PARTS logical
-    # partitions) at N=4 and 4N=16 cores, separate JVMs, two
-    # alternated rounds, best per level — kernel-compaction noise on
-    # this VM is bursty in time, so alternation gives both levels a
-    # shot at quiet windows. local[4]/local[16] rather than 8/32
-    # because this VM's aggregate CPU throughput collapses past ~16
-    # concurrent runnable threads (pure-numpy multiprocessing probe:
-    # 26.8 tasks/s at 8 procs, 48.5 at 16, 29.3 at 32) — 32 "vCPUs"
-    # are hypervisor-throttled and would measure the box, not the
-    # engine.
-    # sized so parallel compute dominates per-job fixed overhead
-    # (~1.5 s session/plan/collect): at 60k docs that overhead was 40%
-    # of the 16-core wall and capped measured efficiency at ~0.6
-    rows = max(int(1_200_000 * sf), 4000)
-    ensure_bench_input(rows)  # one shared uncompressed-parquet input
+    # HARD wall-clock budget (round-3 driver bench died at rc=124 with
+    # the JSON printed only at the very end — all evidence lost). The
+    # JSON line is now emitted with whatever completed when the budget
+    # expires, and a SIGTERM/SIGINT from the harness flushes the
+    # partial result instead of dying silent.
+    t_start = time.time()
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    deadline = t_start + budget
+
+    result: dict = {
+        "metric": "headline query wall time + encode scaling",
+        "value": -1.0,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "encode": {},
+        "scaling": {},
+        "budget_s": budget,
+    }
+    emitted = False
+
+    def _emit(partial: bool) -> None:
+        nonlocal emitted
+        if emitted:
+            return
+        emitted = True
+        if partial:
+            result["partial"] = True
+        result["elapsed_s"] = round(time.time() - t_start, 1)
+        try:
+            _write_bench_md(result)
+        except Exception as exc:  # md is reporting, never block the JSON
+            print(f"BENCH/BASELINE.md write failed: {exc}", file=sys.stderr)
+        print(json.dumps(result))
+        sys.stdout.flush()
+
+    def _on_term(signum, frame):
+        _emit(partial=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    # ---- headline queries FIRST: the primary perf artifact ----
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    qs = entrymod.queries()
+    times: dict[str, float] = result["queries"]
+    for name in HEADLINE:
+        if time.time() > deadline - 30:
+            print(f"budget: skipping headline from {name} on", file=sys.stderr)
+            break
+        try:
+            fn = qs[name]
+            fn(spark, SF_DIR).count()  # warm-up pass
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # never lose the JSON line
+            print(f"headline {name} failed: {exc}", file=sys.stderr)
+            times[name] = -1.0
+    spark.stop()
+    result["value"] = round(sum(t for t in times.values() if t > 0), 3)
+
+    # ---- encode scaling at two parallelism levels ----
+    # The same encode job (identical input, identical N_PARTS logical
+    # partitions) at N and 4N cores, separate JVMs, alternated rounds,
+    # best per level — kernel-compaction noise on this VM is bursty in
+    # time, so alternation gives both levels a shot at quiet windows.
     # N=2 (legs at local[2] / local[8]): BOTH legs must sit under this
     # VM's ~16-runnable-thread throughput cliff. A local[16] leg runs
     # 16 task threads + 16 python workers + JVM service threads
@@ -297,119 +442,295 @@ def main() -> int:
     # processes (no JVM, no workers) score 0.95+ even at 4→16 —
     # exactly the signature of per-process thread overhead tipping
     # the wider leg over the cliff.
+    # sized so parallel compute dominates per-job fixed overhead
+    # (~1.5 s session/plan/collect): at 60k docs that overhead was 40%
+    # of the 16-core wall and capped measured efficiency at ~0.6
+    rows = max(int(1_200_000 * sf), 4000)
     scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    try:
+        ensure_bench_input(rows)  # one shared uncompressed-parquet input
+    except Exception as exc:
+        print(f"bench input generation failed: {exc}", file=sys.stderr)
+        _emit(partial=True)
+        return 0
 
-    # machine calibration FIRST (quiet box): the VM's own parallel
+    # machine calibration (quiet box, ~25 s): the VM's own parallel
     # ceiling on independent numpy processes — the upper bound any
     # engine can reach here. Two alternated rounds, best per level.
-    ceiling = {}
-    for _ in range(2):
-        for c in (scale_n, 4 * scale_n):
-            r = machine_ceiling(c)
-            ceiling[c] = max(ceiling.get(c, 0.0), r)
-    ceiling_eff = round(ceiling[4 * scale_n] / (4 * ceiling[scale_n]), 3)
+    ceiling: dict[int, float] = {}
+    if time.time() < deadline - 60:
+        for _ in range(2):
+            for c in (scale_n, 4 * scale_n):
+                r = machine_ceiling(c)
+                ceiling[c] = max(ceiling.get(c, 0.0), r)
+    if ceiling:
+        result["scaling"]["machine_ceiling"] = {
+            "work_per_s_N": round(ceiling[scale_n], 2),
+            "work_per_s_4N": round(ceiling[4 * scale_n], 2),
+            "efficiency_N_to_4N": round(
+                ceiling[4 * scale_n] / (4 * ceiling[scale_n]), 3
+            ),
+        }
 
-    scaling = {}
+    # ---- persistent measurement servers: one per level ----
+    # Setup (session + worker pre-fault + input warm + salt map,
+    # ~50 s/leg) is paid ONCE per level; from then on every second of
+    # the wall budget buys a timed SAMPLE. The parent strictly
+    # alternates sample requests between the two levels, so both see
+    # the same noise windows (this VM's throughput oscillates on a
+    # minutes timescale — kernel compaction debt), and runs until the
+    # budget margin: a TARGET-AGNOSTIC stopping rule (r3 ADVICE — never
+    # stop on the pass bar itself; with strictly additive noise,
+    # best-of-N only converges toward true throughput from below).
+    import queue as _queue
+    import threading
 
-    def _one_scaling_round() -> None:
-        for cores in (scale_n, 4 * scale_n):
+    class _Server:
+        def __init__(self, cores: int):
+            self.cores = cores
+            self.alive = True
+            self.info: dict | None = None
+            self.samples: dict[str, list[dict]] = {m: [] for m in PASS_SHARE}
+            self.p = subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "bench.py"),
+                    "--encode-server",
+                    str(cores),
+                    str(rows),
+                ],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                bufsize=1,
+                start_new_session=True,  # own pgid → pause/resume the
+                # whole tree (python + JVM + workers) with one killpg
+            )
+            self.q: _queue.Queue = _queue.Queue()
+            threading.Thread(target=self._pump, daemon=True).start()
+
+        def pause(self):
+            # an IDLE warm Spark deployment is not free on this VM:
+            # its JVM service threads + workers push total runnable
+            # threads past the ~16-thread throughput cliff (measured:
+            # 8-core passes 9 s alone vs 70 s with a second warm
+            # server resident). SIGSTOP the whole tree between turns.
+            if self.alive:
+                try:
+                    os.killpg(self.p.pid, signal.SIGSTOP)
+                except Exception:
+                    pass
+
+        def resume(self):
+            if self.alive:
+                try:
+                    os.killpg(self.p.pid, signal.SIGCONT)
+                except Exception:
+                    pass
+
+        def _pump(self):
             try:
-                out = subprocess.run(
-                    [sys.executable, os.path.join(REPO, "bench.py"), "--encode-only", str(cores), str(rows)],
-                    capture_output=True,
-                    text=True,
-                    timeout=1800,
-                )
-                res = json.loads(out.stdout.strip().splitlines()[-1])
-            except Exception as exc:  # never lose the JSON line
-                print(f"scaling leg local[{cores}] failed: {exc}", file=sys.stderr)
-                continue
-            key = f"local[{cores}]"
-            if key not in scaling:
-                scaling[key] = res
-            else:
-                for mode in ("host", "preserve", "stage"):
-                    if res[mode]["mb_per_sec"] > scaling[key][mode]["mb_per_sec"]:
-                        scaling[key][mode] = res[mode]
+                for line in self.p.stdout:
+                    self.q.put(line)
+            except Exception:
+                pass
+            self.q.put(None)
 
-    def _best_eff(mode: str) -> float:
-        try:
-            lo = scaling[f"local[{scale_n}]"][mode]["mb_per_sec"]
-            hi = scaling[f"local[{4 * scale_n}]"][mode]["mb_per_sec"]
-            return hi / (4 * lo)
-        except KeyError:
-            return 0.0
+        def _get(self, timeout: float):
+            try:
+                line = self.q.get(timeout=timeout)
+            except _queue.Empty:
+                return None
+            if line is None:
+                return None
+            try:
+                return json.loads(line)
+            except Exception:
+                return {}
 
-    for _round in range(ROUNDS):  # alternated rounds: the box's
-        # throughput oscillates on a minutes timescale (compaction debt)
-        _one_scaling_round()
-    # adaptive extension: the noise on this VM is strictly ADDITIVE
-    # (documented in BASELINE.md — nothing makes a pass spuriously
-    # fast), so best-of-N converges to true throughput from below and
-    # more rounds only improve the estimate. If a compaction-storm
-    # window depressed the fixed rounds (observable: the machine
-    # ceiling itself drops), run up to EXTRA_ROUNDS more, stopping as
-    # soon as the shuffle-free layouts clear the bar with margin.
-    EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_EXTRA_ROUNDS", "4"))
-    for _ in range(EXTRA_ROUNDS):
-        if (
-            _best_eff("preserve") >= 0.82
-            and _best_eff("stage") >= 0.82
-            and _best_eff("host") >= 0.82
-        ):
+        def wait_ready(self, timeout: float) -> bool:
+            t_end = time.time() + timeout
+            while True:
+                res = self._get(max(t_end - time.time(), 0.1))
+                if res is None:
+                    self.kill()
+                    return False
+                if isinstance(res, dict) and res.get("ready"):
+                    self.info = res
+                    return True
+                # skip stray stdout lines until the ready record
+
+        def request(self, mode: str, timeout: float):
+            try:
+                self.p.stdin.write(f"pass {mode}\n")
+                self.p.stdin.flush()
+            except Exception:
+                self.kill()
+                return None
+            t_end = time.time() + timeout
+            while True:
+                res = self._get(max(t_end - time.time(), 0.1))
+                if res is None:
+                    # a lost/late response would desync request/response
+                    # pairing — kill rather than mis-attribute samples
+                    self.kill()
+                    return None
+                if isinstance(res, dict) and ("sec" in res or "error" in res):
+                    break
+                # non-protocol stdout line (stray log) — skip it
+            if "sec" in res and res.get("mode") == mode:
+                self.samples[mode].append(res)
+            return res
+
+        def kill(self):
+            self.alive = False
+            try:  # a stopped tree cannot process SIGKILL's reaping —
+                # continue it first, then kill the WHOLE group (killing
+                # only the python parent would orphan a live JVM)
+                os.killpg(self.p.pid, signal.SIGCONT)
+            except Exception:
+                pass
+            try:
+                os.killpg(self.p.pid, signal.SIGKILL)
+            except Exception:
+                pass
+
+        def close(self):
+            if not self.alive:
+                return
+            try:
+                self.p.stdin.write("quit\n")
+                self.p.stdin.flush()
+                self.p.wait(timeout=20)
+            except Exception:
+                self.kill()
+
+    levels = (scale_n, 4 * scale_n)
+    servers = {}
+    for c in levels:  # serialized startup: two concurrent setups would
+        # cross the thread cliff and crawl; each server is paused the
+        # moment it reports ready
+        servers[c] = _Server(c)
+        if not servers[c].wait_ready(max(deadline - time.time(), 120.0)):
+            print(f"scaling server local[{c}] failed to start", file=sys.stderr)
+        else:
+            servers[c].pause()
+
+    # PAIRED sampling: for each mode, one pass at N immediately
+    # followed by one at 4N — the two legs of a pair share the same
+    # noise window (this box's byte-path throughput swings 4-8× on a
+    # ~10-minute cycle, measured across rehearsal runs; a ratio of
+    # samples from different phases is meaningless, a ratio within
+    # one window is robust — including the cold-first-pass pair,
+    # where both legs are equally cold). Efficiency is later taken
+    # from the pair with the best COMBINED speed (the quietest
+    # window): selection by speed, never by the efficiency value
+    # itself — target-agnostic (r3 ADVICE).
+    # even rotation: ~3 pairs per mode fit a default budget, and each
+    # mode's FIRST pair is cold (both legs equally) — the best pair is
+    # only meaningful once a mode has a warm second pair
+    base_cycle = ["preserve", "stage", "host"]
+    # rotate the starting mode each cycle: one 3-pair cycle spans
+    # roughly one of this box's ~10-minute noise periods, so a fixed
+    # order would pin each mode to the same phase position every time
+    schedule = [
+        base_cycle[(i + rot) % 3]
+        for rot in range(3)
+        for i in range(3)
+    ]
+    MAX_PAIRS = 8
+    margin = 40.0
+    pairs: dict[str, list[tuple[float, float]]] = {m: [] for m in PASS_SHARE}
+    probes: list[float] = [fault_probe_mb_s()]
+    est: dict[tuple[int, str], float] = {}
+    k = 0
+    while all(s.alive for s in servers.values()):
+        mode = schedule[k % len(schedule)]
+        k += 1
+        if len(pairs[mode]) >= MAX_PAIRS:
+            if all(len(p) >= MAX_PAIRS for p in pairs.values()):
+                break
+            continue
+        e_total = est.get((levels[0], mode), 60.0) + est.get((levels[1], mode), 25.0)
+        if time.time() + e_total > deadline - margin:
             break
-        _one_scaling_round()
-    eff = {}
+        pair = []
+        for c in levels:
+            s = servers[c]
+            e = est.get((c, mode), 45.0)
+            s.resume()
+            t_out = min(600.0, max(150.0, 5 * e), deadline - time.time() + 60.0)
+            res = s.request(mode, timeout=t_out)
+            s.pause()
+            if res and "sec" in res:
+                est[(c, mode)] = res["sec"]
+                pair.append(res["sec"])
+        if len(pair) == 2:
+            pairs[mode].append((pair[0], pair[1]))
+            probes.append(fault_probe_mb_s())
+
+    scaling: dict[str, dict] = {}
+    for c in levels:
+        s = servers[c]
+        s.resume()
+        s.close()
+        if not s.info:
+            continue
+        entry: dict = {
+            "cores": c,
+            "docs": s.info["docs"],
+            "input_bytes": s.info["input_bytes"],
+        }
+        for m in PASS_SHARE:
+            ss = s.samples[m]
+            if not ss:
+                continue
+            secs = [x["sec"] for x in ss]
+            # first sample is always cold (worker heap/JIT) — skip it
+            best = min(secs[1:]) if len(secs) > 1 else secs[0]
+            ib, ob = ss[-1]["ib"], ss[-1]["ob"]
+            entry[m] = {
+                "samples_sec": secs,
+                "encoded_in_bytes": ib,
+                "encoded_out_bytes": ob,
+                "ratio": round(ib / max(ob, 1), 4),
+                "sec": round(best, 3),
+                "mb_per_sec": round(s.info["input_bytes"] / 1e6 / best, 2),
+                "docs_per_sec": round(s.info["docs"] / best, 1),
+            }
+        scaling[f"local[{c}]"] = entry
+
     for mode in ("host", "preserve", "stage"):
         try:
             thr_n = scaling[f"local[{scale_n}]"][mode]["mb_per_sec"]
             thr_4n = scaling[f"local[{4 * scale_n}]"][mode]["mb_per_sec"]
-            eff[mode] = {
+            entry = {
                 "throughput_mb_s_N": thr_n,
                 "throughput_mb_s_4N": thr_4n,
-                "efficiency_N_to_4N": round(thr_4n / (4 * thr_n), 3),
             }
+            if pairs[mode]:
+                # efficiency from the quietest window (fastest pair by
+                # combined normalized work) — see sampling comment
+                sN, s4 = min(pairs[mode], key=lambda p: p[0] + 4 * p[1])
+                entry["efficiency_N_to_4N"] = round(sN / (4 * s4), 3)
+                entry["pair_used"] = {"sec_N": sN, "sec_4N": s4}
+                entry["pairs"] = [[a, b] for a, b in pairs[mode]]
+            else:  # fallback: unpaired best-of ratio
+                entry["efficiency_N_to_4N"] = round(thr_4n / (4 * thr_n), 3)
+                entry["method"] = "unpaired"
+            result["scaling"][mode] = entry
         except KeyError:
-            eff[mode] = {"error": "scaling leg missing"}
-
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
-    qs = entrymod.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        try:
-            fn = qs[name]
-            fn(spark, SF_DIR).count()  # warm-up pass
-            t0 = time.time()
-            fn(spark, SF_DIR).count()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # never lose the JSON line
-            print(f"headline {name} failed: {exc}", file=sys.stderr)
-            times[name] = -1.0
-    spark.stop()
-
-    total = round(sum(times.values()), 3)
-    result = {
-        "metric": "headline query wall time + encode scaling",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-        "encode": scaling[f"local[{4 * scale_n}]"],
-        "scaling": {
-            "N": scale_n,
-            **eff,
-            "machine_ceiling": {
-                "work_per_s_N": round(ceiling[scale_n], 2),
-                "work_per_s_4N": round(ceiling[4 * scale_n], 2),
-                "efficiency_N_to_4N": ceiling_eff,
-            },
-        },
+            result["scaling"][mode] = {"error": "scaling leg missing"}
+    result["scaling"]["N"] = scale_n
+    result["scaling"]["fault_probe_mb_s"] = probes
+    result["scaling"]["samples_per_leg"] = {
+        f"local[{c}]": {m: len(servers[c].samples[m]) for m in PASS_SHARE}
+        for c in levels
     }
-    try:
-        _write_bench_md(result)
-    except Exception as exc:  # md is reporting, never block the JSON
-        print(f"BENCH/BASELINE.md write failed: {exc}", file=sys.stderr)
-    print(json.dumps(result))
+    result["encode"] = scaling.get(f"local[{4 * scale_n}]", {})
+
+    _emit(partial=False)
     return 0
 
 
@@ -420,8 +741,12 @@ def _write_bench_md(r: dict) -> None:
     md = [
         "# BENCH — measured numbers (deterministic synthetic pages table, seed=42)",
         "",
-        f"sf dir: `{SF_DIR}` (sf={r['sf']}); encode input docs: {e['docs']}, "
-        f"input bytes: {e['input_bytes']}",
+        f"sf dir: `{SF_DIR}` (sf={r['sf']})"
+        + (
+            f"; encode input docs: {e['docs']}, input bytes: {e['input_bytes']}"
+            if e
+            else ""
+        ),
         "",
         f"## Encode throughput at two parallelism levels (N={n} vs 4N={4 * n})",
         "",
@@ -430,13 +755,27 @@ def _write_bench_md(r: dict) -> None:
         " mapInArrow on input splits (codec engine proper). Input: one"
         " shared uncompressed-parquet table, 3 MB splits (~64 tasks ="
         " whole waves at both levels), identical at both levels; per"
-        f" level = best of {ROUNDS}+ alternated subprocess rounds ×"
-        " best-of-3 timed passes after 3 warm-ups, with up to 4 extra"
-        " alternated rounds when a compaction-storm window depressed"
-        " the fixed rounds (noise on this VM is strictly additive —"
-        " nothing makes a pass spuriously FAST — so best-of-N"
-        " converges to true throughput from below and extending N is"
-        " sound; see Timing discipline).",
+        f" level = {s.get('samples_per_leg', '?')} samples served by"
+        " a PERSISTENT warm measurement server per level (setup —"
+        " session, worker pre-fault, input warm, salt map — paid once;"
+        " the idle server is SIGSTOPped during the other's turn: its"
+        " JVM service threads + workers would push total runnable"
+        " threads past this VM's ~16-thread cliff — measured 9 s vs"
+        " 70 s for the same pass). Samples come in PAIRS: one N pass"
+        " immediately followed by one 4N pass, because this box's"
+        " byte-path throughput swings 4-8× on a ~10-minute cycle"
+        " (measured across rehearsals) — a ratio across phases is"
+        " meaningless, a ratio within one window is robust (a cold"
+        " pair is cold on BOTH legs). Reported efficiency = the pair"
+        " with the best COMBINED speed, i.e. the quietest window —"
+        " selection by speed, never by the efficiency value itself"
+        " (target-agnostic); throughputs = best-of over all samples"
+        " after each mode's cold first. The whole run carries a HARD"
+        f" wall-clock budget ({r.get('budget_s', '?')} s, env"
+        " SPARK_GRAFT_BENCH_BUDGET_S): sampling stops only on the"
+        " budget or a fixed pair cap, and the JSON line always"
+        " emits — on budget expiry, SIGTERM, or failure — with"
+        " whatever completed.",
         "",
         f"| layout | MB/s @ local[{n}] | MB/s @ local[{4 * n}] | efficiency | vs machine ceiling | ratio |",
         "|---|---|---|---|---|---|",
@@ -444,11 +783,14 @@ def _write_bench_md(r: dict) -> None:
     ceil = s.get("machine_ceiling", {})
     ceff = ceil.get("efficiency_N_to_4N")
     for label, mode, ratio in (
-        ("host", "host", e["host"]["ratio"]),
-        ("preserve (zero-shuffle)", "preserve", e["preserve"]["ratio"]),
+        ("host", "host", e["host"]["ratio"] if e else "—"),
+        ("preserve (zero-shuffle)", "preserve", e["preserve"]["ratio"] if e else "—"),
         ("stage (codec kernels only)", "stage", "—"),
     ):
-        m = s[mode]
+        m = s.get(mode) or {}
+        if "efficiency_N_to_4N" not in m:
+            md.append(f"| {label} | — | — | (leg missing) | — | {ratio} |")
+            continue
         norm = (
             f"{round(m['efficiency_N_to_4N'] / ceff, 3)}" if ceff else "—"
         )
@@ -462,6 +804,17 @@ def _write_bench_md(r: dict) -> None:
             f"| {ceil['work_per_s_N']} it/s | {ceil['work_per_s_4N']} it/s "
             f"| **{ceff}** | 1.0 | — |"
         )
+    fp = s.get("fault_probe_mb_s")
+    if fp:
+        md += [
+            "",
+            f"Fresh-page fault probe (fault+zero of new anon memory, measured in a "
+            f"throwaway process before the run and after each pair): {fp} MB/s. "
+            "This VM swings between ~5 MB/s (hypervisor lazy-restore cold phase) "
+            "and >1 GB/s; values ≲10 MB/s mean the window's absolute throughputs "
+            "are fault-bound, not engine-bound — the paired ratio is the robust "
+            "signal in those windows.",
+        ]
     md += [
         "",
         "North-rule bar: efficiency ≥ 0.8 between N and 4N executors; "
