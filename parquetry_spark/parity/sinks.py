@@ -87,16 +87,66 @@ def _render_raw_temporal(name: str, ltype: str):
     )
 
 
-def render_temporals(df: DataFrame) -> DataFrame:
+def _go_zone_suffix_cols(off_sec):
+    """Offset column (whole seconds) → Go 'Z07:00' suffix column:
+    'Z' iff zero, else ±hh:mm (offset seconds truncated, as Go)."""
+    am = F.floor(F.abs(off_sec) / F.lit(60)).cast("long")
+    hh = F.lpad(F.floor(am / F.lit(60)).cast("long").cast("string"), 2, "0")
+    mm = F.lpad(F.pmod(am, F.lit(60)).cast("string"), 2, "0")
+    sign = F.when(off_sec < 0, F.lit("-")).otherwise(F.lit("+"))
+    return F.when(off_sec == 0, F.lit("Z")).otherwise(
+        F.concat(sign, hh, F.lit(":"), mm)
+    )
+
+
+def _render_loc_stamp(sec, frac, digits: int, tzname: str):
+    """Epoch (sec, sub-second frac units) → the reference's Loc
+    rendering (types.go:46: instant `.In(loc)`, Z07:00 layouts): the
+    zone's offset AT THAT INSTANT (DST/historical offsets correct —
+    from_utc_timestamp evaluates per value, pure JVM codegen), whole
+    seconds shifted, fraction untouched (offsets are whole seconds)."""
+    ts = F.timestamp_seconds(sec)
+    off_us = F.unix_micros(F.from_utc_timestamp(ts, tzname)) - F.unix_micros(ts)
+    off_sec = (
+        (off_us - F.pmod(off_us, F.lit(1_000_000))) / F.lit(1_000_000)
+    ).cast("long")
+    local = F.timestamp_seconds(sec + off_sec)
+    body = F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss")
+    return F.concat(body, _frac_str(frac, digits), _go_zone_suffix_cols(off_sec))
+
+
+def render_temporals(df: DataFrame, tz: str | None = None) -> DataFrame:
     """Timestamps/dates → reference-format strings (types.go:85-157).
     Raw-int64 lowered temporals (ltype field metadata) render at their
-    stored precision — time-of-day hh:mm:ss.f*Z, ns stamps RFC3339."""
+    stored precision — time-of-day hh:mm:ss.f*Z, ns stamps RFC3339.
+
+    `tz`: zone name for Loc (tz-less / isAdjustedToUTC=false) STAMP
+    columns — the reference renders those via Go time.Local
+    (types.go:131-143). Default None keeps the all-UTC rendering (the
+    reference's own fixtures are all-UTC). Time-of-day columns stay
+    UTC either way: parquet's TIME utc flag does not survive into
+    arrow/Spark types, so the distributed path cannot see it
+    (documented in COVERAGE.md; the driver-side golden renderer,
+    which reads footers, covers it)."""
     out = []
     for f in df.schema.fields:
         c = F.col(f"`{f.name}`")
         lt = (f.metadata or {}).get("ltype")
         if lt in _LTYPE_DIV:
-            out.append(_render_raw_temporal(f.name, lt).alias(f.name))
+            if tz and lt.startswith("timestamp_ntz"):
+                div, digits = _LTYPE_DIV[lt]
+                frac = F.pmod(c, F.lit(div))
+                sec = F.expr(f"(`{f.name}` - pmod(`{f.name}`, {div})) div {div}")
+                out.append(_render_loc_stamp(sec, frac, digits, tz).alias(f.name))
+            else:
+                out.append(_render_raw_temporal(f.name, lt).alias(f.name))
+        elif isinstance(f.dataType, T.TimestampNTZType) and tz:
+            us = F.unix_micros(c.cast("timestamp"))
+            frac = F.pmod(us, F.lit(1_000_000))
+            sec = (
+                (us - F.pmod(us, F.lit(1_000_000))) / F.lit(1_000_000)
+            ).cast("long")
+            out.append(_render_loc_stamp(sec, frac, 6, tz).alias(f.name))
         elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
             out.append(_trim_frac(F.date_format(c, TS_FMT)).alias(f.name))
         elif isinstance(f.dataType, T.DateType):

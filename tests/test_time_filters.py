@@ -237,6 +237,61 @@ def test_reordered_columns_matched_by_name(spark, tmp_path):
     assert rows == {(1, 10), (2, 20)}
 
 
+def test_distributed_loc_rendering(spark, tmp_path, monkeypatch):
+    """Spark-side Loc rendering (render_temporals tz=...) matches the
+    reference semantics AND the driver-side golden renderer byte for
+    byte on tz-less stamps — closes the r3 'documented delta' for the
+    distributed sink (stamps; TIME stays UTC, flag not visible to
+    Spark types)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1519266142123456789
+    path = str(tmp_path / "ntz2.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "ns": pa.array([base, base + 987], type=pa.timestamp("ns")),
+                "us": pa.array([base // 1000, 7], type=pa.timestamp("us")),
+            }
+        ),
+        path,
+    )
+    df = scan_parquet(spark, path)
+    got = [
+        tuple(r) for r in render_temporals(df, tz="Asia/Tokyo").orderBy("ns").collect()
+    ]
+    assert got == [
+        (
+            "2018-02-22T11:22:22.123456789+09:00",
+            "2018-02-22T11:22:22.123456+09:00",
+        ),
+        (
+            "2018-02-22T11:22:22.123457776+09:00",
+            "1970-01-01T09:00:00.000007+09:00",
+        ),
+    ]
+    # negative offset + whole-second trim
+    got2 = [
+        r["ns"]
+        for r in render_temporals(df.select("ns"), tz="America/New_York")
+        .orderBy("ns")
+        .collect()
+    ]
+    assert got2[0] == "2018-02-21T21:22:22.123456789-05:00"
+    # byte-identity with the driver-side golden renderer, same zone
+    from parquetry_spark.parity.golden import cat_jsonl
+
+    monkeypatch.setenv("SPARK_GRAFT_TZ", "Asia/Tokyo")
+    want = [
+        (_json.loads(line)["ns"], _json.loads(line)["us"])
+        for line in cat_jsonl(path).strip().splitlines()
+    ]
+    assert sorted(got) == sorted(want)
+
+
 def test_many_files_distributed_sniff(spark, tmp_path):
     """Past _DRIVER_SNIFF_MAX files the footer sniff runs as a Spark
     job instead of a serial driver loop; results must be identical."""
