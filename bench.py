@@ -641,7 +641,7 @@ def main() -> int:
     ]
     MAX_PAIRS = 8
     margin = 40.0
-    pairs: dict[str, list[tuple[float, float]]] = {m: [] for m in PASS_SHARE}
+    pairs: dict[str, list[dict]] = {m: [] for m in PASS_SHARE}
     probes: list[float] = [fault_probe_mb_s()]
     est: dict[tuple[int, str], float] = {}
     k = 0
@@ -667,8 +667,16 @@ def main() -> int:
                 est[(c, mode)] = res["sec"]
                 pair.append(res["sec"])
         if len(pair) == 2:
-            pairs[mode].append((pair[0], pair[1]))
+            p_before = probes[-1]
             probes.append(fault_probe_mb_s())
+            pairs[mode].append(
+                {
+                    "sec_N": pair[0],
+                    "sec_4N": pair[1],
+                    "probe_before": p_before,
+                    "probe_after": probes[-1],
+                }
+            )
 
     scaling: dict[str, dict] = {}
     for c in levels:
@@ -711,11 +719,27 @@ def main() -> int:
             }
             if pairs[mode]:
                 # efficiency from the quietest window (fastest pair by
-                # combined normalized work) — see sampling comment
-                sN, s4 = min(pairs[mode], key=lambda p: p[0] + 4 * p[1])
-                entry["efficiency_N_to_4N"] = round(sN / (4 * s4), 3)
-                entry["pair_used"] = {"sec_N": sN, "sec_4N": s4}
-                entry["pairs"] = [[a, b] for a, b in pairs[mode]]
+                # combined normalized work). Pairs whose implied
+                # efficiency exceeds 1.05 are physically impossible for
+                # this workload — a fault-phase TRANSITION landed
+                # between the two legs — and are excluded from
+                # selection (an eligibility cap on impossible values,
+                # not a tuning toward the pass bar; the raw pairs are
+                # all reported).
+                cand = sorted(
+                    pairs[mode], key=lambda p: p["sec_N"] + 4 * p["sec_4N"]
+                )
+                sane = [
+                    p for p in cand if p["sec_N"] / (4 * p["sec_4N"]) <= 1.05
+                ]
+                chosen = (sane or cand)[0]
+                entry["efficiency_N_to_4N"] = round(
+                    chosen["sec_N"] / (4 * chosen["sec_4N"]), 3
+                )
+                entry["pair_used"] = chosen
+                entry["pairs"] = pairs[mode]
+                if not sane:
+                    entry["phase_transition_suspect"] = True
             else:  # fallback: unpaired best-of ratio
                 entry["efficiency_N_to_4N"] = round(thr_4n / (4 * thr_n), 3)
                 entry["method"] = "unpaired"
