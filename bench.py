@@ -407,7 +407,19 @@ def main() -> int:
     signal.signal(signal.SIGINT, _on_term)
 
     # ---- headline queries FIRST: the primary perf artifact ----
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    # local[16] cap: this VM's aggregate throughput collapses past ~16
+    # runnable threads (numpy probe: 48.5 tasks/s at 16 procs, 29.3 at
+    # 32), and a local[32] session runs 32 task threads + 32 python
+    # workers. Measured on adjacent windows at sf0.1: headline 9.06 s
+    # at local[16] vs 12.61 s at local[32] — same engine, the wider
+    # session just sits past the cliff. Overridable via
+    # SPARK_GRAFT_HEADLINE_CAP; on real multi-core hardware leave it
+    # at the executor count.
+    headline_cores = min(CPUS, int(os.environ.get("SPARK_GRAFT_HEADLINE_CAP", "16")))
+    result["headline_cores"] = headline_cores
+    spark = get_spark(
+        "bench", cores=headline_cores, shuffle_partitions=headline_cores
+    )
     qs = entrymod.queries()
     times: dict[str, float] = result["queries"]
     for name in HEADLINE:
@@ -878,7 +890,14 @@ def _write_bench_md(r: dict) -> None:
         "page-cache contention that a multi-machine cluster spreads "
         "across NICs/disks.",
         "",
-        "## Headline queries (warm, local[%d], sf=%s)" % (CPUS, r["sf"]),
+        "## Headline queries (warm, local[%d], sf=%s)"
+        % (r.get("headline_cores", CPUS), r["sf"]),
+        "",
+        "Session capped at min(SPARK_GRAFT_CPUS, 16) cores: this VM's"
+        " throughput collapses past ~16 runnable threads (a local[32]"
+        " session = 32 task threads + 32 python workers); measured on"
+        " adjacent windows, the SAME queries run 9.06 s at local[16]"
+        " vs 12.61 s at local[32]. Override: SPARK_GRAFT_HEADLINE_CAP.",
         "",
         "| query | sec |",
         "|---|---|",
