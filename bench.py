@@ -766,6 +766,39 @@ def main() -> int:
     }
     result["encode"] = scaling.get(f"local[{4 * scale_n}]", {})
 
+    try:  # append this run to the cross-run window history: a single
+        # 15-minute window on this VM can land entirely in a cold
+        # fault phase (probe ≲10 MB/s → 4N legs fault-bound, ratios
+        # meaningless); the history across runs shows what quiet
+        # windows measure. Rendered into BENCH/BASELINE.md.
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "ts": int(time.time()),
+                        "headline_s": result["value"],
+                        "sf": sf,
+                        "probes_mb_s": probes,
+                        "eff": {
+                            m: result["scaling"].get(m, {}).get(
+                                "efficiency_N_to_4N"
+                            )
+                            for m in PASS_SHARE
+                        },
+                        "thr_4N_mb_s": {
+                            m: result["scaling"].get(m, {}).get(
+                                "throughput_mb_s_4N"
+                            )
+                            for m in PASS_SHARE
+                        },
+                    }
+                )
+                + "\n"
+            )
+    except Exception as exc:
+        print(f"scaling_runs.jsonl append failed: {exc}", file=sys.stderr)
+
     _emit(partial=False)
     return 0
 
@@ -840,6 +873,37 @@ def _write_bench_md(r: dict) -> None:
             f"| {ceil['work_per_s_N']} it/s | {ceil['work_per_s_4N']} it/s "
             f"| **{ceff}** | 1.0 | — |"
         )
+    hist = []
+    try:
+        with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl")) as fh:
+            hist = [json.loads(line) for line in fh if line.strip()]
+    except Exception:
+        pass
+    if hist:
+        md += [
+            "",
+            "### Measured windows across runs (BENCH/scaling_runs.jsonl)",
+            "",
+            "One budgeted run sees ONE ~15-minute window of this VM; the fault",
+            "probe tells whether that window was quiet (>100 MB/s) or cold",
+            "(≲10 MB/s — passes fault-bound, 4N legs gain nothing over N, so",
+            "ratios collapse regardless of engine design). Quiet-window runs",
+            "are the engine's real scaling:",
+            "",
+            "| run (utc) | headline s | probe range MB/s | preserve | stage | host |",
+            "|---|---|---|---|---|---|",
+        ]
+        import datetime as _dt2
+
+        for h in hist[-12:]:
+            pr = h.get("probes_mb_s") or []
+            rng = f"{min(pr)}-{max(pr)}" if pr else "—"
+            e = h.get("eff", {})
+            ts = _dt2.datetime.utcfromtimestamp(h["ts"]).strftime("%m-%d %H:%M")
+            md.append(
+                f"| {ts} | {h.get('headline_s')} | {rng} "
+                f"| {e.get('preserve')} | {e.get('stage')} | {e.get('host')} |"
+            )
     fp = s.get("fault_probe_mb_s")
     if fp:
         md += [
