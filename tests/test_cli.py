@@ -74,6 +74,19 @@ def test_cat_head_golden_shape(cli):
     assert out.count("\n") == 2
 
 
+def test_cat_tail_metadata_count(cli):
+    """CLI tail forms take the row count from footer metadata (the
+    reference's own NumRows source), not a count() job — and must
+    match the reference's tail golden byte-for-byte."""
+    from parquetry_spark.parity.golden import cat_go
+
+    ref = "/root/reference/testdata/parquet/alphav.parquet"
+    out = cli("cat", ref, "--tail", "3")
+    assert out == cat_go(ref, tail=3)
+    out2 = cli("cat", ref, "--tail", "-4")
+    assert out2 == cat_go(ref, tail=-4)
+
+
 def test_cat_out_dir_distributed_csv(cli, tmp_path):
     """--out routes through the distributed writers (no driver
     collect): a directory of part files with the expected rows."""
