@@ -656,6 +656,7 @@ def main() -> int:
     pairs: dict[str, list[dict]] = {m: [] for m in PASS_SHARE}
     probes: list[float] = [fault_probe_mb_s()]
     est: dict[tuple[int, str], float] = {}
+    gate_waits = 0
     k = 0
     while all(s.alive for s in servers.values()):
         mode = schedule[k % len(schedule)]
@@ -667,6 +668,17 @@ def main() -> int:
         e_total = est.get((levels[0], mode), 60.0) + est.get((levels[1], mode), 25.0)
         if time.time() + e_total > deadline - margin:
             break
+        # probe-gated start (bounded): when the box is mid cold-fault
+        # phase, briefly wait for it to lift before burning a pair —
+        # the gate reads the FAULT PROBE, never an efficiency value,
+        # so sampling stays target-agnostic. Bounded at 3 waits/run:
+        # a permanently cold window loses ≤ ~2.5 min to waiting.
+        while gate_waits < 3 and probes[-1] < 20.0:
+            if time.time() + 45 + e_total > deadline - margin:
+                break
+            time.sleep(45)
+            probes.append(fault_probe_mb_s())
+            gate_waits += 1
         pair = []
         for c in levels:
             s = servers[c]
