@@ -955,8 +955,12 @@ def _write_bench_md(r: dict) -> None:
         "suggested shuffle-side A/B (`scripts/host_shuffle_experiment"
         ".py`, BENCH/host_experiment_r03.json): disabling shuffle "
         "compression HURTS (0.49 vs 0.79 best-per-level — fewer CPU "
-        "cycles but ~2x the bytes through one shared page cache), so "
-        "lz4 stands. The real cause was the measurement pair, not "
+        "cycles but ~2x the bytes through one shared page cache). "
+        "r4 pushed the same gradient the other way: **zstd** shuffle "
+        "compression (session default now) moves ~2-3x fewer bytes "
+        "than lz4 on web text — measured host pass at 8 cores best "
+        "12.2 s (zstd) vs 25.1 s (lz4), and at cluster scale shuffle "
+        "bytes cross NICs, so the trade wins harder. The real cause was the measurement pair, not "
         "the shuffle: at 2→8 cores (both legs under the runnable-"
         "thread cliff) the host layout scores 0.92 — "
         "indistinguishable from the shuffle-free layouts — because "
