@@ -15,19 +15,25 @@ the reference's temporal rendering, meta/schema surfaces, and the
 transcode (encode/decode) path generalized to explicit codecs.
 """
 
+import os
+
 __version__ = "0.1.0"
 
-# Pin Arrow's jemalloc pool: by default it decays dirty pages back to
-# the OS after ~10 s idle, so any pause between encode passes (e.g.
-# alternating measurement legs, streaming micro-batch gaps) makes the
-# next pass re-fault its whole buffer set — on this sandbox VM fresh
-# anonymous pages fault at ~5-10 MB/s (measured), turning a 9 s pass
-# into 40-100 s. Runs in every process that imports the package,
-# including Spark python workers (they import the codec modules).
-# On real hardware this is harmless buffer-pool pinning.
-try:  # pragma: no cover - environment-dependent
-    import pyarrow as _pa
+# Optionally pin Arrow's jemalloc pool: by default it decays dirty
+# pages back to the OS after ~10 s idle, so any pause between encode
+# passes (alternating measurement legs, streaming micro-batch gaps)
+# makes the next pass re-fault its whole buffer set — on this sandbox
+# VM fresh anonymous pages fault at ~5-10 MB/s (measured), turning a
+# 9 s pass into 40-100 s. GATED behind SPARK_GRAFT_PIN_ARROW_POOL so
+# plain library consumers keep the default decay behavior (never
+# returning dirty pages makes long-running RSS monotonic);
+# session.get_spark sets the var before JVM launch, so the engine's
+# own Spark python workers — which import this package — inherit the
+# pin where it matters.
+if os.environ.get("SPARK_GRAFT_PIN_ARROW_POOL"):  # pragma: no cover
+    try:
+        import pyarrow as _pa
 
-    _pa.jemalloc_set_decay_ms(-1)
-except Exception:
-    pass
+        _pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass

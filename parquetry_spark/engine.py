@@ -279,7 +279,11 @@ def prune_blocks(
     string bounds (str lo/hi) compare bytewise as plain strings. A
     string block may carry zmin_s without zmax_s (un-bumpable
     truncated max, _str_bounds) — its upper side is then
-    unbounded-conservative.
+    unbounded-conservative. A block mapped in a DIFFERENT domain
+    than the probe (numeric bounds under a string probe, or string
+    bounds under a numeric probe) is treated as unmapped — its
+    bounds say nothing about the probe's ordering, so pruning on
+    them would turn the optimization into a correctness filter.
     """
     z = blocks.filter(F.col("column") == column)
     str_probe = isinstance(lo, str) or isinstance(hi, str)
@@ -289,7 +293,10 @@ def prune_blocks(
     zmax_f = F.element_at("params", F.lit("zmax_f")).cast("double")
     zmin_s = F.element_at("params", F.lit("zmin_s"))
     zmax_s = F.element_at("params", F.lit("zmax_s"))
-    unmapped = zmin_i.isNull() & zmin_f.isNull() & zmin_s.isNull()
+    if str_probe:  # numeric-mapped blocks are out-of-domain → unmapped
+        unmapped = zmin_s.isNull()
+    else:  # string-mapped blocks are out-of-domain → unmapped
+        unmapped = zmin_i.isNull() & zmin_f.isNull()
     keep = F.lit(True)
     if lo is not None:
         if str_probe:

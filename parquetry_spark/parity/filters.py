@@ -438,8 +438,15 @@ class _Compiler:
         to the unit; vs duration() = Go d/unit. Returns (col, other)."""
         # tz-less columns compare identically in raw units; accept both
         # the canonical prefix spelling (timestamp_ntz_<unit>) and the
-        # legacy suffix spelling (timestamp_<unit>_ntz)
-        base = ltype.removesuffix("_ntz").replace("timestamp_ntz_", "timestamp_")
+        # legacy suffix spelling (timestamp_<unit>_ntz). Loc time-of-day
+        # (`time_<unit>_loc`, sources sniff) also compares in raw units:
+        # the reference's timeCompare (types.go:67-83) ignores the utc
+        # flag — it only changes RENDERING.
+        base = (
+            ltype.removesuffix("_loc")
+            .removesuffix("_ntz")
+            .replace("timestamp_ntz_", "timestamp_")
+        )
         unit = self._UNIT_NS[base]
         if base.startswith("timestamp_") and base != "timestamp_ns":
             # Spark holds these as µs timestamps; compare in raw units

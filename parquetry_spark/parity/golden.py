@@ -47,14 +47,29 @@ def loc_tz():
     reference formats these via Go `time.Local` (types.go:131-143:
     `loc()` → time.Local; epochString types.go:46 converts the epoch
     instant `.In(loc)`). SPARK_GRAFT_TZ overrides (e.g. for
-    deterministic tests); default is this process's local zone, which
-    is what the reference binary would use on the same host."""
-    name = os.environ.get("SPARK_GRAFT_TZ")
-    if name:
-        from zoneinfo import ZoneInfo
+    deterministic tests — goldens for Loc fixtures require this pin:
+    the unpinned default is host-dependent by design, exactly like
+    `time.Local`); default resolves the host zone to a DST-AWARE
+    ZoneInfo (TZ env, then /etc/localtime), matching Go's per-instant
+    zone rules — a `datetime.now().astimezone()` snapshot would
+    freeze the CURRENT offset and mis-render instants that fall in
+    the other DST phase. That snapshot remains only as the very last
+    fallback when no zone database is resolvable."""
+    from zoneinfo import ZoneInfo
 
-        return ZoneInfo(name)
-    return _dt.datetime.now().astimezone().tzinfo
+    for name in (os.environ.get("SPARK_GRAFT_TZ"), os.environ.get("TZ")):
+        if name:
+            try:
+                return ZoneInfo(name.lstrip(":"))
+            except Exception:
+                pass
+    try:  # /etc/localtime is (normally) a symlink into the tzdb
+        real = os.path.realpath("/etc/localtime")
+        if "/zoneinfo/" in real:
+            return ZoneInfo(real.split("/zoneinfo/", 1)[1])
+    except Exception:
+        pass
+    return _dt.datetime.now().astimezone().tzinfo  # fixed-offset snapshot
 
 
 def _go_zone_suffix(local: _dt.datetime) -> str:

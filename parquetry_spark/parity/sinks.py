@@ -99,17 +99,43 @@ def _go_zone_suffix_cols(off_sec):
     )
 
 
+def _loc_offset_sec(sec):
+    """Zone offset (whole seconds) of `tz` AT the instant epoch+sec —
+    from_utc_timestamp evaluates per value, so DST/historical offsets
+    are correct, pure JVM codegen. Returns a closure over tzname."""
+
+    def at(tzname: str):
+        ts = F.timestamp_seconds(sec)
+        off_us = F.unix_micros(F.from_utc_timestamp(ts, tzname)) - F.unix_micros(ts)
+        return (
+            (off_us - F.pmod(off_us, F.lit(1_000_000))) / F.lit(1_000_000)
+        ).cast("long")
+
+    return at
+
+
+def _render_loc_time(sec, frac, digits: int, tzname: str):
+    """Loc (isAdjustedToUTC=false) TIME-of-day → the reference's
+    rendering (types.go:29-31 timeOnlyRFC3339* layouts via
+    types.go:131-143 `loc()` → time.Local): the EPOCH INSTANT
+    (1970-01-01 + units) is converted into the zone and only the
+    clock + Z07:00 offset render — the wall clock shifts by the
+    zone's offset at the 1970 epoch date, exactly as Go does.
+    Byte-identical to the driver-side golden renderer's `_fmt_time`
+    tz path (golden.py)."""
+    off_sec = _loc_offset_sec(sec)(tzname)
+    local = F.timestamp_seconds(sec + off_sec)
+    body = F.date_format(local, "HH:mm:ss")
+    return F.concat(body, _frac_str(frac, digits), _go_zone_suffix_cols(off_sec))
+
+
 def _render_loc_stamp(sec, frac, digits: int, tzname: str):
     """Epoch (sec, sub-second frac units) → the reference's Loc
     rendering (types.go:46: instant `.In(loc)`, Z07:00 layouts): the
     zone's offset AT THAT INSTANT (DST/historical offsets correct —
     from_utc_timestamp evaluates per value, pure JVM codegen), whole
     seconds shifted, fraction untouched (offsets are whole seconds)."""
-    ts = F.timestamp_seconds(sec)
-    off_us = F.unix_micros(F.from_utc_timestamp(ts, tzname)) - F.unix_micros(ts)
-    off_sec = (
-        (off_us - F.pmod(off_us, F.lit(1_000_000))) / F.lit(1_000_000)
-    ).cast("long")
+    off_sec = _loc_offset_sec(sec)(tzname)
     local = F.timestamp_seconds(sec + off_sec)
     body = F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss")
     return F.concat(body, _frac_str(frac, digits), _go_zone_suffix_cols(off_sec))
@@ -121,25 +147,31 @@ def render_temporals(df: DataFrame, tz: str | None = None) -> DataFrame:
     stored precision — time-of-day hh:mm:ss.f*Z, ns stamps RFC3339.
 
     `tz`: zone name for Loc (tz-less / isAdjustedToUTC=false) STAMP
-    columns — the reference renders those via Go time.Local
-    (types.go:131-143). Default None keeps the all-UTC rendering (the
-    reference's own fixtures are all-UTC). Time-of-day columns stay
-    UTC either way: parquet's TIME utc flag does not survive into
-    arrow/Spark types, so the distributed path cannot see it
-    (documented in COVERAGE.md; the driver-side golden renderer,
-    which reads footers, covers it)."""
+    and TIME-of-day columns — the reference renders those via Go
+    time.Local (types.go:131-143). Default None keeps the all-UTC
+    rendering (the reference's own fixtures are all-UTC). Loc
+    time-of-day columns arrive tagged `time_<unit>_loc`:
+    sources.scan_parquet reads the parquet footer's
+    isAdjustedToUTC=false flag at sniff time (the flag does not
+    survive into arrow/Spark types) and bakes it into the lowered
+    column's ltype metadata."""
     out = []
     for f in df.schema.fields:
         c = F.col(f"`{f.name}`")
         lt = (f.metadata or {}).get("ltype")
-        if lt in _LTYPE_DIV:
+        base_lt = lt.removesuffix("_loc") if isinstance(lt, str) else lt
+        if base_lt in _LTYPE_DIV:
+            div, digits = _LTYPE_DIV[base_lt]
             if tz and lt.startswith("timestamp_ntz"):
-                div, digits = _LTYPE_DIV[lt]
                 frac = F.pmod(c, F.lit(div))
                 sec = F.expr(f"(`{f.name}` - pmod(`{f.name}`, {div})) div {div}")
                 out.append(_render_loc_stamp(sec, frac, digits, tz).alias(f.name))
+            elif tz and lt.endswith("_loc"):
+                frac = F.pmod(c, F.lit(div))
+                sec = F.expr(f"(`{f.name}` - pmod(`{f.name}`, {div})) div {div}")
+                out.append(_render_loc_time(sec, frac, digits, tz).alias(f.name))
             else:
-                out.append(_render_raw_temporal(f.name, lt).alias(f.name))
+                out.append(_render_raw_temporal(f.name, base_lt).alias(f.name))
         elif isinstance(f.dataType, T.TimestampNTZType) and tz:
             us = F.unix_micros(c.cast("timestamp"))
             frac = F.pmod(us, F.lit(1_000_000))

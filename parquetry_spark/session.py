@@ -20,6 +20,12 @@ from pyspark.sql import SparkSession
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("MALLOC_ARENA_MAX", "4")
+# Spark python workers (spawned by the JVM, inheriting this env) pin
+# Arrow's jemalloc decay so idle gaps between tasks don't hand dirty
+# pages back to a hypervisor that re-faults them at ~10 MB/s. The pin
+# lives behind this env var (parquetry_spark/__init__.py) so plain
+# library consumers keep Arrow's default decay.
+os.environ.setdefault("SPARK_GRAFT_PIN_ARROW_POOL", "1")
 
 
 def get_spark(

@@ -40,6 +40,9 @@ from pyspark.sql import types as T
 _TIME_LTYPE = {"s": "time_s", "ms": "time_ms", "us": "time_us", "ns": "time_ns"}
 
 
+_PQ_LOC = b"pq_loc"  # arrow-field marker: parquet isAdjustedToUTC=false TIME
+
+
 def _lower_ltype(t: pa.DataType) -> str | None:
     """ltype tag if this arrow type needs lowering to int64, else None."""
     if pa.types.is_time32(t) or pa.types.is_time64(t):
@@ -47,6 +50,21 @@ def _lower_ltype(t: pa.DataType) -> str | None:
     if pa.types.is_timestamp(t) and t.unit == "ns":
         return "timestamp_ns" if t.tz else "timestamp_ntz_ns"
     return None
+
+
+def _loc_time_cols(pqschema) -> set[str]:
+    """Top-level column names whose TIME leaf carries
+    isAdjustedToUTC=false — the flag lives ONLY in the parquet footer
+    (arrow time types drop it; arrow timestamps keep tz instead), so
+    it must be captured here at sniff time or the distributed path
+    can never render Loc time-of-day (reference types.go:131-143)."""
+    out = set()
+    for i in range(len(pqschema.names)):
+        col = pqschema.column(i)
+        leaf = str(col.logical_type).replace(" ", "")
+        if leaf.startswith("Time(") and "isAdjustedToUTC=false" in leaf:
+            out.add(col.path.split(".")[0])
+    return out
 
 
 def needs_arrow_scan(schema: pa.Schema) -> bool:
@@ -58,6 +76,8 @@ def _spark_field(f: pa.Field) -> T.StructField:
 
     lt = _lower_ltype(f.type)
     if lt is not None:
+        if lt.startswith("time_") and f.metadata and _PQ_LOC in f.metadata:
+            lt += "_loc"  # Loc time-of-day: renders in the local zone
         return T.StructField(f.name, T.LongType(), True, {"ltype": lt})
     t = f.type
     if pa.types.is_timestamp(t):  # non-ns → µs Spark timestamp; keep
@@ -137,11 +157,23 @@ _DRIVER_SNIFF_MAX = 64
 
 
 def _sniff_file(p: str) -> tuple[str, int, pa.Schema]:
-    """(path, num_row_groups, footer arrow schema) — metadata only."""
+    """(path, num_row_groups, footer arrow schema) — metadata only.
+    TIME columns with parquet isAdjustedToUTC=false get a `pq_loc`
+    arrow-field marker here (the only place the parquet footer is in
+    hand) so the lowered StructField can carry an ltype the sinks'
+    Loc renderer recognizes (`time_<unit>_loc`)."""
     import pyarrow.parquet as _pq
 
     pf = _pq.ParquetFile(p)
-    return p, pf.metadata.num_row_groups, pf.schema_arrow
+    sch = pf.schema_arrow
+    loc = _loc_time_cols(pf.schema)
+    if loc:
+        for i, f in enumerate(sch):
+            if f.name in loc and (
+                pa.types.is_time32(f.type) or pa.types.is_time64(f.type)
+            ):
+                sch = sch.set(i, f.with_metadata({_PQ_LOC: b"1"}))
+    return p, pf.metadata.num_row_groups, sch
 
 
 def _field_fp(f: pa.Field) -> tuple[str, str, str]:

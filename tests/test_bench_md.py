@@ -1,0 +1,116 @@
+"""Regression tests for bench.py's markdown reporter.
+
+The md artifact is reporting-only, but in round 4 it was the ONLY
+driver-refreshed md and it crashed (`KeyError: 'host'`) because the
+4N encode entry had no host sub-dict — the budget expired with zero
+host passes at local[8]. These tests replay exactly that shape (the
+recorded BENCH_r04.json `parsed` dict when present, plus a synthetic
+equivalent) and assert the writer renders instead of raising.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _synthetic_missing_host_result() -> dict:
+    """The r4 failure shape: encode dict carries preserve/stage but no
+    host; scaling carries a host entry that is only an error marker."""
+    mode = {
+        "samples_sec": [10.0],
+        "encoded_in_bytes": 1000,
+        "encoded_out_bytes": 500,
+        "ratio": 2.0,
+        "sec": 10.0,
+        "mb_per_sec": 5.0,
+        "docs_per_sec": 100.0,
+    }
+    return {
+        "metric": "headline query wall time + encode scaling",
+        "value": 12.3,
+        "unit": "sec",
+        "queries": {"roundtrip_text": 1.2, "lang_id": 2.3},
+        "sf": 0.1,
+        "encode": {
+            "cores": 8,
+            "docs": 1000,
+            "input_bytes": 50_000_000,
+            "preserve": dict(mode),
+            "stage": dict(mode),
+            # no "host" key — the exact r4 crash trigger
+        },
+        "scaling": {
+            "machine_ceiling": {
+                "work_per_s_N": 40.0,
+                "work_per_s_4N": 150.0,
+                "efficiency_N_to_4N": 0.95,
+            },
+            "host": {"error": "scaling leg missing"},
+            "preserve": {
+                "throughput_mb_s_N": 4.0,
+                "throughput_mb_s_4N": 12.0,
+                "efficiency_N_to_4N": 0.75,
+            },
+            "stage": {
+                "throughput_mb_s_N": 2.0,
+                "throughput_mb_s_4N": 6.0,
+                "efficiency_N_to_4N": 0.75,
+            },
+            "N": 2,
+            "fault_probe_mb_s": [5.6, 21.0],
+        },
+        "budget_s": 900.0,
+        "headline_cores": 16,
+    }
+
+
+def _render(monkeypatch, tmp_path, result: dict) -> str:
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    bench._write_bench_md(result)
+    with open(tmp_path / "BENCH" / "BASELINE.md") as fh:
+        return fh.read()
+
+
+def test_md_renders_with_missing_host_leg(monkeypatch, tmp_path):
+    md = _render(monkeypatch, tmp_path, _synthetic_missing_host_result())
+    assert "(leg missing)" in md  # the host row renders, degraded
+    assert "0.75" in md  # the present modes still render their numbers
+
+
+def test_md_renders_recorded_r4_result(monkeypatch, tmp_path):
+    """Replay the exact driver result dict that crashed the r4 writer."""
+    path = os.path.join(REPO, "BENCH_r04.json")
+    if not os.path.exists(path):
+        pytest.skip("BENCH_r04.json not present")
+    with open(path) as fh:
+        parsed = json.load(fh).get("parsed")
+    if not parsed:
+        pytest.skip("no parsed result recorded")
+    md = _render(monkeypatch, tmp_path, parsed)
+    assert "Encode throughput" in md
+
+
+def test_md_history_table_carries_sf_column(monkeypatch, tmp_path):
+    os.makedirs(tmp_path / "BENCH")
+    rows = [
+        # an old record without sf must render a placeholder, not crash
+        {"ts": 1755400000, "headline_s": 8.0, "probes_mb_s": [100.0],
+         "eff": {"preserve": 0.97, "stage": 0.95, "host": 0.92}},
+        {"ts": 1755400600, "sf": 0.01, "headline_s": 2.0,
+         "probes_mb_s": [50.0], "eff": {"host": 0.85}},
+    ]
+    with open(tmp_path / "BENCH" / "scaling_runs.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    md = _render(monkeypatch, tmp_path, _synthetic_missing_host_result())
+    hist = md.split("Measured windows across runs")[1]
+    assert "| sf |" in md
+    assert "| 0.01 |" in hist  # the sf0.01 row is labeled as such
+    assert "| — |" in hist  # the legacy row renders a placeholder

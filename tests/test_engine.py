@@ -224,6 +224,24 @@ def test_string_zone_map_pruning(spark, pages):
     blocks.unpersist()
 
 
+def test_prune_domain_mismatch_is_noop(spark, pages):
+    """A probe in the WRONG domain for a column's zone map must treat
+    every block as unmapped — pruning is an optimization, never a
+    correctness filter (r4 ADVICE: a numeric probe on string-mapped
+    blocks previously pruned everything, and vice versa)."""
+    from parquetry_spark.engine import encode_table, prune_blocks
+
+    blocks = encode_table(pages, n_parts=8).cache()
+    n = blocks.count()
+    # url blocks are string-mapped (zmin_s) → a numeric probe says
+    # nothing about them: keep everything
+    assert prune_blocks(blocks, "url", lo=0, hi=10).count() == n
+    # warc_ts blocks are int-mapped (zmin_i) → a string probe says
+    # nothing about them: keep everything
+    assert prune_blocks(blocks, "warc_ts", lo="a", hi="z").count() == n
+    blocks.unpersist()
+
+
 def test_str_bounds_truncation():
     """Truncated bounds stay valid: zmin prefix ≤ min, bumped zmax >
     max; un-bumpable prefixes omit zmax."""

@@ -292,6 +292,61 @@ def test_distributed_loc_rendering(spark, tmp_path, monkeypatch):
     assert sorted(got) == sorted(want)
 
 
+def test_distributed_loc_time_rendering(spark, tmp_path, monkeypatch):
+    """Loc TIME-of-day (parquet isAdjustedToUTC=false) renders in the
+    local zone through the DISTRIBUTED sink path (r4 VERDICT #4): the
+    scan's footer sniff bakes the flag into the ltype
+    (`time_us_loc`), render_temporals(tz=...) shifts the epoch
+    instant into the zone with a Z07:00 suffix (reference
+    types.go:29-31,131-143), byte-identical to the driver-side golden
+    renderer. Fixture written by duckdb — the one writer here that
+    emits isAdjustedToUTC=false TIME (pyarrow always writes true)."""
+    import json as _json
+
+    import duckdb
+
+    path = str(tmp_path / "loctime.parquet")
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (TIME '12:34:56.789', 1),"
+        " (TIME '03:30:00', 2)) t(t, v))"
+        f" TO '{path}' (FORMAT PARQUET)"
+    )
+    df = scan_parquet(spark, path)
+    lts = {f.name: (f.metadata or {}).get("ltype") for f in df.schema.fields}
+    assert lts["t"] == "time_us_loc"
+
+    # +09:00 zone: the epoch instant (1970-01-01 + clock) shifts by 9h
+    got = [
+        tuple(r)
+        for r in render_temporals(df, tz="Asia/Tokyo").orderBy("v").collect()
+    ]
+    assert got == [("21:34:56.789+09:00", 1), ("12:30:00+09:00", 2)]
+    # negative offset (America/New_York was -05:00 at the 1970 epoch)
+    got2 = [
+        r["t"]
+        for r in render_temporals(df, tz="America/New_York").orderBy("v").collect()
+    ]
+    assert got2 == ["07:34:56.789-05:00", "22:30:00-05:00"]
+    # tz=None keeps the documented all-UTC rendering
+    utc = [
+        r["t"] for r in render_temporals(df).orderBy("v").collect()
+    ]
+    assert utc == ["12:34:56.789Z", "03:30:00Z"]
+    # filters treat the _loc spelling as plain raw-unit time-of-day
+    # (reference timeCompare ignores the utc flag)
+    assert where(df, 't > "12h"').count() == 1
+    assert where(df, "t == 12600000000").count() == 1
+
+    # byte-identity with the driver-side golden renderer, same zone
+    from parquetry_spark.parity.golden import cat_jsonl
+
+    monkeypatch.setenv("SPARK_GRAFT_TZ", "Asia/Tokyo")
+    want = [
+        _json.loads(line)["t"] for line in cat_jsonl(path).strip().splitlines()
+    ]
+    assert sorted(g[0] for g in got) == sorted(want)
+
+
 def test_many_files_distributed_sniff(spark, tmp_path):
     """Past _DRIVER_SNIFF_MAX files the footer sniff runs as a Spark
     job instead of a serial driver loop; results must be identical."""
