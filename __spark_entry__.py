@@ -446,6 +446,42 @@ def q_media_features(spark, sf):
     return extract_features(media).select("media_id", "n_bytes", "sha")
 
 
+def q_media_decode(spark, sf):
+    """REAL image decode (r4 VERDICT #5): deterministic BMP/PPM blobs
+    are generated per doc_id from a closed-form pixel function
+    (v(x,y,c) = (doc_id*31 + 3x + 5y + 7c) mod 256), encoded into
+    actual container bytes (24-bit BI_RGB BMP for even ids, P6 PPM
+    for odd — both real formats with headers/padding/BGR order), then
+    decoded by the pure-numpy parsers in multimodal.decode_image. The
+    DuckDB oracle recomputes dimensions + per-channel sums from the
+    same closed form — any decoder error (row padding, bottom-up
+    order, channel swap) breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from parquetry_spark.multimodal import decode_features, encode_bmp, encode_ppm
+
+    docs = _t(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 16, 8 + did % 11
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((did * 31 + x * 3 + y * 5 + ch * 7) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(px) if did % 2 == 0 else encode_ppm(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return decode_features(media)
+
+
 # ---------------------------------------------------------------------------
 # queries — aggregation / window breadth (beyond the reference, §2.2)
 # ---------------------------------------------------------------------------
@@ -564,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_batch": q_ivf_topk_batch,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
         "temporal_render": q_temporal_render,
         "agg_pushdown": q_agg_pushdown,
         "topk_per_group": q_topk_per_group,
@@ -841,6 +878,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS media_id, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "sha256(text) AS sha FROM documents"
+        ),
+        "media_decode": (
+            # closed-form replica of q_media_decode's pixel function:
+            # the Spark side routes those pixels through REAL BMP/PPM
+            # container bytes and the pure-numpy decoders; the oracle
+            # recomputes dimensions + per-channel sums directly
+            "WITH d AS ("
+            "  SELECT CAST(doc_id AS BIGINT) AS media_id,"
+            "    CAST(8 + doc_id % 16 AS BIGINT) AS w,"
+            "    CAST(8 + doc_id % 11 AS BIGINT) AS h"
+            "  FROM documents WHERE doc_id < 200"
+            "), px AS ("
+            "  SELECT media_id, w, h, t1.x AS x, t2.y AS y"
+            "  FROM d, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) t1,"
+            "       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) t2"
+            ") SELECT media_id,"
+            "  CAST(MAX(w) AS INTEGER) AS width,"
+            "  CAST(MAX(h) AS INTEGER) AS height,"
+            "  CAST(3 AS INTEGER) AS channels,"
+            "  CAST(SUM((media_id*31 + x*3 + y*5) % 256) AS BIGINT) AS sum_r,"
+            "  CAST(SUM((media_id*31 + x*3 + y*5 + 7) % 256) AS BIGINT) AS sum_g,"
+            "  CAST(SUM((media_id*31 + x*3 + y*5 + 14) % 256) AS BIGINT) AS sum_b"
+            " FROM px GROUP BY media_id"
         ),
         "ivf_topk": (
             # identical to ann_topk: probing every cell must be exact

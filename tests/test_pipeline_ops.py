@@ -167,10 +167,143 @@ def test_multimodal_features(pages):
 
 
 def test_multimodal_decode_stub_raises():
+    """NotImplementedError is now reserved for genuinely COMPRESSED
+    formats (PNG/JPEG need codec libraries absent from this
+    container); uncompressed containers decode for real below."""
     from parquetry_spark.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...", fake=False)
+
+
+def _test_pixels(w=7, h=5, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_exact():
+    """encode→decode is pixel-exact, including the 4-byte row-padding
+    case (w=7 → 21-byte rows, 3 pad bytes) and BGR<->RGB order."""
+    import numpy as np
+
+    from parquetry_spark.multimodal import decode_image, encode_bmp
+
+    px = _test_pixels()
+    d = decode_image(encode_bmp(px))
+    assert (d["width"], d["height"], d["channels"]) == (7, 5, 3)
+    assert np.array_equal(d["pixels"], px)
+    assert d["channel_sums"] == [int(px[:, :, c].sum()) for c in range(3)]
+
+
+def test_bmp_header_bytes_match_spec():
+    """Pin the exact container bytes for a 1×1 red pixel so encoder
+    and decoder can't share a format misunderstanding: BITMAPINFOHEADER
+    fields at their spec offsets, BGR pixel order, rows padded to 4."""
+    import struct
+
+    import numpy as np
+
+    from parquetry_spark.multimodal import encode_bmp
+
+    px = np.array([[[255, 0, 0]]], dtype=np.uint8)  # RGB red
+    b = encode_bmp(px)
+    assert b[:2] == b"BM"
+    assert struct.unpack_from("<I", b, 10)[0] == 54  # pixel offset
+    assert struct.unpack_from("<I", b, 14)[0] == 40  # DIB size
+    assert struct.unpack_from("<ii", b, 18) == (1, 1)  # w, h
+    assert struct.unpack_from("<H", b, 28)[0] == 24  # bpp
+    assert struct.unpack_from("<I", b, 30)[0] == 0  # BI_RGB
+    assert b[54:58] == b"\x00\x00\xff\x00"  # BGR red + row pad
+    assert len(b) == 58
+
+
+def test_bmp_topdown_and_32bit():
+    """Negative height = top-down row order; 32-bit = BGRA."""
+    import struct
+
+    import numpy as np
+
+    from parquetry_spark.multimodal import _decode_bmp, encode_bmp
+
+    px = _test_pixels(4, 3)
+    b = bytearray(encode_bmp(px))
+    # flip to top-down: height := -height, rows already bottom-up in
+    # the buffer so the decoded image must come out vertically flipped
+    struct.pack_into("<i", b, 22, -3)
+    flipped = _decode_bmp(bytes(b))
+    assert np.array_equal(flipped, px[::-1])
+
+    # hand-build a 2×1 32-bit BMP (no padding needed at bpp=32)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 32, 0, 8, 0, 0, 0, 0)
+    body = bytes([10, 20, 30, 255, 40, 50, 60, 128])  # BGRA ×2
+    out = _decode_bmp(hdr + dib + body)
+    assert out.shape == (1, 2, 4)
+    assert out[0, 0].tolist() == [30, 20, 10, 255]  # RGBA
+    assert out[0, 1].tolist() == [60, 50, 40, 128]
+
+
+def test_bmp_compressed_raises():
+    import struct
+
+    import numpy as np
+
+    from parquetry_spark.multimodal import decode_image, encode_bmp
+
+    b = bytearray(encode_bmp(_test_pixels(2, 2)))
+    struct.pack_into("<I", b, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(b))
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from parquetry_spark.multimodal import decode_image, encode_ppm
+
+    px = _test_pixels(6, 4, seed=9)
+    d = decode_image(encode_ppm(px))
+    assert np.array_equal(d["pixels"], px)
+    # header comments are legal PPM; parser must skip them
+    commented = b"P6\n# a comment\n6 4\n# again\n255\n" + px.tobytes()
+    d2 = decode_image(commented)
+    assert np.array_equal(d2["pixels"], px)
+
+
+def test_decode_features_distributed(spark):
+    """The mapInPandas real-decode stage returns exact per-channel
+    sums for generated BMP AND PPM blobs (the media_decode driver
+    query's engine side)."""
+    import numpy as np
+    import pandas as pd
+
+    from parquetry_spark.multimodal import (
+        decode_features,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    blobs, want = [], {}
+    for i in range(12):
+        px = _test_pixels(5 + i % 4, 3 + i % 5, seed=i)
+        blobs.append((i, bytearray(encode_bmp(px) if i % 2 == 0 else encode_ppm(px))))
+        want[i] = (
+            px.shape[1],
+            px.shape[0],
+            [int(px[:, :, c].sum()) for c in range(3)],
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [b[0] for b in blobs],
+                      "payload": [bytes(b[1]) for b in blobs]})
+    )
+    got = {r["media_id"]: r for r in decode_features(df).collect()}
+    assert len(got) == 12
+    for i, (w, h, sums) in want.items():
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert [r["sum_r"], r["sum_g"], r["sum_b"]] == sums
 
 
 def test_ivf_scales_to_256_cells(spark):
