@@ -223,6 +223,61 @@ def test_resume_commit_race_no_read_skew(spark, pages, tmp_path, monkeypatch):
     all_blocks.unpersist()
 
 
+def test_two_writers_interleave_no_duplicates(spark, pages, tmp_path, monkeypatch):
+    """r4 VERDICT #7: TWO full `run_encode_snapshots` runs interleave
+    — writer B performs its COMPLETE run (skip-set read, encode,
+    commit) between writer A's skip-set read and A's commit. A must
+    conflict, retry on the new parent, drop every part B already
+    covers, leave NO duplicate part_ids readable, and strand its
+    superseded data only as an expirable orphan."""
+    import parquetry_spark.iceberg as icemod
+
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(wh)
+
+    real_commit = SnapshotCatalog.commit_append
+    state = {"fired": False, "b": None}
+
+    def interleaved_commit(
+        self, table, files, summary=None, expected_version=icemod._UNSET
+    ):
+        if not state["fired"]:
+            # first commit attempt = writer A's. Run writer B fully
+            # FIRST (its own commit re-enters here with fired already
+            # set, so it delegates straight through) — this lands B's
+            # snapshot between A's skip-set read and A's commit.
+            state["fired"] = True
+            state["b"] = run_encode_snapshots(spark, pages, wh, n_parts=4)
+        return real_commit(
+            self, table, files, summary=summary, expected_version=expected_version
+        )
+
+    monkeypatch.setattr(SnapshotCatalog, "commit_append", interleaved_commit)
+    res_a = run_encode_snapshots(spark, pages, wh, n_parts=4)
+    monkeypatch.undo()
+    res_b = state["b"]
+
+    # B (identical input) committed every part first; A's retry found
+    # full overlap, dropped everything, and added NO second snapshot
+    assert sorted(res_b["new_parts"]) == [0, 1, 2, 3]
+    assert res_a["new_parts"] == []
+    assert res_a["snapshot_id"] == res_b["snapshot_id"]
+    assert len(cat.history("blocks")) == 1
+
+    final = cat.read(spark, "blocks")
+    per_part = final.groupBy("part_id", "column").count().collect()
+    assert sorted({r["part_id"] for r in per_part}) == [0, 1, 2, 3]
+    assert all(r["count"] == 1 for r in per_part)  # no read-skew dupes
+
+    # A's superseded run dir is invisible AND reclaimable; the read is
+    # unchanged after expiry
+    before = final.count()
+    removed = cat.expire_orphans("blocks")
+    assert removed, "writer A's superseded run dir should be an orphan"
+    assert cat.read(spark, "blocks").count() == before
+    assert len(cat.history("blocks")) == 1
+
+
 def test_snapshot_resume_noop_when_complete(spark, pages, tmp_path):
     """A rerun over a fully-committed table encodes nothing and adds
     no snapshot."""
