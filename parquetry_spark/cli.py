@@ -153,6 +153,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--blocks", required=True)
     p.add_argument("--cols", required=True)
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--where",
+        default=None,
+        help="filter expression (parity DSL); range predicates on "
+        "zone-mapped columns prune whole block partitions BEFORE any "
+        "payload is decoded, then the exact filter runs on the rows",
+    )
     p = sub.add_parser("verify")
     p.add_argument("--in", dest="inp", required=True)
     p.add_argument("--blocks", required=True)
@@ -197,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(res, default=str))
             return 0
         if args.cmd == "decode":
-            from .engine import decode_blocks
+            from .engine import decode_blocks, prune_blocks_for_expr
 
             blocks = spark.read.parquet(args.blocks)
             cols = args.cols.split(",")
@@ -205,7 +212,16 @@ def main(argv: list[str] | None = None) -> int:
                 r["column"]: r["ltype"]
                 for r in blocks.select("column", "ltype").distinct().collect()
             }
+            if args.where:
+                # zone-map pruning from the filter's provable range
+                # bounds: metadata-only, pruned partitions' payloads
+                # are never fetched or decoded
+                blocks = prune_blocks_for_expr(blocks, args.where, ltypes)
             out = decode_blocks(blocks, cols, ltypes)
+            if args.where:
+                from .parity.filters import where as _where
+
+                out = _where(out, args.where)  # exact filter on rows
             if args.out:
                 out.write.mode("overwrite").parquet(args.out)
             else:

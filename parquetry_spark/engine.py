@@ -323,6 +323,117 @@ def prune_blocks(
     return blocks.join(kept_parts, "part_id", "left_semi")
 
 
+_UNIT_NS_OF = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+
+
+def _range_literal(ltype: str, node):
+    """Filter-AST literal node → a value comparable against `ltype`'s
+    zone-map bounds (stored/raw units), or None when the literal can't
+    be converted soundly (pruning then simply doesn't use it)."""
+    from .parity.filters import parse_go_duration_ns, parse_rfc3339_ns
+
+    base = (
+        ltype.removesuffix("_loc")
+        .removesuffix("_ntz")
+        .replace("timestamp_ntz_", "timestamp_")
+    )
+    if node[0] == "num":
+        if base in ("float64", "float32"):
+            return float(node[1])
+        if base in ("int64", "int32", "bool") or base.startswith(
+            ("time_", "timestamp_")
+        ):
+            return int(node[1])  # raw units, the reference's int overload
+        return None
+    if node[0] == "lit":
+        s = node[1]
+        try:
+            if base == "str":
+                return s
+            if base.startswith("time_"):  # Go duration literal
+                return parse_go_duration_ns(s) // _UNIT_NS_OF[base.split("_", 1)[1]]
+            if base.startswith("timestamp_"):  # RFC3339 at stored unit
+                return parse_rfc3339_ns(s) // _UNIT_NS_OF[base.rsplit("_", 1)[1]]
+        except Exception:
+            return None
+    return None
+
+
+def filter_bounds(expr: str, ltypes: dict[str, str]) -> dict[str, tuple]:
+    """Extract per-column [lo, hi] range constraints that MUST hold for
+    a row to pass `expr` (the parity filter DSL) — the bridge that lets
+    the parity `where` surface consult zone maps before decoding.
+
+    Only constraints provable from the top-level CONJUNCTION are used:
+    `and` descends, comparisons of a column against a literal
+    contribute a bound, and everything else (`or`, `not`, `in`,
+    function calls, column-vs-column) contributes nothing — dropping a
+    constraint only weakens pruning, never correctness. `>` vs `>=`
+    collapse to the inclusive bound: at block granularity the boundary
+    block is kept either way (conservative)."""
+    from .parity.filters import _P, _lex
+
+    ast = _P(_lex(expr)).parse()
+    bounds: dict[str, list] = {}
+
+    def add(col: str, lo=None, hi=None):
+        b = bounds.setdefault(col, [None, None])
+        if lo is not None:
+            b[0] = lo if b[0] is None else max(b[0], lo)
+        if hi is not None:
+            b[1] = hi if b[1] is None else min(b[1], hi)
+
+    def resolve(col: str) -> str | None:
+        if col in ltypes:
+            return col
+        for k in ltypes:  # the DSL resolves names case-insensitively
+            if k.lower() == col.lower():
+                return k
+        return None
+
+    def walk(node):
+        if node[0] == "and":
+            walk(node[1])
+            walk(node[2])
+            return
+        if node[0] != "cmp":
+            return
+        op, ln, rn = node[1], node[2], node[3]
+        if ln[0] == "name" and rn[0] in ("num", "lit"):
+            col, val_node = ln[1], rn
+        elif rn[0] == "name" and ln[0] in ("num", "lit"):
+            col, val_node = rn[1], ln
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+        else:
+            return
+        key = resolve(col)
+        if key is None:
+            return
+        v = _range_literal(ltypes[key], val_node)
+        if v is None:
+            return
+        if op in (">", ">="):
+            add(key, lo=v)
+        elif op in ("<", "<="):
+            add(key, hi=v)
+        elif op == "==":
+            add(key, lo=v, hi=v)
+
+    walk(ast)
+    return {c: (lo, hi) for c, (lo, hi) in bounds.items() if lo is not None or hi is not None}
+
+
+def prune_blocks_for_expr(
+    blocks: DataFrame, expr: str, ltypes: dict[str, str]
+) -> DataFrame:
+    """Apply zone-map pruning for every range constraint provable from
+    `expr` (filter_bounds). The exact filter must still run on the
+    decoded rows — this only skips partitions that cannot match."""
+    for col, (lo, hi) in filter_bounds(expr, ltypes).items():
+        blocks = prune_blocks(blocks, col, lo=lo, hi=hi)
+    return blocks
+
+
 def _checksum(in_payload: bytes, notnull: np.ndarray) -> str:
     h = hashlib.sha256(in_payload)
     h.update(np.packbits(notnull).tobytes())

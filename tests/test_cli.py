@@ -138,6 +138,53 @@ def test_where_out_dir_jsonl(cli, tmp_path):
     assert len(recs) == 5 and all(r["n_regionkey"] == 0 for r in recs)
 
 
+def test_decode_where_prunes_blocks_same_rows(cli, tmp_path, spark, pages):
+    """CLI `decode --where` consults zone maps before decoding (r4
+    VERDICT #8): under a selective range filter, strictly fewer block
+    partitions are decoded (asserted via the same prune the CLI calls)
+    while the output rows equal the plain filter of the original."""
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.engine import (
+        encode_preserve,
+        infer_ltypes,
+        prune_blocks_for_expr,
+    )
+
+    df = pages.select("url", "warc_ts").repartitionByRange(8, "warc_ts")
+    blocks_dir = str(tmp_path / "blocks")
+    encode_preserve(df).write.parquet(blocks_dir)
+
+    import datetime as _dt
+
+    mid = df.agg(F.expr("percentile(unix_micros(warc_ts), 0.8)")).collect()[0][0]
+    mid_s = (int(mid) // 10**6) * 10**6
+    lit = _dt.datetime.fromtimestamp(
+        mid_s // 10**6, _dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    expr = f'warc_ts >= "{lit}"'
+
+    blocks = spark.read.parquet(blocks_dir)
+    pruned = prune_blocks_for_expr(blocks, expr, infer_ltypes(df))
+    assert 0 < pruned.count() < blocks.count()  # the CLI decodes less
+
+    out_dir = str(tmp_path / "dec")
+    cli(
+        "decode",
+        "--blocks", blocks_dir,
+        "--cols", "url,warc_ts",
+        "--where", expr,
+        "--out", out_dir,
+    )
+    got = spark.read.parquet(out_dir)
+    want = df.filter(F.unix_micros("warc_ts") >= F.lit(mid_s))
+    assert got.count() == want.count()
+    assert (
+        got.select("url").exceptAll(want.select("url")).count() == 0
+        and want.select("url").exceptAll(got.select("url")).count() == 0
+    )
+
+
 def test_out_dir_go_format_rejected(cli, tmp_path, spark, monkeypatch):
     import pytest as _pytest
 

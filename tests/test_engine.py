@@ -242,6 +242,73 @@ def test_prune_domain_mismatch_is_noop(spark, pages):
     blocks.unpersist()
 
 
+def test_filter_bounds_extraction():
+    """filter_bounds lifts only conjunctively-provable range
+    constraints out of the parity filter DSL, converting literals to
+    the column's stored/raw units (r4 VERDICT #8)."""
+    from parquetry_spark.engine import filter_bounds
+
+    lts = {
+        "A": "int64",
+        "ts": "timestamp_us",
+        "t": "time_ms",
+        "s": "str",
+        "f": "float64",
+    }
+    b = filter_bounds(
+        'A >= 3 and A < 10 and s == "x" and (f > 1.5 or A > 100) '
+        'and ts >= "2018-02-22T02:22:22Z" and t < "1h" and 5 >= A',
+        lts,
+    )
+    assert b["A"] == (3, 5)  # tightest conjunction incl. the flipped 5 >= A
+    assert b["s"] == ("x", "x")
+    assert "f" not in b  # inside an `or` — not provable, dropped
+    assert b["ts"] == (1519266142 * 10**6, None)  # RFC3339 → stored µs
+    assert b["t"] == (None, 3_600_000)  # Go duration → stored ms
+    # case-insensitive resolve, like the DSL itself
+    assert filter_bounds("a == 7", lts)["A"] == (7, 7)
+    # nothing provable → empty (never an error)
+    assert filter_bounds('s in ["a", "b"] or A > 3', lts) == {}
+
+
+def test_prune_for_expr_fewer_blocks_same_rows(spark, pages):
+    """The expression-driven prune keeps strictly fewer blocks under a
+    selective range filter, and decode + exact filter returns exactly
+    the rows the plain filter keeps — the parity `where` surface now
+    gets the zone-map skip (CLI decode --where wires this same path)."""
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.engine import (
+        decode_blocks,
+        encode_preserve,
+        infer_ltypes,
+        prune_blocks_for_expr,
+    )
+    from parquetry_spark.parity.filters import where
+
+    df = pages.select("url", "warc_ts").repartitionByRange(8, "warc_ts")
+    blocks = encode_preserve(df).cache()
+    n_all = blocks.count()
+    mid = df.agg(F.expr("percentile(unix_micros(warc_ts), 0.75)")).collect()[0][0]
+    import datetime as _dt
+
+    mid_s = (int(mid) // 10**6) * 10**6  # whole seconds — matches the literal
+    lit = (
+        _dt.datetime.fromtimestamp(mid_s // 10**6, _dt.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
+    expr = f'warc_ts >= "{lit}"'
+    ltypes = infer_ltypes(df)
+    pruned = prune_blocks_for_expr(blocks, expr, ltypes)
+    assert 0 < pruned.count() < n_all  # real skip, not a no-op
+    dec = where(decode_blocks(pruned, ["url", "warc_ts"], ltypes), expr)
+    want = where(df, expr)
+    assert dec.count() == want.count() == df.filter(
+        F.unix_micros("warc_ts") >= F.lit(mid_s)
+    ).count()
+    blocks.unpersist()
+
+
 def test_str_bounds_truncation():
     """Truncated bounds stay valid: zmin prefix ≤ min, bumped zmax >
     max; un-bumpable prefixes omit zmax."""
