@@ -293,6 +293,25 @@ def q_prune_decode(spark, sf):
     )
 
 
+def q_prune_decode_expr(spark, sf):
+    """Expression-driven zone-map pruning (r5): the parity filter DSL
+    expression itself supplies the prune bounds (engine.filter_bounds
+    lifts the provable conjunctive ranges, prune_blocks_for_expr skips
+    partitions from metadata only), then the SAME expression runs
+    exactly on the decoded rows — the path CLI `decode --where` uses.
+    Equals a plain SQL filter."""
+    from parquetry_spark.engine import prune_blocks_for_expr
+    from parquetry_spark.parity.filters import where
+
+    df = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    expr = 'doc_id >= 150 and doc_id < 450 and lang != "de"'
+    ltypes = {"doc_id": "int64", "lang": "str", "n_chars": "int64"}
+    pruned = prune_blocks_for_expr(blocks, expr, ltypes)
+    dec = where(decode_blocks(pruned, ["doc_id", "lang", "n_chars"], ltypes), expr)
+    return dec.select("doc_id", "lang", "n_chars")
+
+
 def q_prune_decode_str(spark, sf):
     """String zone-map pruned decode (r4): range-partition documents
     by lang so partitions carry disjoint [zmin_s, zmax_s] string
@@ -587,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_manifest_full": q_encode_manifest_full,
         "prune_decode": q_prune_decode,
         "prune_decode_str": q_prune_decode_str,
+        "prune_decode_expr": q_prune_decode_expr,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -994,6 +1014,10 @@ def oracle_sql() -> dict[str, str]:
         "prune_decode_str": (
             "SELECT doc_id, lang FROM documents "
             "WHERE lang >= 'de' AND lang <= 'en'"
+        ),
+        "prune_decode_expr": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id >= 150 AND doc_id < 450 AND lang != 'de'"
         ),
         # structural manifest oracle: the column set and per-column row
         # coverage are engine-independent (every column appears; blocks

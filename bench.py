@@ -131,6 +131,39 @@ def bench_input_path(rows: int) -> str:
     return f"/tmp/spark_graft_bench_pages_{rows}_{SEED}"
 
 
+def reap_stale_servers() -> int:
+    """Kill leftover `--encode-server` trees from PREVIOUS runs.
+
+    A measurement server is SIGSTOPped between turns; if its parent
+    bench dies without the close path (outer kill, crash), the paused
+    group survives indefinitely — observed squatting ~2.3 GB RSS
+    across two zombie JVMs — competing for the exact memory the next
+    run measures. Runs before this run spawns its own servers, so
+    anything matching is stale by construction (two concurrent
+    benches are already forbidden by the measurement discipline)."""
+    import signal as _signal
+
+    me = os.getpid()
+    reaped = 0
+    for pid_dir in os.listdir("/proc"):
+        if not pid_dir.isdigit() or int(pid_dir) == me:
+            continue
+        try:
+            with open(f"/proc/{pid_dir}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\x00", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        if "--encode-server" in cmd and "bench.py" in cmd:
+            try:
+                pgid = os.getpgid(int(pid_dir))
+                os.killpg(pgid, _signal.SIGCONT)  # a stopped tree can't die
+                os.killpg(pgid, _signal.SIGKILL)
+                reaped += 1
+            except Exception:
+                pass
+    return reaped
+
+
 def ensure_bench_input(rows: int) -> None:
     """Write the deterministic pages table ONCE as uncompressed
     parquet; every scaling leg reads the identical bytes. (Feeding
@@ -405,6 +438,11 @@ def main() -> int:
 
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
+
+    reaped = reap_stale_servers()
+    if reaped:
+        result["stale_servers_reaped"] = reaped
+        print(f"reaped {reaped} stale encode-server group(s)", file=sys.stderr)
 
     # ---- headline queries FIRST: the primary perf artifact ----
     # local[16] cap: this VM's aggregate throughput collapses past ~16
