@@ -225,6 +225,20 @@ def q_roundtrip_numeric(spark, sf):
     return decode_blocks(blocks, cols, infer_ltypes(df)).select(*cols)
 
 
+def q_roundtrip_float(spark, sf):
+    """Encode lineitem's double columns, decode, return values — the
+    float codec family (alp decimal-scaled ints for 2-decimal money,
+    bss byte-stream split, dict/plain fallback) must reproduce every
+    bit. l_extendedprice is high-cardinality 2-decimal (alp's case);
+    l_discount/l_tax are low-cardinality decimals (dict's case)."""
+    df = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"]
+    return decode_blocks(blocks, cols, infer_ltypes(df)).select(*cols)
+
+
 def q_codec_stats(spark, sf):
     # the auto-selector's planning stats, exact form
     df = _t(spark, sf, "documents")
@@ -601,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count": q_count,
         "roundtrip_text": q_roundtrip_text,
         "roundtrip_numeric": q_roundtrip_numeric,
+        "roundtrip_float": q_roundtrip_float,
         "codec_stats": q_codec_stats,
         "encode_manifest": q_encode_manifest,
         "encode_manifest_full": q_encode_manifest_full,
@@ -860,6 +875,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "roundtrip_numeric": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate, l_returnflag "
+            "FROM lineitem"
+        ),
+        "roundtrip_float": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax "
             "FROM lineitem"
         ),
         "codec_stats": (

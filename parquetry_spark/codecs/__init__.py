@@ -1,11 +1,12 @@
 """Codec kernel registry — pure numpy encode/decode pairs.
 
 Importing this package registers all codecs:
-  plain, dict, rle, bitpack (FOR), delta_for, fsst.
+  plain, dict, rle, bitpack (FOR), delta_for, fsst, alp, bss.
 """
 
 from .base import Codec, codec_names, get_codec  # noqa: F401
 from .dictionary import DICT  # noqa: F401
+from .floats import ALP, BSS  # noqa: F401
 from .foref import BITPACK, DELTA_FOR  # noqa: F401
 from .fsst import FSST  # noqa: F401
 from .plain import PLAIN  # noqa: F401

@@ -1,0 +1,220 @@
+"""Float codecs — decimal-scaled integers (ALP-style) and byte-stream
+split, the two lightweight families the int codecs can't reach.
+
+`alp` : price-like doubles (2-decimal money, sensor readings with a
+        fixed decimal scale) are exactly `k / 10^e` for small e. Scale
+        to int64, then reuse the integer FOR machinery (bitpack /
+        delta_for) on the scaled values. This is the core idea of ALP
+        (Afroozeh & Boncz, "ALP: Adaptive Lossless floating-Point
+        Compression", SIGMOD 2023 — public), restricted to the
+        no-exceptions case: the codec REFUSES (ValueError) unless every
+        value round-trips bit-identically, so the engine's candidate
+        loop falls through to bss/dict/plain instead of patching.
+
+`bss`  : BYTE_STREAM_SPLIT (a standard Parquet encoding for
+        FLOAT/DOUBLE) — transpose the value bytes into per-byte-index
+        planes. Exponent/sign planes of real-world floats carry a few
+        distinct byte values, so each plane is then stored in the
+        cheapest of raw / FOR-bitpack / RLE form (closed-form cost
+        comparison, one encode). A pure byte permutation per plane —
+        NaN payloads, -0.0 and denormals survive bit-exactly.
+
+The reference decodes only Parquet's PLAIN float pages
+(/root/reference/main.go:352 via parquet-go); these stages extend the
+same per-column-chunk encoding choice to the float families the north
+rule's selector must cover.
+
+Bit-identity contract (engine.py): decode(encode(x)) must reproduce
+the exact bit pattern, so all comparisons here are on integer views,
+never float equality.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .base import Codec, bit_width, get_codec, pack_bits, register, unpack_bits
+
+_FLOAT_TAGS = {"float32", "float64"}
+# largest exponent worth trying: 10^e must be exact in float64 (e<=22)
+# and the scaled magnitude must stay in float64's exact-int range.
+_MAX_EXP = {"float32": 10, "float64": 14}
+_SAMPLE = 4096
+
+
+def _bits(arr: np.ndarray) -> np.ndarray:
+    return arr.view(np.uint32 if arr.dtype.itemsize == 4 else np.uint64)
+
+
+def _try_exp(f64: np.ndarray, e: int, out_dtype: np.dtype) -> np.ndarray | None:
+    """Return int64 scaled values if 10^e reproduces every bit, else None.
+
+    The check round-trips through int64 EXACTLY as decode will — a
+    float-side division check would wrongly accept -0.0 (int64 can't
+    keep the sign of a zero)."""
+    scaled = np.round(f64 * (10.0**e))
+    if len(scaled) and float(np.abs(scaled).max()) >= 2.0**53:
+        return None  # int64->float64 wouldn't be exact on decode
+    ints = scaled.astype(np.int64)
+    back = (ints.astype(np.float64) / (10.0**e)).astype(out_dtype)
+    orig = f64.astype(out_dtype)
+    if not np.array_equal(_bits(back), _bits(orig)):
+        return None
+    return ints
+
+
+class AlpCodec(Codec):
+    """Decimal-scale floats to int64, FOR-encode the integers.
+
+    Layout: [u8 exp][u8 inner: 0=bitpack 1=delta_for][inner payload].
+    """
+
+    name = "alp"
+
+    def _encode(self, arr: np.ndarray):
+        tag = str(arr.dtype)
+        if tag not in _FLOAT_TAGS:
+            raise TypeError(f"alp needs a float column, got {tag}")
+        if len(arr) == 0:
+            return struct.pack("<BB", 0, 0) + struct.pack("<q", 0), {
+                "dtype": tag,
+                "exp": "0",
+                "inner": "bitpack",
+                "width": "0",
+            }
+        if not np.isfinite(arr).all():
+            raise ValueError("alp: NaN/inf present — not decimal-scalable")
+        f64 = arr.astype(np.float64)
+        # probe exponents on a prefix sample, verify the winner in full
+        sample = f64[:_SAMPLE]
+        exp = None
+        for e in range(0, _MAX_EXP[tag] + 1):
+            if _try_exp(sample, e, arr.dtype) is None:
+                continue
+            scaled = _try_exp(f64, e, arr.dtype)
+            if scaled is not None:
+                exp = e
+                break
+        if exp is None:
+            raise ValueError("alp: no decimal exponent reproduces the bits")
+        ints = scaled
+        best = None
+        for idx, inner in enumerate(("bitpack", "delta_for")):
+            p, prm = get_codec(inner).encode(ints)
+            if best is None or len(p) < len(best[0]):
+                best = (p, prm, idx, inner)
+        payload, iparams, inner_id, inner_name = best
+        return struct.pack("<BB", exp, inner_id) + payload, {
+            "dtype": tag,
+            "exp": str(exp),
+            "inner": inner_name,
+            "width": iparams["width"],
+        }
+
+    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        tag = params["dtype"]
+        if count == 0:
+            return np.zeros(0, dtype=tag)
+        exp, inner_id = struct.unpack_from("<BB", payload, 0)
+        inner = ("bitpack", "delta_for")[inner_id]
+        ints = get_codec(inner).decode(
+            payload[2:], {"dtype": "int64", "width": params["width"]}, count
+        )
+        # mirror of the encode-time check: int64 -> exact float64 -> divide
+        return (ints.astype(np.float64) / (10.0**exp)).astype(tag)
+
+
+# ---------------------------------------------------------------------------
+# byte-stream split
+# ---------------------------------------------------------------------------
+
+_RAW, _PACK, _RLE = 0, 1, 2
+
+
+def _encode_plane(plane: np.ndarray) -> tuple[int, bytes]:
+    """Store one uint8 plane in the cheapest of raw / FOR-pack / RLE.
+
+    Costs are closed-form so only the winner is actually encoded."""
+    n = len(plane)
+    lo, hi = int(plane.min()), int(plane.max())
+    pack_w = bit_width(hi - lo)
+    cost_pack = 2 + (n * pack_w + 7) // 8
+    starts = np.empty(n, dtype=bool)
+    starts[0] = True
+    np.not_equal(plane[1:], plane[:-1], out=starts[1:])
+    idx = np.flatnonzero(starts)
+    runs = len(idx)
+    lens = np.diff(np.append(idx, n))
+    len_w = bit_width(int(lens.max()) - 1) if runs else 0
+    cost_rle = 5 + runs + (runs * len_w + 7) // 8
+    best = min((n, _RAW), (cost_pack, _PACK), (cost_rle, _RLE), key=lambda t: t[0])[1]
+    if best == _RAW:
+        return _RAW, plane.tobytes()
+    if best == _PACK:
+        return _PACK, struct.pack("<BB", lo, pack_w) + pack_bits(
+            (plane - lo).astype(np.uint64), pack_w
+        )
+    return _RLE, (
+        struct.pack("<IB", runs, len_w)
+        + plane[idx].tobytes()
+        + pack_bits((lens - 1).astype(np.uint64), len_w)
+    )
+
+
+def _decode_plane(mode: int, payload: bytes, n: int) -> np.ndarray:
+    if mode == _RAW:
+        return np.frombuffer(payload, dtype=np.uint8, count=n)
+    if mode == _PACK:
+        lo, w = struct.unpack_from("<BB", payload, 0)
+        return (unpack_bits(payload[2:], w, n) + np.uint64(lo)).astype(np.uint8)
+    runs, len_w = struct.unpack_from("<IB", payload, 0)
+    vals = np.frombuffer(payload, dtype=np.uint8, count=runs, offset=5)
+    lens = unpack_bits(payload[5 + runs :], len_w, runs).astype(np.int64) + 1
+    return np.repeat(vals, lens)
+
+
+class BssCodec(Codec):
+    """Byte-stream split with per-plane packing.
+
+    Layout: [u8 itemsize] then per plane: [u8 mode][u32 plen][payload].
+    Planes are byte index j of the little-endian value representation.
+    """
+
+    name = "bss"
+
+    def _encode(self, arr: np.ndarray):
+        tag = str(arr.dtype)
+        if tag not in _FLOAT_TAGS:
+            raise TypeError(f"bss needs a float column, got {tag}")
+        n = len(arr)
+        isz = arr.dtype.itemsize
+        if n == 0:
+            return struct.pack("<B", isz), {"dtype": tag}
+        mat = np.ascontiguousarray(arr).view(np.uint8).reshape(n, isz)
+        parts = [struct.pack("<B", isz)]
+        for j in range(isz):
+            plane = np.ascontiguousarray(mat[:, j])
+            mode, pbytes = _encode_plane(plane)
+            parts.append(struct.pack("<BI", mode, len(pbytes)))
+            parts.append(pbytes)
+        return b"".join(parts), {"dtype": tag}
+
+    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        tag = params["dtype"]
+        if count == 0:
+            return np.zeros(0, dtype=tag)
+        isz = struct.unpack_from("<B", payload, 0)[0]
+        mat = np.empty((count, isz), dtype=np.uint8)
+        off = 1
+        for j in range(isz):
+            mode, plen = struct.unpack_from("<BI", payload, off)
+            off += 5
+            mat[:, j] = _decode_plane(mode, payload[off : off + plen], count)
+            off += plen
+        return mat.reshape(-1).view(tag)[:count].copy()
+
+
+ALP = register(AlpCodec())
+BSS = register(BssCodec())

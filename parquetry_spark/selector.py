@@ -7,7 +7,15 @@ Policy (thresholds over partition_stats output):
   int with delta_bitwidth < bitwidth       → delta_for   (sorted-ish)
   int with bitwidth < 8*itemsize*PACK_T    → bitpack     (FOR)
   str/bytes with avg_len ≥ FSST_MIN_LEN    → fsst
+  float with dec_exp ≥ 0 (decimal-scaled)  → alp
+  float                                    → bss (byte-stream split)
   otherwise                                → plain
+
+Fixed-width int candidates (dict / delta_for / bitpack) are ranked
+by PREDICTED bits per value — dict's code width plus its amortized
+dictionary bytes against the delta/FOR residual widths — because the
+engine's candidate loop commits to the first codec that beats plain
+on real bytes, so order IS the decision.
 
 The selector returns a RANKED candidate list; the encode worker
 encodes with the first candidate and falls back to `plain` if the
@@ -38,15 +46,32 @@ def select_codec(stats: dict[str, float], dtype_kind: str) -> list[str]:
     cands: list[str] = []
     if frac_run >= RUN_T:
         cands.append("rle")
-    if distinct / n <= DICT_T and distinct <= DICT_MAX:
-        cands.append("dict")
+    dict_ok = distinct / n <= DICT_T and distinct <= DICT_MAX
     if dtype_kind in ("i", "u"):
         itembits = 8 * int(stats.get("avg_len", 8))
+        # rank the fixed-width int candidates by PREDICTED bits/value —
+        # the engine's candidate loop stops at the first codec that
+        # beats plain on real bytes, so order is the decision. A sorted
+        # key column with 4 rows/key must rank delta_for (a few
+        # delta-residual bits) above dict (code bits + the dictionary
+        # values themselves), not fall to dict on fixed precedence.
+        costs: list[tuple[float, str]] = []
+        if dict_ok:
+            code_bits = max(int(distinct - 1), 0).bit_length()
+            dict_values_bits = distinct * itembits / n
+            costs.append((code_bits + dict_values_bits, "dict"))
         if dbw and dbw < bw:
-            cands.append("delta_for")
+            costs.append((float(dbw), "delta_for"))
         if bw and bw < itembits * PACK_T:
-            cands.append("bitpack")
+            costs.append((float(bw), "bitpack"))
+        cands.extend(name for _, name in sorted(costs))
+    elif dict_ok:
+        cands.append("dict")
     if dtype_kind == "O" and avg_len >= FSST_MIN_LEN:
         cands.append("fsst")
+    if dtype_kind == "f":
+        if int(stats.get("dec_exp", -1)) >= 0:
+            cands.append("alp")
+        cands.append("bss")
     cands.append("plain")
     return cands

@@ -137,4 +137,25 @@ def partition_stats(values: np.ndarray) -> dict[str, float]:
     elif values.dtype.kind == "f":
         cap = min(n, 262144)
         stats["distinct"] = float(len(np.unique(values[:cap])) * (n / cap))
+        stats["dec_exp"] = float(_dec_exp(values))
     return stats
+
+
+def _dec_exp(values: np.ndarray, cap: int = 4096) -> int:
+    """Smallest decimal exponent e (0..14) such that a SAMPLE of the
+    column is bit-exactly `round(v*10^e)/10^e` — the alp candidate
+    signal. -1 if none (the codec re-verifies in full and refuses on
+    mismatch, so this is only a prediction)."""
+    from .codecs.floats import _MAX_EXP, _try_exp  # local: keeps module deps one-way
+
+    sample = values[:cap]
+    if not np.isfinite(sample).all():
+        return -1
+    tag = str(values.dtype)
+    if tag not in _MAX_EXP:
+        return -1
+    f64 = sample.astype(np.float64)
+    for e in range(0, _MAX_EXP[tag] + 1):
+        if _try_exp(f64, e, values.dtype) is not None:
+            return e
+    return -1

@@ -1,0 +1,250 @@
+"""Float codecs (alp decimal-scaling, bss byte-stream split) — kernel
+bit-identity, refusal semantics, selector ranking, engine composition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquetry_spark.codecs import get_codec
+from parquetry_spark.selector import select_codec
+from parquetry_spark.stats import partition_stats
+
+ALP = get_codec("alp")
+BSS = get_codec("bss")
+
+
+def _roundtrip(codec, arr: np.ndarray) -> None:
+    payload, params = codec.encode(arr)
+    dec = codec.decode(payload, params, len(arr))
+    assert dec.dtype == arr.dtype
+    assert dec.tobytes() == arr.tobytes()  # bit pattern, not value equality
+
+
+# ---------------------------------------------------------------------------
+# alp
+# ---------------------------------------------------------------------------
+
+
+def test_alp_prices_two_decimals():
+    rng = np.random.default_rng(1)
+    arr = np.round(rng.uniform(1.0, 100000.0, 20000), 2)
+    payload, params = ALP.encode(arr)
+    assert params["exp"] == "2"
+    assert len(payload) < arr.nbytes / 2  # the point of the codec
+    _roundtrip(ALP, arr)
+
+
+def test_alp_whole_number_floats_exp0():
+    arr = np.arange(5000, dtype=np.float64) * 3.0
+    payload, params = ALP.encode(arr)
+    assert params["exp"] == "0"
+    _roundtrip(ALP, arr)
+
+
+def test_alp_sorted_prefers_delta_inner():
+    rng = np.random.default_rng(2)
+    arr = np.round(np.cumsum(rng.uniform(0, 0.1, 20000)), 3)
+    payload, params = ALP.encode(arr)
+    assert params["inner"] == "delta_for"
+    _roundtrip(ALP, arr)
+
+
+def test_alp_float32():
+    rng = np.random.default_rng(3)
+    arr = np.round(rng.uniform(0, 1000, 10000), 2).astype(np.float32)
+    _roundtrip(ALP, arr)
+
+
+def test_alp_refuses_negative_zero():
+    # int64 cannot keep the sign of a zero; alp must refuse rather
+    # than decode -0.0 as +0.0 (engine contract is bit identity)
+    with pytest.raises(ValueError):
+        ALP.encode(np.array([0.0, -0.0, 1.25]))
+
+
+def test_alp_refuses_nan_inf():
+    with pytest.raises(ValueError):
+        ALP.encode(np.array([1.0, np.nan]))
+    with pytest.raises(ValueError):
+        ALP.encode(np.array([1.0, np.inf]))
+
+
+def test_alp_refuses_irrational_bits():
+    rng = np.random.default_rng(4)
+    with pytest.raises(ValueError):
+        ALP.encode(rng.standard_normal(1000))
+
+
+def test_alp_refuses_int_column():
+    with pytest.raises(TypeError):
+        ALP.encode(np.arange(10, dtype=np.int64))
+
+
+def test_alp_sample_pass_full_fail():
+    # prefix sample is clean 2-decimal; a value past the sample window
+    # is not — the full verification must catch it and refuse
+    arr = np.round(np.linspace(1, 100, 5000), 2)
+    arr[4999] = np.pi
+    with pytest.raises(ValueError):
+        ALP.encode(arr)
+
+
+def test_alp_empty_and_single():
+    _roundtrip(ALP, np.zeros(0, dtype=np.float64))
+    _roundtrip(ALP, np.array([123.45]))
+    _roundtrip(ALP, np.zeros(0, dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# bss
+# ---------------------------------------------------------------------------
+
+
+def test_bss_bit_exact_on_special_values():
+    # NaN payloads, infinities, denormals, -0.0: a byte permutation
+    # must carry every one of them bit-exactly
+    arr = np.array(
+        [0.0, -0.0, np.nan, np.inf, -np.inf, 5e-324, 1.7976931348623157e308, 1.5]
+    )
+    nan_payload = np.frombuffer(b"\x01\x00\x00\x00\x00\x00\xf8\x7f", dtype=np.float64)
+    arr = np.concatenate([arr, nan_payload])  # non-canonical NaN
+    _roundtrip(BSS, arr)
+
+
+def test_bss_float32_and_empty():
+    rng = np.random.default_rng(5)
+    _roundtrip(BSS, rng.standard_normal(10000).astype(np.float32))
+    _roundtrip(BSS, np.zeros(0, dtype=np.float32))
+    _roundtrip(BSS, np.zeros(0, dtype=np.float64))
+
+
+def test_bss_compresses_narrow_range_doubles():
+    # doubles in a narrow magnitude band: exponent planes are nearly
+    # constant -> RLE/pack planes beat raw storage
+    rng = np.random.default_rng(6)
+    arr = rng.integers(1, 51, 20000).astype(np.float64)
+    payload, _ = BSS.encode(arr)
+    assert len(payload) < arr.nbytes / 2
+
+
+def test_bss_refuses_int_column():
+    with pytest.raises(TypeError):
+        BSS.encode(np.arange(10, dtype=np.int64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        max_size=200,
+    )
+)
+def test_bss_roundtrip_property(vals):
+    _roundtrip(BSS, np.array(vals, dtype=np.float64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=32),
+        max_size=200,
+    ),
+)
+def test_bss_roundtrip_property_f32(vals):
+    _roundtrip(BSS, np.array(vals, dtype=np.float32))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-(10**9),
+            max_value=10**9,
+            places=2,
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_alp_roundtrip_property_two_decimal(vals):
+    arr = np.array([float(v) for v in vals], dtype=np.float64)
+    try:
+        _roundtrip(ALP, arr)
+    except ValueError:
+        # refusal is always legal (e.g. a -0.0 crept in); corruption is not
+        pass
+
+
+# ---------------------------------------------------------------------------
+# selector / stats
+# ---------------------------------------------------------------------------
+
+
+def test_selector_ranks_alp_for_decimal_floats():
+    rng = np.random.default_rng(8)
+    arr = np.round(rng.uniform(1, 100000, 20000), 2)
+    stats = partition_stats(arr)
+    cands = select_codec(stats, "f")
+    assert cands.index("alp") < cands.index("bss") < cands.index("plain")
+
+
+def test_selector_skips_alp_for_irrational_floats():
+    rng = np.random.default_rng(9)
+    stats = partition_stats(rng.standard_normal(20000))
+    cands = select_codec(stats, "f")
+    assert "alp" not in cands and "bss" in cands
+
+
+def test_selector_skips_alp_on_nan():
+    arr = np.array([1.25, np.nan, 3.5])
+    stats = partition_stats(arr)
+    assert int(stats["dec_exp"]) == -1
+    assert "alp" not in select_codec(stats, "f")
+
+
+# ---------------------------------------------------------------------------
+# engine composition
+# ---------------------------------------------------------------------------
+
+
+def test_engine_picks_alp_for_price_columns(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.engine import decode_blocks, encode_table, infer_ltypes
+
+    rng = np.random.default_rng(10)
+    n = 8000
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(n),
+            "price": np.round(rng.uniform(1, 100000, n), 2),
+            "noise": rng.standard_normal(n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    blocks = encode_table(df, n_parts=4, url_col=None, ts_col=None).cache()
+    codecs = {
+        r["column"]: set(r["cs"])
+        for r in blocks.groupBy("column").agg(F.collect_set("codec").alias("cs")).collect()
+    }
+    assert codecs["price"] == {"alp"}
+    assert "alp" not in codecs["noise"]  # irrational bits never alp
+    dec = (
+        decode_blocks(blocks, ["k", "price", "noise"], infer_ltypes(df))
+        .orderBy("k")
+        .toPandas()
+    )
+    assert np.array_equal(
+        dec["price"].to_numpy().view(np.uint64), pdf["price"].to_numpy().view(np.uint64)
+    )
+    assert np.array_equal(
+        dec["noise"].to_numpy().view(np.uint64), pdf["noise"].to_numpy().view(np.uint64)
+    )
+    blocks.unpersist()

@@ -68,3 +68,35 @@ def test_partition_stats_profiles():
     obj[:] = ["en", "de"] * 500
     s = partition_stats(obj)
     assert s["distinct"] <= 3
+
+
+def test_sorted_key_column_ranks_delta_above_dict():
+    # sorted key with ~4 rows per key: dict qualifies (distinct/n =
+    # 0.25) but delta residuals are a few bits while dict pays code
+    # bits + the dictionary itself — predicted-size ranking must put
+    # delta_for first (the engine commits to the first winner)
+    stats = {
+        "n": 10000,
+        "distinct": 2500,
+        "frac_run": 0.0,
+        "avg_len": 8,
+        "bitwidth": 17,
+        "delta_bitwidth": 3,
+    }
+    c = select_codec(stats, "i")
+    assert c.index("delta_for") < c.index("dict")
+
+
+def test_tiny_dict_ranks_above_wide_delta():
+    # 8 distinct values, unsorted: dict is ~3 bits/value, deltas are
+    # wide — dict must stay first
+    stats = {
+        "n": 10000,
+        "distinct": 8,
+        "frac_run": 0.0,
+        "avg_len": 8,
+        "bitwidth": 20,
+        "delta_bitwidth": 19,
+    }
+    c = select_codec(stats, "i")
+    assert c[0] == "dict"
