@@ -239,6 +239,21 @@ def q_roundtrip_float(spark, sf):
     return decode_blocks(blocks, cols, infer_ltypes(df)).select(*cols)
 
 
+def q_roundtrip_vec(spark, sf):
+    """Encode the embeddings table's list<float> column through the
+    vec block path (lengths + flattened values as two codec streams,
+    not an opaque arrow_ipc blob), decode, then posexplode to scalar
+    rows — every element bit-identical at its original position.
+    (Scalars because the driver's compare factorizes result columns;
+    array cells would crash it.)"""
+    df = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    blocks = encode_table(df, n_parts=4, url_col=None, ts_col=None)
+    dec = decode_blocks(blocks, ["vec_id", "embedding"], infer_ltypes(df))
+    return dec.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("pos"), "val")
+
+
 def q_codec_stats(spark, sf):
     # the auto-selector's planning stats, exact form
     df = _t(spark, sf, "documents")
@@ -616,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_text": q_roundtrip_text,
         "roundtrip_numeric": q_roundtrip_numeric,
         "roundtrip_float": q_roundtrip_float,
+        "roundtrip_vec": q_roundtrip_vec,
         "codec_stats": q_codec_stats,
         "encode_manifest": q_encode_manifest,
         "encode_manifest_full": q_encode_manifest_full,
@@ -880,6 +896,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_float": (
             "SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax "
             "FROM lineitem"
+        ),
+        "roundtrip_vec": (
+            "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
+            "unnest(embedding) AS val FROM embeddings"
         ),
         "codec_stats": (
             "SELECT count(*) AS n, count(DISTINCT lang) AS lang_distinct, "

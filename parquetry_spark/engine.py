@@ -47,6 +47,7 @@ from __future__ import annotations
 import hashlib
 import io
 import os
+import struct
 from datetime import datetime, timezone
 
 import numpy as np
@@ -487,8 +488,136 @@ def _decode_opaque_block(payload: bytes, name: str) -> pa.Array:
 
 
 # ---------------------------------------------------------------------------
+# vec blocks: list<numeric> columns (embeddings) as two codec streams
+# ---------------------------------------------------------------------------
+
+
+def _encode_vec_block(part_id: int, name: str, arr: pa.Array) -> dict | None:
+    """list/fixed_size_list of numeric → one block with TWO codec
+    streams: row lengths (ints — delta/bitpack territory) and the
+    flattened values (the float/int codec family). An embedding
+    column stops being an opaque arrow_ipc blob and gets the same
+    stats-driven selection as scalars. Returns None when the shape
+    isn't covered (non-numeric child, null elements INSIDE lists) —
+    the caller falls back to arrow_ipc, nothing is dropped.
+
+    Layout: [u32 lens_payload_size][lens payload][values payload];
+    params carry both codec param sets under 'l_'/'v_' prefixes plus
+    'vcount' (flat value count, needed to decode the value stream)."""
+    t = arr.type
+    fixed = pa.types.is_fixed_size_list(t)
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t) or fixed):
+        return None
+    vt = t.value_type
+    if pa.types.is_floating(vt):
+        child_tag = "float32" if vt.bit_width == 32 else "float64"
+    elif pa.types.is_integer(vt):
+        child_tag = "int32" if vt.bit_width <= 32 else "int64"
+    else:
+        return None
+    n = len(arr)
+    if arr.null_count == 0:
+        notnull = np.ones(n, dtype=bool)
+    else:
+        notnull = arr.is_valid().to_numpy(zero_copy_only=False)
+    nn = arr.drop_null()
+    flat = nn.flatten()
+    if flat.null_count:
+        return None
+    if fixed:
+        lens = np.full(len(nn), t.list_size, dtype=np.int64)
+    else:
+        lens = (
+            pa.compute.list_value_length(nn)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    vals = flat.cast(_LTYPE_PA[child_tag]).to_numpy(zero_copy_only=False)
+    lp, lprm, _lcodec, lin = _choose_encode(lens)
+    vp, vprm, vcodec, vin = _choose_encode(vals)
+    payload = struct.pack("<I", len(lp)) + lp + vp
+    params = {f"l_{k}": v for k, v in lprm.items()}
+    params.update({f"v_{k}": v for k, v in vprm.items()})
+    params["vcount"] = str(len(vals))
+    validity = b"" if arr.null_count == 0 else np.packbits(notnull).tobytes()
+    return {
+        "part_id": part_id,
+        "column": name,
+        "codec": f"vec[{vcodec}]",
+        "rows": n,
+        "nulls": n - int(notnull.sum()),
+        "payload": payload,
+        "validity": validity,
+        "params": params,
+        "ltype": f"vec_{child_tag}",
+        "in_bytes": len(lin) + len(vin) + (n - int(notnull.sum())),
+        "out_bytes": len(payload) + len(validity),
+        "checksum": _checksum(lin + vin, notnull),
+    }
+
+
+def _decode_vec_block(row: dict) -> pa.Array:
+    """Inverse of _encode_vec_block → list<child> array (32-bit
+    offsets — the arrow shape Spark's ArrayType expects)."""
+    n, nulls = int(row["rows"]), int(row["nulls"])
+    nn_count = n - nulls
+    params = dict(row["params"])
+    payload = bytes(row["payload"])
+    (lsz,) = struct.unpack_from("<I", payload, 0)
+    lprm = {k[2:]: v for k, v in params.items() if k.startswith("l_")}
+    vprm = {k[2:]: v for k, v in params.items() if k.startswith("v_")}
+    lens = (
+        get_codec(lprm["codec"])
+        .decode(payload[4 : 4 + lsz], lprm, nn_count)
+        .astype(np.int64)
+    )
+    vals = get_codec(vprm["codec"]).decode(
+        payload[4 + lsz :], vprm, int(params["vcount"])
+    )
+    child_tag = row["ltype"].split("_", 1)[1]
+    child = pa.array(
+        np.asarray(vals).astype(_LTYPE_NP[child_tag], copy=False),
+        type=_LTYPE_PA[child_tag],
+    )
+    if row["validity"]:
+        notnull = np.unpackbits(
+            np.frombuffer(bytes(row["validity"]), dtype=np.uint8), count=n
+        ).astype(bool)
+    else:
+        notnull = np.ones(n, dtype=bool)
+    full_lens = np.zeros(n, dtype=np.int64)
+    full_lens[notnull] = lens
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(full_lens, out=offsets[1:])
+    mask = None if nulls == 0 else pa.array(~notnull)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), child, mask=mask
+    )
+
+
+# ---------------------------------------------------------------------------
 # encode kernel (runs inside applyInArrow — executor side)
 # ---------------------------------------------------------------------------
+
+
+def _choose_encode(vals: np.ndarray) -> tuple[bytes, dict[str, str], str, bytes]:
+    """Candidate-loop encode: rank codecs from exact partition stats,
+    commit to the first candidate that beats plain on REAL bytes (the
+    selection is a prediction; the byte check is ground truth).
+    Returns (payload, params, codec_name, plain_in_payload)."""
+    stats = partition_stats(vals)
+    in_payload, _tag = serialize_values(vals)
+    payload, params, codec_name = None, None, "plain"
+    for cand in select_codec(stats, vals.dtype.kind):
+        try:
+            p, prm = get_codec(cand).encode(vals)
+        except (TypeError, ValueError):
+            continue
+        if payload is None or len(p) < len(payload):
+            payload, params, codec_name = p, prm, cand
+        if cand != "plain" and payload is not None and len(payload) < len(in_payload):
+            break  # prediction beat plain on real bytes — done
+    return payload, params, codec_name, in_payload
 
 
 def _make_encode_kernel(columns: list[str], sort_cols: list[str]):
@@ -506,24 +635,12 @@ def _make_encode_kernel(columns: list[str], sort_cols: list[str]):
             try:
                 vals, notnull, ltype = _normalize_arrow(arr)
             except TypeError:
-                rows_out.append(_encode_opaque_block(part_id, col, arr))
+                vec = _encode_vec_block(part_id, col, arr)
+                rows_out.append(vec or _encode_opaque_block(part_id, col, arr))
                 continue
             n, nn = len(arr), int(notnull.sum())
-            stats = partition_stats(vals)
-            kind = vals.dtype.kind
-            in_payload, _tag = serialize_values(vals)
+            payload, params, codec_name, in_payload = _choose_encode(vals)
             in_bytes = len(in_payload) + (n - nn)  # + null overhead proxy
-            candidates = select_codec(stats, kind)
-            payload, params, codec_name = None, None, "plain"
-            for cand in candidates:
-                try:
-                    p, prm = get_codec(cand).encode(vals)
-                except (TypeError, ValueError):
-                    continue
-                if payload is None or len(p) < len(payload):
-                    payload, params, codec_name = p, prm, cand
-                if cand != "plain" and payload is not None and len(payload) < len(in_payload):
-                    break  # prediction beat plain on real bytes — done
             params = {**params, **_zone_map(vals)}
             validity = b"" if nn == n else np.packbits(notnull).tobytes()
             rows_out.append(
@@ -652,6 +769,8 @@ def encode_preserve(
 def _decode_block_values(row: dict, name: str) -> pa.Array:
     if row["ltype"].startswith("arrow"):
         return _decode_opaque_block(bytes(row["payload"]), name)
+    if row["ltype"].startswith("vec_"):
+        return _decode_vec_block(row)
     codec = get_codec(row["codec"])
     nn_count = int(row["rows"]) - int(row["nulls"])
     vals = codec.decode(bytes(row["payload"]), dict(row["params"]), nn_count)
@@ -729,10 +848,19 @@ def decode_blocks(blocks: DataFrame, columns: list[str], ltypes: dict[str, str])
         "bool": T.BooleanType(),
     }
 
+    _VEC_SPARK = {
+        "float32": T.FloatType(),
+        "float64": T.DoubleType(),
+        "int32": T.IntegerType(),
+        "int64": T.LongType(),
+    }
+
     def spark_field(c: str) -> T.StructField:
         lt = ltypes[c]
         if lt.startswith("arrow:"):
             return T.StructField(c, T._parse_datatype_string(lt.split(":", 1)[1]))
+        if lt.startswith("vec_"):
+            return T.StructField(c, T.ArrayType(_VEC_SPARK[lt.split("_", 1)[1]]))
         if lt in _SPARK_T:
             return T.StructField(c, _SPARK_T[lt])
         # kernel temporal units Spark can't hold natively, lowered to
@@ -921,8 +1049,14 @@ def infer_ltypes(df: DataFrame) -> dict[str, str]:
         "float": "float32",
         "boolean": "bool",
     }
+    _VEC = {
+        "array<float>": "vec_float32",
+        "array<double>": "vec_float64",
+        "array<int>": "vec_int32",
+        "array<bigint>": "vec_int64",
+    }
     out = {}
     for f in df.schema.fields:
         s = f.dataType.simpleString()
-        out[f.name] = _M.get(s, f"arrow:{s}")
+        out[f.name] = _M.get(s, _VEC.get(s, f"arrow:{s}"))
     return out

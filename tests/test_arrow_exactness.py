@@ -63,7 +63,7 @@ def test_complex_types_roundtrip(spark):
     blocks = encode_table(df, n_parts=2, url_col=None, ts_col=None)
     codecs = {r["column"]: r["codec"] for r in blocks.select("column", "codec").collect()}
     assert codecs["m"] == "arrow_ipc"
-    assert codecs["arr"] == "arrow_ipc"
+    assert codecs["arr"].startswith("vec[")  # list<int> is a vec block now
     assert codecs["st"] == "arrow_ipc"
     mism = verify_roundtrip(spark, df, blocks, key_col="id")
     assert mism == {"m": 0, "arr": 0, "st": 0}
