@@ -83,6 +83,82 @@ def stream_encode(
     )
 
 
+def stream_dedup(
+    pages: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("url",),
+    watermark: str = "24 hours",
+    ts_col: str = "warc_ts",
+    state_ttl_ms: int = 7 * 24 * 3600 * 1000,
+) -> DataFrame:
+    """Cross-micro-batch exact dedup on ingest (stateful streaming).
+
+    The batch engine dedups a finite corpus (dedup.exact_dedup); a
+    live crawl needs the SAME guarantee across micro-batch boundaries:
+    a page whose text arrived in any earlier batch must not be
+    emitted again. applyInPandasWithState keeps one tiny state row
+    per content hash (seen-count only — never the text); the hash
+    groupBy is the ONE shuffle and carries (digest, keys, ts), not
+    the page body.
+
+    Scale notes (1000-executor shape): state is partitioned by digest
+    — uniform by construction, no skew; per-key state is 8 bytes, so
+    10^12 distinct documents is ~8 TB of state across the cluster —
+    use the RocksDB state store provider and the event-time timeout
+    below, which expires state for hashes idle past the watermark
+    (bounded-state tradeoff: a duplicate separated by more than the
+    watermark re-emits; exact forever-dedup needs the batch engine).
+
+    Emits (in append mode) one row per FIRST occurrence:
+    (digest, <key_cols>, first_ts).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = (
+        pages.withWatermark(ts_col, watermark)
+        .withColumn("digest", F.sha2(F.col(text_col), 256))
+        .select("digest", *key_cols, F.col(ts_col).alias("first_ts"))
+    )
+    out_type = hashed.schema
+    state_type = "seen BIGINT"
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.get[0] if state.exists else 0
+        first = None
+        n = 0
+        max_ts_ms = 0
+        for pdf in pdf_iter:
+            if seen == 0 and n == 0 and len(pdf):
+                first = pdf.iloc[[0]]
+            n += len(pdf)
+            if len(pdf):
+                ts = pdf["first_ts"].max()
+                max_ts_ms = max(max_ts_ms, int(ts.value // 1_000_000))
+        state.update((seen + n,))
+        # TTL anchored to the key's newest EVENT time (not the current
+        # watermark — that would expire every key between restarts):
+        # idle keys stop costing memory after state_ttl_ms; a duplicate
+        # arriving later re-emits — the documented bounded-state
+        # tradeoff. Spark requires the timeout to sit past the current
+        # watermark, so clamp for very-late keys.
+        state.setTimeoutTimestamp(
+            max(max_ts_ms + state_ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if seen == 0 and first is not None:
+            yield first
+
+    return hashed.groupBy("digest").applyInPandasWithState(
+        dedup_fn,
+        out_type,
+        state_type,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def windowed_ingest_stats(
     spark: SparkSession,
     in_dir: str,

@@ -49,3 +49,53 @@ def test_windowed_ingest_stats(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ingest_stats").collect()
     assert len(rows) > 0
     assert sum(r["n_pages"] for r in rows) == 300
+
+
+def test_stream_dedup_across_restarts(spark, tmp_path):
+    """Cross-micro-batch stateful dedup: a text first seen in run 1
+    must be suppressed in run 2 (state survives via the checkpoint)."""
+    import datetime
+
+    from parquetry_spark.streaming import stream_dedup
+
+    in_dir = str(tmp_path / "dd_in")
+    ckpt = str(tmp_path / "dd_ckpt")
+    out_dir = str(tmp_path / "dd_out")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(rows, mode):
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+        df.write.mode(mode).parquet(in_dir)
+
+    def run():
+        # parquet sink: checkpoint-recoverable (the memory sink is not)
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string"
+        ).parquet(in_dir)
+        q = (
+            stream_dedup(stream, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    write(
+        [("u1", t0, "alpha"), ("u2", t0, "beta"), ("u3", t0, "alpha")],
+        "overwrite",
+    )
+    r1 = run()
+    assert len(r1) == 2  # alpha emitted once (u1 xor u3), beta once
+
+    t1 = t0 + datetime.timedelta(minutes=30)
+    write([("u4", t1, "beta"), ("u5", t1, "gamma")], "append")
+    r2 = run()
+    # beta already seen in run 1 → suppressed; only gamma is new
+    new_urls = {r["url"] for r in r2} - {r["url"] for r in r1}
+    assert len(r2) == 3 and new_urls == {"u5"}
