@@ -39,6 +39,14 @@ class BitpackCodec(Codec):
 
     def _encode(self, arr: np.ndarray):
         tag = str(arr.dtype)
+        if arr.dtype.kind == "b":
+            # bools are FOR's degenerate case: ref 0, width 1 → a
+            # packed bitmap, 8x plain's byte-per-value
+            tag, arr = "bool", arr.astype(np.uint8)
+            if len(arr) == 0:
+                return struct.pack("<q", 0), {"dtype": tag, "width": "0"}
+            payload = struct.pack("<Q", 0) + pack_bits(arr.astype(np.uint64), 1)
+            return payload, {"dtype": tag, "width": "1"}
         if tag not in _INT_TAGS:
             raise TypeError(f"bitpack needs an int column, got {tag}")
         if len(arr) == 0:
@@ -58,9 +66,11 @@ class BitpackCodec(Codec):
     def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
         tag = params["dtype"]
         if count == 0:
-            return np.zeros(0, dtype=tag)
+            return np.zeros(0, dtype=np.bool_ if tag == "bool" else tag)
         (ref,) = struct.unpack_from("<Q", payload, 0)
         resid = unpack_bits(payload[8:], int(params["width"]), count)
+        if tag == "bool":
+            return resid.astype(np.bool_)
         vals = (resid + np.uint64(ref)).view(np.int64)  # wraparound-exact
         return vals.astype(tag) if tag != "int64" else vals.copy()
 

@@ -44,6 +44,18 @@ def select_codec(stats: dict[str, float], dtype_kind: str) -> list[str]:
     dbw = int(stats.get("delta_bitwidth", 64))
 
     cands: list[str] = []
+    if dtype_kind == "b":
+        # packed bitmap is a flat 1 bit/value; rle ≈ 16 bits/run —
+        # rle only wins once runs are long (frac_run ≳ 0.94)
+        rle_bits = 16.0 * (1.0 - frac_run) + 16.0 / n
+        if frac_run >= RUN_T and rle_bits < 1.0:
+            cands.extend(["rle", "bitpack"])
+        else:
+            cands.append("bitpack")
+            if frac_run >= RUN_T:
+                cands.append("rle")
+        cands.append("plain")
+        return cands
     if frac_run >= RUN_T:
         cands.append("rle")
     dict_ok = distinct / n <= DICT_T and distinct <= DICT_MAX

@@ -181,3 +181,24 @@ def test_fsst_bytes():
 def test_fsst_incompressible():
     rows = obj_array([bytes(rng.integers(0, 256, 100, dtype=np.uint8)) for _ in range(50)])
     roundtrip("fsst", rows)  # random bytes: correctness only
+
+
+def test_bitpack_bool_bitmap():
+    import numpy as np
+
+    from parquetry_spark.codecs import get_codec
+    from parquetry_spark.selector import select_codec
+
+    bp = get_codec("bitpack")
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 2, 10000).astype(bool)
+    payload, params = bp.encode(arr)
+    assert params["dtype"] == "bool" and params["width"] == "1"
+    assert len(payload) <= 8 + (len(arr) + 7) // 8  # ~1 bit per value
+    dec = bp.decode(payload, params, len(arr))
+    assert dec.dtype == np.bool_ and np.array_equal(dec, arr)
+    # empty + all-true + all-false
+    for a in (np.zeros(0, bool), np.ones(17, bool), np.zeros(9, bool)):
+        p, prm = bp.encode(a)
+        assert np.array_equal(bp.decode(p, prm, len(a)), a)
+    assert "bitpack" in select_codec({"n": 100, "distinct": 2, "frac_run": 0.0}, "b")

@@ -100,3 +100,12 @@ def test_tiny_dict_ranks_above_wide_delta():
     }
     c = select_codec(stats, "i")
     assert c[0] == "dict"
+
+
+def test_bool_ranking_random_vs_sorted():
+    # random bools (frac_run ~0.5): bitpack's flat 1 bit/value first
+    c = select_codec({"n": 10000, "distinct": 2, "frac_run": 0.5}, "b")
+    assert c[0] == "bitpack"
+    # long-run bools (sorted flags): rle's ~16 bits/run wins
+    c = select_codec({"n": 10000, "distinct": 2, "frac_run": 0.99}, "b")
+    assert c[0] == "rle" and "bitpack" in c
