@@ -152,3 +152,67 @@ def test_engine_roundtrip_bytes_temporal_property(spark, data):
     want = _sorted_by_k(df.toArrow())
     for col in ("b", "ts", "tn", "tu", "sn"):
         _assert_col_bit_identical(want[col], got[col], col)
+
+
+BOOLS = st.one_of(st.none(), st.booleans())
+VEC_F32 = st.one_of(
+    st.none(),
+    st.lists(
+        st.one_of(
+            st.none(), st.floats(allow_nan=True, allow_infinity=True, width=32)
+        ),
+        max_size=6,
+    ),
+)
+VEC_I64 = st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)), max_size=5),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(data=st.data())
+def test_engine_roundtrip_bool_vec_property(spark, data):
+    """r5: the same composition fuzzed over the two newest column
+    families — nullable bools (packed-bitmap bitpack path) and
+    list<float32>/list<int64> vec blocks (null rows, empty lists,
+    NaN/inf elements; rows with a null ELEMENT exercise the per-block
+    arrow_ipc fallback in the same table)."""
+    n = data.draw(st.integers(1, 40))
+    bools = data.draw(st.lists(BOOLS, min_size=n, max_size=n))
+    vf = data.draw(st.lists(VEC_F32, min_size=n, max_size=n))
+    vi = data.draw(st.lists(VEC_I64, min_size=n, max_size=n))
+    src = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "b": pa.array(bools, pa.bool_()),
+            "vf": pa.array(vf, pa.list_(pa.float32())),
+            "vi": pa.array(vi, pa.list_(pa.int64())),
+        }
+    )
+    df = spark.createDataFrame(src)
+    blocks = encode_table(df, n_parts=3, url_col=None, ts_col=None)
+    dec = decode_blocks(blocks, ["k", "b", "vf", "vi"], infer_ltypes(df))
+    got = _sorted_by_k(dec.toArrow())
+    want = _sorted_by_k(df.toArrow())
+    _assert_col_bit_identical(want["b"], got["b"], "b")
+    assert want["vi"].combine_chunks().to_pylist() == got["vi"].combine_chunks().to_pylist()
+    aw = want["vf"].combine_chunks().to_pylist()
+    gw = got["vf"].combine_chunks().to_pylist()
+    assert len(aw) == len(gw)
+    for a, g in zip(aw, gw):
+        if a is None:
+            assert g is None
+            continue
+        assert g is not None and len(a) == len(g)
+        for x, y in zip(a, g):
+            assert (x is None) == (y is None)
+            if x is not None:
+                assert struct.pack("<f", x) == struct.pack("<f", y)
