@@ -131,8 +131,12 @@ def _gather_keys(buf: np.ndarray, pos: np.ndarray, L: int) -> np.ndarray:
     # 2-D fancy-index + byteswap (which materializes an m×L int64
     # index matrix; this kernel is memory-bound)
     k = buf[pos].astype(np.uint64)
+    p = pos.copy()
+    eight = np.uint64(8)
     for j in range(1, L):
-        k = (k << np.uint64(8)) | buf[pos + j]
+        p += 1
+        k <<= eight
+        k |= buf[p]
     return k
 
 
@@ -164,7 +168,7 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
             b = by_prefix.setdefault(p2, [])
             if len(b) < MAX_PROBES:
                 b.append(i)
-        start2 = np.zeros(65536, dtype=np.int32)
+        start2 = np.zeros(65536, dtype=np.int64)
         cnt2 = np.zeros(65536, dtype=np.uint8)
         keys_l: list[int] = []
         sids_l: list[int] = []
@@ -199,7 +203,7 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
         if len(pre) == 0:
             continue
         wk = _gather_keys(buf, pre, L)
-        st = start2[key2[pre]].astype(np.int64)
+        st = start2[key2[pre]]
         c = cnt[pre]
         top = len(skeys) - 1
         # probe 0 runs full-width (the 1-gather common case); probes
