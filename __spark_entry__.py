@@ -254,6 +254,31 @@ def q_roundtrip_vec(spark, sf):
     ).select("vec_id", (F.col("pos") + 1).alias("pos"), "val")
 
 
+def q_roundtrip_range(spark, sf):
+    """Encode documents under the RANGE layout (north-star's "salts
+    and range-partitions on url-host"): a synthetic url column derives
+    from `source`, hosts land in lexicographic boundary ranges
+    (partitioning.sample_range_boundaries — bounded driver sample,
+    persisted for resume), heavy hosts salt across duplicate cut
+    points. Decode must be bit-identical; the layout's value is the
+    DISJOINT per-part string zone maps (test_range_layout)."""
+    df = _t(spark, sf, "documents").withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/d/"), F.col("doc_id")),
+    )
+    blocks = encode_table(
+        df,
+        columns=["doc_id", "lang", "source"],
+        n_parts=8,
+        url_col="url",
+        ts_col=None,
+        layout="range",
+    )
+    cols = ["doc_id", "lang", "source"]
+    lt = {"doc_id": "int64", "lang": "str", "source": "str"}
+    return decode_blocks(blocks, cols, lt).select(*cols)
+
+
 def q_codec_stats(spark, sf):
     # the auto-selector's planning stats, exact form
     df = _t(spark, sf, "documents")
@@ -632,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_numeric": q_roundtrip_numeric,
         "roundtrip_float": q_roundtrip_float,
         "roundtrip_vec": q_roundtrip_vec,
+        "roundtrip_range": q_roundtrip_range,
         "codec_stats": q_codec_stats,
         "encode_manifest": q_encode_manifest,
         "encode_manifest_full": q_encode_manifest_full,
@@ -901,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
             "unnest(embedding) AS val FROM embeddings"
         ),
+        "roundtrip_range": "SELECT doc_id, lang, source FROM documents",
         "codec_stats": (
             "SELECT count(*) AS n, count(DISTINCT lang) AS lang_distinct, "
             "count(DISTINCT source) AS source_distinct, "

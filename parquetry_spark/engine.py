@@ -673,6 +673,8 @@ def encode_table(
     skew_sample: float = 0.05,
     salts: dict[str, int] | None = None,
     exclude_parts: DataFrame | None = None,
+    layout: str = "hash",
+    boundaries: list[int] | None = None,
 ) -> DataFrame:
     """Distributed encode: pages → blocks DataFrame (lazy).
 
@@ -685,9 +687,27 @@ def encode_table(
     side sampling jobs — the production shape: the salt map is a
     plan-time constant per dataset, computed once, recorded in the
     run manifest, reused by every stage and resume.
+
+    `layout`: "hash" (default — salted host-hash parts) or "range"
+    (hosts in lexicographic prefix ranges; `boundaries` as returned
+    by partitioning.sample_range_boundaries, sampled here when None).
+    Range parts carry DISJOINT host prefix spans, so string zone maps
+    on the host/url column become selective across partitions — the
+    hash layout's parts all span the full host alphabet. Heavy hosts
+    spanning duplicate cut points salt across their span (skew
+    relief inside the range discipline).
     """
+    from .partitioning import assign_part_id_range, sample_range_boundaries
+
     columns = columns or [c for c in df.columns if c != "part_id"]
-    if url_col and url_col in df.columns:
+    if layout not in ("hash", "range"):
+        raise ValueError(f"unknown layout {layout!r}: expected 'hash' or 'range'")
+    if layout == "range" and url_col and url_col in df.columns:
+        if boundaries is None:
+            boundaries = sample_range_boundaries(df, url_col, n_parts, skew_sample)
+        keyed = assign_part_id_range(df, boundaries, url_col)
+        sort_cols = [url_col] + ([ts_col] if ts_col and ts_col in df.columns else [])
+    elif url_col and url_col in df.columns:
         if salts is None:
             shares = sample_host_shares(df, url_col, skew_sample, n_parts=n_parts)
             salts = salt_counts(shares, n_parts)
@@ -899,6 +919,7 @@ def run_encode(
     url_col: str | None = "url",
     ts_col: str | None = "warc_ts",
     stage: str = "encode",
+    layout: str = "hash",
 ) -> dict:
     """Resumable encode run.
 
@@ -924,14 +945,28 @@ def run_encode(
         committed_df = None
 
     columns = columns or [c for c in df.columns if c != "part_id"]
-    # the salt map is part of the run's identity: persist on first run,
-    # reload on resume — part assignment must be identical across runs
+    # the partition layout (salt map / range boundaries) is part of the
+    # run's identity: persist on first run, reload on resume — part
+    # assignment must be identical across runs
     salts: dict[str, int] | None = None
+    boundaries: list[str] | None = None
     salts_path = os.path.join(out_dir, f"salts_{stage}.json")
+    bounds_path = os.path.join(out_dir, f"range_bounds_{stage}.json")
     if url_col and url_col in df.columns:
         import json as _json
 
-        if os.path.exists(salts_path):
+        if layout == "range":
+            from .partitioning import sample_range_boundaries
+
+            if os.path.exists(bounds_path):
+                with open(bounds_path) as fh:
+                    boundaries = _json.load(fh)
+            else:
+                boundaries = sample_range_boundaries(df, url_col, n_parts)
+                os.makedirs(out_dir, exist_ok=True)
+                with open(bounds_path, "w") as fh:
+                    _json.dump(boundaries, fh)
+        elif os.path.exists(salts_path):
             with open(salts_path) as fh:
                 salts = _json.load(fh)
         else:
@@ -942,7 +977,8 @@ def run_encode(
     # skip committed partitions BEFORE encoding, via anti-join (a
     # driver-side IN-list would not survive 500k partitions)
     blocks = encode_table(
-        df, columns, n_parts, url_col, ts_col, salts=salts, exclude_parts=committed_df
+        df, columns, n_parts, url_col, ts_col, salts=salts, exclude_parts=committed_df,
+        layout=layout, boundaries=boundaries
     )
     blocks.write.mode("append").parquet(blocks_path)
 

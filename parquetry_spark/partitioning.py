@@ -124,3 +124,95 @@ def partition_for_encode(
     if ts_col:
         sort_cols.append(F.col(ts_col))
     return out.sortWithinPartitions(*sort_cols)
+
+
+# ---------------------------------------------------------------------------
+# range layout: hosts in lexicographic ranges (north-star's
+# "salts and range-partitions on url-host"), boundaries persisted for
+# deterministic resume
+# ---------------------------------------------------------------------------
+
+RANGE_SAMPLE_CAP = 65536  # bounded driver sample (Spark's own
+#                           RangePartitioner does the same reservoir
+#                           collect; 64k host strings is a few MB)
+
+
+def sample_range_boundaries(
+    df: DataFrame, url_col: str, n_parts: int, sample: float = 0.05
+) -> list[str]:
+    """n_parts-1 host-string cut points from a BOUNDED sampled sort.
+
+    Full host strings, not hash keys: web hosts share long prefixes
+    ("www.", country TLD mirrors), so any fixed-width prefix key
+    collapses — string boundaries keep full lexicographic precision.
+    The driver materializes at most RANGE_SAMPLE_CAP hosts (explicit
+    limit — never an unbounded collect); boundaries are part of a
+    run's identity and persist as JSON next to the salt map.
+    Duplicate cut points are KEPT: a heavy host pinning k quantiles
+    spans k+1 buckets and its rows salt across the span.
+    """
+    hosts = [
+        r["h"]
+        for r in (
+            df.sample(fraction=min(sample, 1.0), seed=13)
+            .select(host_of(F.col(url_col)).alias("h"))
+            .filter(F.col("h").isNotNull())
+            .limit(RANGE_SAMPLE_CAP)
+            .collect()
+        )
+    ]
+    if not hosts:
+        return [""] * (n_parts - 1)
+    hosts.sort()
+    return [hosts[(i * len(hosts)) // n_parts] for i in range(1, n_parts)]
+
+
+def assign_part_id_range(
+    df: DataFrame, boundaries: list[str], url_col: str = "url"
+) -> DataFrame:
+    """Range part assignment: part_id = bucket of the host string.
+
+    One narrow mapInArrow pass — np.searchsorted of the batch's hosts
+    against the ≤n_parts-1 boundary strings on numpy U-dtype arrays
+    (vectorized C comparisons, no per-row Python; the ONE shuffle
+    stays the part_id repartition that follows). A host EQUAL to a
+    run of identical cut points spans several buckets; its rows
+    spread deterministically via a JVM-side xxhash64 salt — the
+    "salts + range-partitions" composition.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    bounds = np.array(list(boundaries), dtype=str)
+    in_fields = df.schema.fields
+    out_schema = T.StructType(in_fields + [T.StructField("part_id", T.IntegerType())])
+    src = df.withColumn("__host", host_of(F.col(url_col))).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(1 << 30)).cast("long")
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            names = batch.schema.names
+            h = batch.column(names.index("__host"))
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            salt = batch.column(names.index("__salt")).to_numpy(zero_copy_only=False)
+            hosts = np.asarray(h.fill_null("").to_numpy(zero_copy_only=False), dtype=str)
+            lo = np.searchsorted(bounds, hosts, side="left")
+            hi = np.searchsorted(bounds, hosts, side="right")
+            # bucket convention: k = count of cuts < host, so a host
+            # EQUAL to a unique cut stays in ONE bucket (hosts must
+            # not split across parts unless heavy). d = hi - lo > 1
+            # means the host pins d duplicate cuts — spread its rows
+            # across those d buckets.
+            span = hi - lo
+            pid = (lo + np.where(span > 1, salt % np.maximum(span, 1), 0)).astype(
+                np.int32
+            )
+            keep = [i for i, nm in enumerate(names) if nm not in ("__host", "__salt")]
+            cols = [batch.column(i) for i in keep] + [pa.array(pid, pa.int32())]
+            yield pa.record_batch(cols, names=[names[i] for i in keep] + ["part_id"])
+
+    return src.mapInArrow(kernel, out_schema)

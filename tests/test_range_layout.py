@@ -1,0 +1,135 @@
+"""Range partition layout: host-string boundaries, salted heavy-host
+spans, deterministic resume, and the zone-map selectivity it buys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from parquetry_spark.engine import (
+    decode_blocks,
+    encode_table,
+    infer_ltypes,
+    prune_blocks,
+    run_encode,
+)
+from parquetry_spark.generator import gen_pages
+from parquetry_spark.partitioning import (
+    assign_part_id_range,
+    host_of,
+    sample_range_boundaries,
+)
+
+
+def test_range_layout_disjoint_and_balanced(spark):
+    pages = gen_pages(spark, 3000, seed=9, n_hosts=60).cache()
+    pages.count()
+    bounds = sample_range_boundaries(pages, "url", 8, sample=1.0)
+    assert len(bounds) == 7 and bounds == sorted(bounds)
+    blocks = encode_table(pages, n_parts=8, layout="range", boundaries=bounds).cache()
+    per = (
+        blocks.filter(F.col("column") == "url")
+        .groupBy("part_id")
+        .agg(F.sum("rows").alias("r"))
+        .collect()
+    )
+    rows = [r["r"] for r in per]
+    assert len(rows) >= 6  # near-all buckets populated
+    assert max(rows) / (sum(rows) / len(rows)) < 3.0  # no hot spot
+    # url string zone maps are DISJOINT across parts — the property
+    # the hash layout cannot have (every hash part spans the alphabet)
+    zm = blocks.filter(F.col("column") == "url").select("params").collect()
+    spans = sorted(
+        (r["params"]["zmin_s"], r["params"]["zmax_s"]) for r in zm
+    )
+    for a, b in zip(spans, spans[1:]):
+        assert a[1] <= b[0]
+    # a host never splits across parts (unless heavy — none here)
+    dec = decode_blocks(blocks, ["url"], {"url": "str"})
+    mx = (
+        dec.select(host_of(F.col("url")).alias("h"), "part_id")
+        .groupBy("h")
+        .agg(F.countDistinct("part_id").alias("np"))
+        .agg(F.max("np").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mx == 1
+    blocks.unpersist()
+    pages.unpersist()
+
+
+def test_range_layout_heavy_host_salts_across_span(spark):
+    # one host carries 70% of rows → it pins several quantile cuts
+    # (duplicate boundaries) and MUST spread across that span
+    n = 2000
+    urls = [
+        f"https://www.heavy.com/p{i}" if i % 10 < 7 else f"https://www.h{i%40}.org/p{i}"
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls, "v": np.arange(n)}))
+    bounds = sample_range_boundaries(df, "url", 8, sample=1.0)
+    assert len(set(bounds)) < len(bounds)  # duplicate cut points exist
+    keyed = assign_part_id_range(df, bounds, "url")
+    per = (
+        keyed.filter(host_of(F.col("url")) == "www.heavy.com")
+        .groupBy("part_id")
+        .count()
+        .collect()
+    )
+    assert len(per) >= 2  # the heavy host spread over its span
+    light = (
+        keyed.filter(host_of(F.col("url")) != "www.heavy.com")
+        .select(host_of(F.col("url")).alias("h"), "part_id")
+        .groupBy("h")
+        .agg(F.countDistinct("part_id").alias("np"))
+        .agg(F.max("np").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert light == 1  # non-heavy hosts still never split
+
+
+def test_range_layout_resume_deterministic(spark, tmp_path):
+    pages = gen_pages(spark, 1200, seed=4, n_hosts=30).cache()
+    pages.count()
+    out = str(tmp_path / "range_run")
+    r1 = run_encode(spark, pages, out, n_parts=4, layout="range")
+    assert r1["parts"] >= 3 and r1["skipped_parts"] == 0
+    # resume: persisted boundaries → identical assignment → all skipped
+    r2 = run_encode(spark, pages, out, n_parts=4, layout="range")
+    assert r2["skipped_parts"] == r1["parts"]
+    assert r2["blocks"] == r1["blocks"]  # nothing re-encoded
+    import os
+
+    assert os.path.exists(os.path.join(out, "range_bounds_encode.json"))
+    pages.unpersist()
+
+
+def test_range_layout_prunes_host_range(spark):
+    pages = gen_pages(spark, 3000, seed=9, n_hosts=60).cache()
+    pages.count()
+    bounds = sample_range_boundaries(pages, "url", 8, sample=1.0)
+    blocks = encode_table(
+        pages, columns=["url", "lang"], n_parts=8, layout="range", boundaries=bounds
+    ).cache()
+    total = blocks.filter(F.col("column") == "url").count()
+    lo, hi = "https://www.site2", "https://www.site5"
+    pruned = prune_blocks(blocks, "url", lo=lo, hi=hi)
+    kept = pruned.filter(F.col("column") == "url").count()
+    assert kept < total  # range layout makes the string prune selective
+    # correctness: pruned decode + exact filter == full decode + filter
+    lt = {"url": "str", "lang": "str"}
+    want = (
+        decode_blocks(blocks, ["url", "lang"], lt)
+        .filter((F.col("url") >= lo) & (F.col("url") <= hi))
+        .count()
+    )
+    got = (
+        decode_blocks(pruned, ["url", "lang"], lt)
+        .filter((F.col("url") >= lo) & (F.col("url") <= hi))
+        .count()
+    )
+    assert got == want and want > 0
+    blocks.unpersist()
+    pages.unpersist()
