@@ -12,7 +12,7 @@ parquetry commands (reference main.go:61-111) and their forms here:
 
 Engine commands (the north-rule pipeline, spark-submit friendly):
 
-    encode  --in TABLE --out DIR [--parts N] [--cols a,b]
+    encode  --in TABLE --out DIR [--parts N] [--cols a,b] [--layout hash|range]
     decode  --blocks DIR --cols a,b [--out DIR]
     verify  --in TABLE --blocks DIR [--key url]
     gen     --out DIR --rows N [--seed S]
@@ -149,6 +149,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--parts", type=int, default=32)
     p.add_argument("--cols", default=None)
+    p.add_argument(
+        "--layout",
+        choices=("hash", "range"),
+        default="hash",
+        help="partition layout: salted host-hash (default) or host "
+        "range boundaries (disjoint string zone maps; boundaries "
+        "persisted in OUT for resume)",
+    )
     p = sub.add_parser("decode")
     p.add_argument("--blocks", required=True)
     p.add_argument("--cols", required=True)
@@ -199,7 +207,8 @@ def main(argv: list[str] | None = None) -> int:
             url_col = "url" if "url" in df.columns else None
             ts_col = "warc_ts" if "warc_ts" in df.columns else None
             res = run_encode(
-                spark, df, args.out, cols, args.parts, url_col, ts_col
+                spark, df, args.out, cols, args.parts, url_col, ts_col,
+                layout=args.layout,
             )
             print(json.dumps(res, default=str))
             return 0

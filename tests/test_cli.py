@@ -195,3 +195,25 @@ def test_out_dir_go_format_rejected(cli, tmp_path, spark, monkeypatch):
             "--out",
             str(tmp_path / "x"),
         )
+
+
+def test_cli_encode_range_layout(spark, tmp_path):
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from parquetry_spark.generator import gen_pages
+
+    inp = str(tmp_path / "pages_range")
+    out = str(tmp_path / "enc_range")
+    gen_pages(spark, 300, seed=3, n_hosts=12).write.mode("overwrite").parquet(inp)
+    r = subprocess.run(
+        [sys.executable, "-m", "parquetry_spark.cli", "encode",
+         "--in", inp, "--out", out, "--parts", "4", "--layout", "range"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["parts"] >= 2
+    assert os.path.exists(os.path.join(out, "range_bounds_encode.json"))
