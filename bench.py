@@ -367,6 +367,8 @@ def encode_bench(cores: int, rows: int, leg_budget: float = 180.0) -> dict:
 HEADLINE = [
     "roundtrip_text",
     "roundtrip_numeric",
+    "roundtrip_float",
+    "roundtrip_vec",
     "token_count",
     "lang_id",
     "quality",
