@@ -1,7 +1,7 @@
 """Codec kernel registry — pure numpy encode/decode pairs.
 
 Importing this package registers all codecs:
-  plain, dict, rle, bitpack (FOR), delta_for, fsst, alp, bss.
+  plain, dict, rle, bitpack (FOR), delta_for, fsst, alp, bss, prefix.
 """
 
 from .base import Codec, codec_names, get_codec  # noqa: F401
@@ -10,4 +10,5 @@ from .floats import ALP, BSS  # noqa: F401
 from .foref import BITPACK, DELTA_FOR  # noqa: F401
 from .fsst import FSST  # noqa: F401
 from .plain import PLAIN  # noqa: F401
+from .prefix import PREFIX  # noqa: F401
 from .rle import RLE  # noqa: F401

@@ -43,6 +43,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pyarrow as pa
 
 from .base import (
     Codec,
@@ -280,11 +281,14 @@ def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 class FsstCodec(Codec):
     name = "fsst"
 
-    def _encode(self, arr: np.ndarray):
-        if arr.dtype.kind != "O":
+    def _encode(self, arr):
+        if not isinstance(arr, pa.Array) and arr.dtype.kind != "O":
             # contract: reject non-varlen input loudly so the kernel's
             # candidate loop falls through (an AttributeError deep in
-            # the row loop reads as a bug, not a rejection)
+            # the row loop reads as a bug, not a rejection).
+            # pyarrow string/binary Arrays are accepted directly so
+            # composing codecs (prefix → fsst over the suffix stream)
+            # never materialize Python object rows in between.
             raise TypeError("fsst encodes str/bytes arrays only")
         # Arrow builds the (offsets, data) buffers in C — blob and row
         # lengths come straight off them, no per-row encode loop
@@ -336,6 +340,18 @@ class FsstCodec(Codec):
         }
 
     def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        out, row_lens = self.decode_buffers(payload, int(params["row_width"]), count)
+        # rows reconstructed from (offsets, data) via Arrow — no per-row slice
+        return blob_to_varlen(out, row_lens, params["dtype"])
+
+    def decode_buffers(
+        self, payload: bytes, row_width: int, count: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Buffer-level decode → (uint8 data blob, int64 row lengths).
+
+        Split out from _decode so composing codecs (prefix) can get the
+        raw concatenated bytes without a Python-object row round-trip.
+        """
         n_tok, n_sym, final_gap, gap_w = struct.unpack_from("<IIQB", payload, 0)
         off = struct.calcsize("<IIQB")
         sym_lens_tbl = np.frombuffer(payload, np.uint8, n_sym, off)
@@ -354,9 +370,7 @@ class FsstCodec(Codec):
         off += 4
         literals = np.frombuffer(payload, np.uint8, lit_len, off)
         off += lit_len
-        row_lens = unpack_bits(payload[off:], int(params["row_width"]), count).astype(
-            np.int64
-        )
+        row_lens = unpack_bits(payload[off:], row_width, count).astype(np.int64)
 
         tok_lens = sym_lens_tbl.astype(np.int64)[ids]
         n = int(gaps.sum()) + int(tok_lens.sum()) + final_gap
@@ -372,9 +386,7 @@ class FsstCodec(Codec):
             out[dest] = symbuf[src]
             covered[dest] = True
         out[~covered] = literals
-
-        # rows reconstructed from (offsets, data) via Arrow — no per-row slice
-        return blob_to_varlen(out, row_lens, params["dtype"])
+        return out, row_lens
 
 
 FSST = register(FsstCodec())

@@ -6,6 +6,7 @@ Policy (thresholds over partition_stats output):
   distinct/n ≤ DICT_T (and small dict)     → dict
   int with delta_bitwidth < bitwidth       → delta_for   (sorted-ish)
   int with bitwidth < 8*itemsize*PACK_T    → bitpack     (FOR)
+  str/bytes with shared adjacent prefixes  → prefix (front coding)
   str/bytes with avg_len ≥ FSST_MIN_LEN    → fsst
   float with dec_exp ≥ 0 (decimal-scaled)  → alp
   float                                    → bss (byte-stream split)
@@ -32,6 +33,8 @@ DICT_MAX = 1 << 20  # never build dictionaries beyond ~1M entries
 RUN_T = 0.5  # mean fraction of repeated neighbors for RLE
 PACK_T = 0.95  # bitpack must save ≥5% of bits (byte check disambiguates)
 FSST_MIN_LEN = 8.0  # short strings: dict/plain beat symbol tables
+PREFIX_MIN = 4.0  # mean shared-prefix bytes before front coding pays
+PREFIX_FRAC = 0.25  # ...and it must be a real share of the value
 
 
 def select_codec(stats: dict[str, float], dtype_kind: str) -> list[str]:
@@ -79,8 +82,19 @@ def select_codec(stats: dict[str, float], dtype_kind: str) -> list[str]:
         cands.extend(name for _, name in sorted(costs))
     elif dict_ok:
         cands.append("dict")
-    if dtype_kind == "O" and avg_len >= FSST_MIN_LEN:
-        cands.append("fsst")
+    if dtype_kind == "O":
+        # rank the varlen codecs by PREDICTED bytes/value (same reason
+        # as the int family: the engine commits to the first candidate
+        # that beats plain on real bytes, so order IS the decision).
+        # prefix ≈ suffix bytes + ~2B of length streams; fsst ≈ an
+        # empirical ~0.6× of raw text plus a ~1B token overhead.
+        avg_prefix = float(stats.get("avg_prefix", 0.0))
+        vcosts: list[tuple[float, str]] = []
+        if avg_prefix >= PREFIX_MIN and avg_prefix >= PREFIX_FRAC * avg_len:
+            vcosts.append((avg_len - avg_prefix + 2.0, "prefix"))
+        if avg_len >= FSST_MIN_LEN:
+            vcosts.append((0.6 * avg_len + 1.0, "fsst"))
+        cands.extend(name for _, name in sorted(vcosts))
     if dtype_kind == "f":
         if int(stats.get("dec_exp", -1)) >= 0:
             cands.append("alp")

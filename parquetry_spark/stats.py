@@ -107,11 +107,26 @@ def partition_stats(values: np.ndarray) -> dict[str, float]:
         b = np.asarray(values[:-1])
         frac_run = float(np.mean(a == b)) if n > 1 else 0.0
         avg_len = float(np.mean([len(v) for v in sample]))
+        # mean byte prefix shared with the PREVIOUS value, on a bounded
+        # contiguous sample (adjacency in natural order is the signal:
+        # sorted/clustered chunks front-code well, shuffled ones don't)
+        avg_prefix = 0.0
+        if n > 1:
+            from .codecs.base import varlen_to_blob  # local: deps one-way
+            from .codecs.prefix import common_prefix_lengths
+
+            pcap = min(n, 8192)
+            blob, lens, _ = varlen_to_blob(values[:pcap])
+            offs = np.zeros(pcap + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            pl = common_prefix_lengths(np.frombuffer(blob, dtype=np.uint8), offs)
+            avg_prefix = float(pl[1:].mean()) if pcap > 1 else 0.0
         return {
             "n": n,
             "distinct": distinct_est,
             "frac_run": frac_run,
             "avg_len": avg_len,
+            "avg_prefix": avg_prefix,
             "bitwidth": 0,
         }
     frac_run = float(np.mean(values[1:] == values[:-1])) if n > 1 else 0.0

@@ -1,0 +1,117 @@
+"""Front-coding (prefix) codec: round-trips, suffix-FSST mode, selector
+ranking, and the size win on sorted urls it exists for.
+
+Layout parity target: Parquet's DELTA_BYTE_ARRAY (prefix-length stream +
+suffix stream), which the reference decodes transparently inside its
+scan (/root/reference/main.go pq.Read path); here it is an explicit
+encode stage picked by the stats-driven selector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parquetry_spark.codecs import get_codec
+from parquetry_spark.codecs.prefix import MAX_PREFIX, common_prefix_lengths
+from parquetry_spark.generator import gen_pages_pdf
+from parquetry_spark.selector import select_codec
+from parquetry_spark.stats import partition_stats
+
+PREFIX = get_codec("prefix")
+
+
+def _roundtrip(vals):
+    arr = np.array(vals, dtype=object)
+    payload, params = PREFIX.encode(arr)
+    out = PREFIX.decode(payload, params, len(arr))
+    assert len(out) == len(arr)
+    assert list(out) == list(arr)
+    assert all(type(a) is type(b) for a, b in zip(out, arr))
+    return payload, params
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [],
+        ["x"],
+        [""],
+        ["", "", "a", "", "ab"],
+        ["abc"] * 100,  # all-equal: suffix stream is empty
+        ["a\x00b", "a\x00b\x00c", "a\x00"],  # embedded NULs
+        ["héllo", "héllp", "héllq€", "日本語テスト", "日本語テスロ"],
+        [b"\xff\x00ab", b"\xff\x00ac", b"", b"\xff"],  # bytes tag
+        ["qqq", "aaa", "zzz", "mmm"] * 25,  # unsorted: tiny prefixes
+    ],
+)
+def test_roundtrip_cases(vals):
+    _roundtrip(vals)
+
+
+def test_prefix_longer_than_cap_roundtrips():
+    # shared prefix beyond MAX_PREFIX: codec caps the stored prefix
+    # length and carries the rest in the suffix — still byte-exact
+    base = "z" * (MAX_PREFIX + 300)
+    payload, params = _roundtrip([base, base, base + "q", base[:10]])
+    assert params["codec"] == "prefix"
+
+
+def test_common_prefix_lengths_exact():
+    vals = ["", "ab", "abc", "abd", "abd", "x"]
+    blob = "".join(vals).encode()
+    lens = np.array([len(v) for v in vals], dtype=np.int64)
+    offs = np.zeros(len(vals) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    pl = common_prefix_lengths(np.frombuffer(blob, dtype=np.uint8), offs)
+    assert pl.tolist() == [0, 0, 2, 2, 3, 0]
+
+
+def test_sorted_urls_beat_fsst_and_plain():
+    pdf = gen_pages_pdf(20000, seed=7).sort_values("url")
+    urls = pdf["url"].to_numpy().astype(object)
+    p_payload, _ = PREFIX.encode(urls)
+    f_payload, _ = get_codec("fsst").encode(urls)
+    raw = sum(len(v.encode()) for v in urls)
+    assert len(p_payload) * 2 < len(f_payload)  # ≥2× better than fsst
+    assert len(p_payload) * 4 < raw  # ≥4× better than raw
+
+
+def test_suffix_fsst_mode_used_on_redundant_suffixes():
+    # suffixes themselves share substructure → inner FSST must win
+    vals = np.array(
+        [f"https://www.site{i}.example/page/{i % 7}/index.html" for i in range(5000)],
+        dtype=object,
+    )
+    vals = np.sort(vals)
+    payload, params = PREFIX.encode(vals)
+    mode = payload[0]
+    assert mode == 1  # _SUFFIX_FSST
+    out = PREFIX.decode(payload, params, len(vals))
+    assert list(out) == list(vals)
+
+
+def test_selector_ranks_prefix_first_on_sorted_strings():
+    pdf = gen_pages_pdf(8000, seed=3).sort_values("url")
+    st = partition_stats(pdf["url"].to_numpy().astype(object))
+    assert st["avg_prefix"] > 8.0
+    cands = select_codec(st, "O")
+    assert cands.index("prefix") < cands.index("fsst")
+
+
+def test_selector_skips_prefix_on_prefix_free_text():
+    st = {"n": 1000, "distinct": 1000, "frac_run": 0.0, "avg_len": 80.0, "avg_prefix": 0.5}
+    cands = select_codec(st, "O")
+    assert "prefix" not in cands
+    assert "fsst" in cands
+
+
+def test_engine_kernel_picks_prefix_for_sorted_urls():
+    from parquetry_spark.engine import _choose_encode
+
+    pdf = gen_pages_pdf(8000, seed=5).sort_values("url")
+    payload, params, codec, plain_in = _choose_encode(
+        pdf["url"].to_numpy().astype(object)
+    )
+    assert codec == "prefix"
+    assert len(payload) < len(plain_in) / 3

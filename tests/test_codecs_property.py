@@ -33,7 +33,7 @@ def _bits_equal(a: np.ndarray, b: np.ndarray) -> bool:
 
 
 def _roundtrip_all_codecs(vals: np.ndarray):
-    for name in ("plain", "dict", "rle", "bitpack", "delta_for", "fsst"):
+    for name in ("plain", "dict", "rle", "bitpack", "delta_for", "fsst", "prefix"):
         codec = get_codec(name)
         try:
             payload, params = codec.encode(vals)
