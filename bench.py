@@ -183,6 +183,56 @@ def ensure_bench_input(rows: int) -> None:
     spark.stop()
 
 
+def size_parity_sizes(rows: int) -> dict:
+    """Column-chunk bytes of the SAME bench input written by the
+    standard parquet writer at three settings — the north-rule size
+    comparators (compressed size ≤ the reference tool's output):
+
+      parquet_uncompressed_dict — compression NONE, dictionary on:
+        the reference's own output format (all its fixtures are
+        uncompressed parquet carried by PLAIN/RLE/dict/delta
+        encodings, testdata/meta.txtar:40-88);
+      parquet_snappy / parquet_zstd — the common production settings.
+
+    Footer excluded on both sides (same convention as
+    tests/test_size_parity.py). Deterministic per (rows, seed) →
+    cached in /tmp across runs."""
+    cache = f"/tmp/spark_graft_size_parity_{rows}_{SEED}.json"
+    try:
+        with open(cache) as fh:
+            return json.load(fh)
+    except OSError:
+        pass
+    import io
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(bench_input_path(rows))
+    out: dict = {"docs": tbl.num_rows}
+    for label, comp in (
+        ("parquet_uncompressed_dict", "NONE"),
+        ("parquet_snappy", "SNAPPY"),
+        ("parquet_zstd", "ZSTD"),
+    ):
+        buf = io.BytesIO()
+        pq.write_table(tbl, buf, compression=comp, use_dictionary=True)
+        buf.seek(0)
+        md = pq.ParquetFile(buf).metadata
+        out[label] = int(
+            sum(
+                md.row_group(i).column(j).total_compressed_size
+                for i in range(md.num_row_groups)
+                for j in range(md.num_columns)
+            )
+        )
+    try:
+        with open(cache, "w") as fh:
+            json.dump(out, fh)
+    except OSError:
+        pass
+    return out
+
+
 def _encode_setup(cores: int, rows: int):
     """Shared setup for a measurement leg at one parallelism level:
     session, pre-faulted workers, warmed input, salt map, mode
@@ -875,6 +925,25 @@ def main() -> int:
     }
     result["encode"] = scaling.get(f"local[{4 * scale_n}]", {})
 
+    try:  # north-rule size parity: engine blocks vs the standard
+        # parquet writer on the SAME input (cached; cheap after run 1)
+        if time.time() < deadline - 20:
+            sp = size_parity_sizes(rows)
+            enc = result["encode"]
+            for m in ("host", "preserve"):
+                ob = (enc.get(m) or {}).get("encoded_out_bytes")
+                if ob:
+                    sp[f"engine_{m}_bytes"] = int(ob)
+                    for ref in (
+                        "parquet_uncompressed_dict",
+                        "parquet_snappy",
+                        "parquet_zstd",
+                    ):
+                        sp[f"engine_{m}_vs_{ref}"] = round(ob / sp[ref], 4)
+            result["size_parity"] = sp
+    except Exception as exc:
+        print(f"size parity failed: {exc}", file=sys.stderr)
+
     try:  # append this run to the cross-run window history: a single
         # 15-minute window on this VM can land entirely in a cold
         # fault phase (probe ≲10 MB/s → 4N legs fault-bound, ratios
@@ -990,6 +1059,38 @@ def _write_bench_md(r: dict) -> None:
             f"| {ceil['work_per_s_N']} it/s | {ceil['work_per_s_4N']} it/s "
             f"| **{ceff}** | 1.0 | — |"
         )
+    sp = r.get("size_parity") or {}
+    if sp:
+        md += [
+            "",
+            "## Size parity vs the standard parquet writer (north rule: ≤ reference output)",
+            "",
+            "Column-chunk bytes (footer excluded, both sides) on the SAME"
+            " input. `parquet uncompressed+dict` is the reference tool's"
+            " own output format (all its fixtures are uncompressed"
+            " parquet carried by PLAIN/RLE/dict/delta encodings,"
+            " testdata/meta.txtar:40-88); snappy/zstd are the common"
+            " production settings. `engine/x` < 1.0 = our blocks are"
+            " smaller.",
+            "",
+            "| output | bytes | engine(host)/x | engine(preserve)/x |",
+            "|---|---|---|---|",
+        ]
+        for ref, label in (
+            ("parquet_uncompressed_dict", "parquet uncompressed+dict (reference format)"),
+            ("parquet_snappy", "parquet snappy"),
+            ("parquet_zstd", "parquet zstd"),
+        ):
+            if ref in sp:
+                md.append(
+                    f"| {label} | {sp[ref]:,} "
+                    f"| {sp.get(f'engine_host_vs_{ref}', '—')} "
+                    f"| {sp.get(f'engine_preserve_vs_{ref}', '—')} |"
+                )
+        for m in ("host", "preserve"):
+            b = sp.get(f"engine_{m}_bytes")
+            if b:
+                md.append(f"| engine blocks ({m} layout) | {b:,} | 1.0 | — |")
     hist = []
     try:
         with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl")) as fh:

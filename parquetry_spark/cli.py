@@ -12,7 +12,7 @@ parquetry commands (reference main.go:61-111) and their forms here:
 
 Engine commands (the north-rule pipeline, spark-submit friendly):
 
-    encode  --in TABLE --out DIR [--parts N] [--cols a,b] [--layout hash|range]
+    encode  --in TABLE --out DIR [--parts N] [--cols a,b] [--layout hash|range] [--block-comp zstd|lz4]
     decode  --blocks DIR --cols a,b [--out DIR]
     verify  --in TABLE --blocks DIR [--key url]
     gen     --out DIR --rows N [--seed S]
@@ -157,6 +157,14 @@ def main(argv: list[str] | None = None) -> int:
         "range boundaries (disjoint string zone maps; boundaries "
         "persisted in OUT for resume)",
     )
+    p.add_argument(
+        "--block-comp",
+        choices=("zstd", "lz4"),
+        default=None,
+        help="stack general block compression over the codec payloads "
+        "(parquet's encodings-then-page-codec model); selection is on "
+        "post-compression bytes per column chunk",
+    )
     p = sub.add_parser("decode")
     p.add_argument("--blocks", required=True)
     p.add_argument("--cols", required=True)
@@ -208,7 +216,7 @@ def main(argv: list[str] | None = None) -> int:
             ts_col = "warc_ts" if "warc_ts" in df.columns else None
             res = run_encode(
                 spark, df, args.out, cols, args.parts, url_col, ts_col,
-                layout=args.layout,
+                layout=args.layout, block_comp=args.block_comp,
             )
             print(json.dumps(res, default=str))
             return 0

@@ -600,11 +600,26 @@ def _decode_vec_block(row: dict) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
-def _choose_encode(vals: np.ndarray) -> tuple[bytes, dict[str, str], str, bytes]:
+def _choose_encode(
+    vals: np.ndarray, block_comp: str | None = None
+) -> tuple[bytes, dict[str, str], str, bytes]:
     """Candidate-loop encode: rank codecs from exact partition stats,
     commit to the first candidate that beats plain on REAL bytes (the
     selection is a prediction; the byte check is ground truth).
-    Returns (payload, params, codec_name, plain_in_payload)."""
+    Returns (payload, params, codec_name, plain_in_payload).
+
+    `block_comp` ("zstd"/"lz4"/None): optionally stack general block
+    compression over the committed payload — parquet's model (encodings
+    then a page codec). Selection then happens on POST-compression
+    bytes across {committed codec, plain} × {raw, compressed}, because
+    stacking interacts: measured on the 80k-doc pages table, zstd over
+    FSST output is 11% LARGER than zstd over the raw text (the symbol
+    substitution hides redundancy the entropy coder exploits better),
+    while zstd over prefix/dict/delta payloads wins. Lightweight-only
+    (block_comp=None) remains the default: it already beats the
+    reference tool's own output format (uncompressed parquet), decodes
+    without a decompression pass, and keeps blocks independently
+    seekable at original speed."""
     stats = partition_stats(vals)
     in_payload, _tag = serialize_values(vals)
     payload, params, codec_name = None, None, "plain"
@@ -617,10 +632,26 @@ def _choose_encode(vals: np.ndarray) -> tuple[bytes, dict[str, str], str, bytes]
             payload, params, codec_name = p, prm, cand
         if cand != "plain" and payload is not None and len(payload) < len(in_payload):
             break  # prediction beat plain on real bytes — done
+    if block_comp:
+        zc = pa.Codec(block_comp, compression_level=1) if block_comp == "zstd" else pa.Codec(block_comp)
+        options = [(len(payload), payload, params, codec_name)]
+        z = bytes(zc.compress(payload))
+        options.append(
+            (len(z), z, {**params, "bc": block_comp, "bc_n": str(len(payload))}, codec_name)
+        )
+        if codec_name != "plain":
+            pp, pprm = get_codec("plain").encode(vals)
+            pz = bytes(zc.compress(pp))
+            options.append(
+                (len(pz), pz, {**pprm, "bc": block_comp, "bc_n": str(len(pp))}, "plain")
+            )
+        _, payload, params, codec_name = min(options, key=lambda o: o[0])
     return payload, params, codec_name, in_payload
 
 
-def _make_encode_kernel(columns: list[str], sort_cols: list[str]):
+def _make_encode_kernel(
+    columns: list[str], sort_cols: list[str], block_comp: str | None = None
+):
     def encode_kernel(table: pa.Table) -> pa.Table:
         part_id = table["part_id"][0].as_py() if table.num_rows else -1
         if sort_cols:
@@ -639,7 +670,9 @@ def _make_encode_kernel(columns: list[str], sort_cols: list[str]):
                 rows_out.append(vec or _encode_opaque_block(part_id, col, arr))
                 continue
             n, nn = len(arr), int(notnull.sum())
-            payload, params, codec_name, in_payload = _choose_encode(vals)
+            payload, params, codec_name, in_payload = _choose_encode(
+                vals, block_comp=block_comp
+            )
             in_bytes = len(in_payload) + (n - nn)  # + null overhead proxy
             params = {**params, **_zone_map(vals)}
             validity = b"" if nn == n else np.packbits(notnull).tobytes()
@@ -675,6 +708,7 @@ def encode_table(
     exclude_parts: DataFrame | None = None,
     layout: str = "hash",
     boundaries: list[int] | None = None,
+    block_comp: str | None = None,
 ) -> DataFrame:
     """Distributed encode: pages → blocks DataFrame (lazy).
 
@@ -729,7 +763,7 @@ def encode_table(
             "part_id",
             "left_anti",
         )
-    kernel = _make_encode_kernel(columns, sort_cols)
+    kernel = _make_encode_kernel(columns, sort_cols, block_comp=block_comp)
     # explicit user-specified partition count: AQE would otherwise
     # coalesce this exchange by BYTES (64 MB advisory), strangling a
     # CPU-bound Python stage down to a handful of tasks (measured:
@@ -744,6 +778,7 @@ def encode_table(
 def encode_preserve(
     df: DataFrame,
     columns: list[str] | None = None,
+    block_comp: str | None = None,
 ) -> DataFrame:
     """Shuffle-free encode: blocks on the INPUT partitioning.
 
@@ -758,7 +793,7 @@ def encode_preserve(
     resumable layout.
     """
     columns = columns or df.columns
-    kernel = _make_encode_kernel(columns, sort_cols=[])
+    kernel = _make_encode_kernel(columns, sort_cols=[], block_comp=block_comp)
 
     tagged = df.withColumn("__pid", F.spark_partition_id())
 
@@ -793,7 +828,14 @@ def _decode_block_values(row: dict, name: str) -> pa.Array:
         return _decode_vec_block(row)
     codec = get_codec(row["codec"])
     nn_count = int(row["rows"]) - int(row["nulls"])
-    vals = codec.decode(bytes(row["payload"]), dict(row["params"]), nn_count)
+    params = dict(row["params"])
+    payload = bytes(row["payload"])
+    bc = params.pop("bc", None)
+    if bc:  # block compression stacked over the codec payload
+        payload = bytes(
+            pa.Codec(bc).decompress(payload, decompressed_size=int(params.pop("bc_n")))
+        )
+    vals = codec.decode(payload, params, nn_count)
     if row["validity"]:
         notnull = np.unpackbits(
             np.frombuffer(bytes(row["validity"]), dtype=np.uint8),
@@ -920,6 +962,7 @@ def run_encode(
     ts_col: str | None = "warc_ts",
     stage: str = "encode",
     layout: str = "hash",
+    block_comp: str | None = None,
 ) -> dict:
     """Resumable encode run.
 
@@ -978,7 +1021,7 @@ def run_encode(
     # driver-side IN-list would not survive 500k partitions)
     blocks = encode_table(
         df, columns, n_parts, url_col, ts_col, salts=salts, exclude_parts=committed_df,
-        layout=layout, boundaries=boundaries
+        layout=layout, boundaries=boundaries, block_comp=block_comp
     )
     blocks.write.mode("append").parquet(blocks_path)
 

@@ -1,0 +1,120 @@
+"""Block compression stacked over codec payloads (engine block_comp):
+selection on post-compression bytes, bit-exact decode, and the size
+gate vs the standard parquet writer at the SAME compression setting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquetry_spark.codecs import get_codec
+from parquetry_spark.engine import (
+    _choose_encode,
+    decode_blocks,
+    encode_table,
+    infer_ltypes,
+)
+from parquetry_spark.generator import gen_pages_pdf
+from tests.test_size_parity import parquet_lightweight_bytes
+
+
+def _decode_choice(payload, params, codec_name, count):
+    params = dict(params)
+    bc = params.pop("bc", None)
+    if bc:
+        payload = bytes(
+            pa.Codec(bc).decompress(
+                payload, decompressed_size=int(params.pop("bc_n"))
+            )
+        )
+    return get_codec(codec_name).decode(payload, params, count)
+
+
+@pytest.mark.parametrize("block_comp", ["zstd", "lz4"])
+def test_choose_encode_bc_roundtrip(block_comp):
+    rng = np.random.default_rng(11)
+    cases = [
+        np.array([f"row-{i % 97}-suffix{i}" for i in range(4000)], dtype=object),
+        rng.integers(0, 50, 4000).astype(np.int64),
+        np.sort(rng.integers(0, 10**9, 4000)).astype(np.int64),
+        rng.normal(size=4000),
+        np.array([b"\x00\xffbin" * (i % 5) for i in range(2000)], dtype=object),
+    ]
+    for vals in cases:
+        payload, params, codec, _ = _choose_encode(vals, block_comp=block_comp)
+        out = np.asarray(_decode_choice(payload, params, codec, len(vals)))
+        if vals.dtype.kind == "f":
+            assert np.array_equal(
+                out.view(np.uint64), vals.view(np.uint64)
+            )
+        else:
+            assert list(out) == list(vals)
+
+
+def test_bc_selection_prefers_plain_zstd_over_fsst_zstd_on_text():
+    # zstd over FSST output is LARGER than zstd over raw text (symbol
+    # substitution hides redundancy from the entropy coder) — the
+    # selection must be on post-compression bytes, so text lands on
+    # plain+zstd, not fsst+zstd
+    text = gen_pages_pdf(4000, seed=4)["text"].to_numpy().astype(object)
+    _, params, codec, _ = _choose_encode(text, block_comp="zstd")
+    assert params.get("bc") == "zstd"
+    assert codec == "plain"
+
+
+def test_bc_never_larger_than_lightweight():
+    vals = np.sort(
+        gen_pages_pdf(4000, seed=6)["url"].to_numpy().astype(object)
+    )
+    p_light, _, _, _ = _choose_encode(vals)
+    p_bc, _, _, _ = _choose_encode(vals, block_comp="zstd")
+    assert len(p_bc) <= len(p_light)
+
+
+def test_encode_table_bc_roundtrip_with_nulls(spark):
+    pdf = gen_pages_pdf(800, seed=12, n_hosts=40)
+    pdf.loc[pdf.index[::7], "text"] = None
+    pdf.loc[pdf.index[::11], "lang"] = None
+    df = spark.createDataFrame(pdf)
+    blocks = encode_table(df, n_parts=4, block_comp="zstd")
+    rows = blocks.collect()
+    assert any(dict(r["params"]).get("bc") == "zstd" for r in rows)
+    cols = ["url", "text", "lang"]
+    dec = (
+        decode_blocks(blocks, cols, infer_ltypes(df))
+        .select(*cols)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    exp = pdf[cols].sort_values(cols).reset_index(drop=True)
+    assert dec.equals(exp)
+
+
+def test_size_gate_bc_vs_parquet_zstd(spark):
+    """North-rule comparator at the zstd setting: total engine block
+    bytes (host layout + block_comp=zstd) ≤ the parquet writer's
+    column-chunk bytes with compression=ZSTD on the same rows."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    pdf = gen_pages_pdf(4000, seed=9, n_hosts=100)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="ZSTD", use_dictionary=True)
+    buf.seek(0)
+    md = pq.ParquetFile(buf).metadata
+    parquet_zstd = sum(
+        md.row_group(i).column(j).total_compressed_size
+        for i in range(md.num_row_groups)
+        for j in range(md.num_columns)
+    )
+    df = spark.createDataFrame(pdf)
+    blocks = encode_table(df, n_parts=4, block_comp="zstd")
+    engine_bytes = sum(r["out_bytes"] for r in blocks.collect())
+    assert engine_bytes <= parquet_zstd, (engine_bytes, parquet_zstd)
+    # and the lightweight-only gate still holds without bc
+    assert engine_bytes <= parquet_lightweight_bytes(pdf)

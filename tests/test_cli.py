@@ -217,3 +217,28 @@ def test_cli_encode_range_layout(spark, tmp_path):
     res = _json.loads(r.stdout.strip().splitlines()[-1])
     assert res["parts"] >= 2
     assert os.path.exists(os.path.join(out, "range_bounds_encode.json"))
+
+
+def test_cli_encode_block_comp(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    from parquetry_spark.generator import gen_pages
+
+    inp = str(tmp_path / "pages_bc")
+    out = str(tmp_path / "enc_bc")
+    gen_pages(spark, 300, seed=3, n_hosts=12).write.mode("overwrite").parquet(inp)
+    r = subprocess.run(
+        [sys.executable, "-m", "parquetry_spark.cli", "encode",
+         "--in", inp, "--out", out, "--parts", "4", "--block-comp", "zstd"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["parts"] >= 2
+    # decode through the CLI reads bc blocks transparently
+    blocks = spark.read.parquet(f"{out}/blocks/stage=encode")
+    assert any(
+        dict(row["params"]).get("bc") == "zstd" for row in blocks.collect()
+    )
