@@ -1071,7 +1071,7 @@ def _write_bench_md(r: dict) -> None:
             " parquet carried by PLAIN/RLE/dict/delta encodings,"
             " testdata/meta.txtar:40-88); snappy/zstd are the common"
             " production settings. `engine/x` < 1.0 = our blocks are"
-            " smaller.",
+            " smaller." + """ With `block_comp="zstd"` (opt-in) the engine stacks page-style compression over the codec payloads, selected per column chunk on post-compression bytes; at that setting total block bytes ≤ the parquet-ZSTD column chunks on identical rows (gate: tests/test_block_comp.py::test_size_gate_bc_vs_parquet_zstd).""",
             "",
             "| output | bytes | engine(host)/x | engine(preserve)/x |",
             "|---|---|---|---|",

@@ -492,7 +492,20 @@ def _decode_opaque_block(payload: bytes, name: str) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
-def _encode_vec_block(part_id: int, name: str, arr: pa.Array) -> dict | None:
+def _maybe_decompress(payload: bytes, params: dict) -> tuple[bytes, dict]:
+    """Strip and apply the block-compression layer (params 'bc'/'bc_n')
+    if present; returns the codec-ready (payload, params)."""
+    bc = params.pop("bc", None)
+    if bc:
+        payload = bytes(
+            pa.Codec(bc).decompress(payload, decompressed_size=int(params.pop("bc_n")))
+        )
+    return payload, params
+
+
+def _encode_vec_block(
+    part_id: int, name: str, arr: pa.Array, block_comp: str | None = None
+) -> dict | None:
     """list/fixed_size_list of numeric → one block with TWO codec
     streams: row lengths (ints — delta/bitpack territory) and the
     flattened values (the float/int codec family). An embedding
@@ -533,8 +546,8 @@ def _encode_vec_block(part_id: int, name: str, arr: pa.Array) -> dict | None:
             .astype(np.int64)
         )
     vals = flat.cast(_LTYPE_PA[child_tag]).to_numpy(zero_copy_only=False)
-    lp, lprm, _lcodec, lin = _choose_encode(lens)
-    vp, vprm, vcodec, vin = _choose_encode(vals)
+    lp, lprm, _lcodec, lin = _choose_encode(lens, block_comp=block_comp)
+    vp, vprm, vcodec, vin = _choose_encode(vals, block_comp=block_comp)
     payload = struct.pack("<I", len(lp)) + lp + vp
     params = {f"l_{k}": v for k, v in lprm.items()}
     params.update({f"v_{k}": v for k, v in vprm.items()})
@@ -566,14 +579,10 @@ def _decode_vec_block(row: dict) -> pa.Array:
     (lsz,) = struct.unpack_from("<I", payload, 0)
     lprm = {k[2:]: v for k, v in params.items() if k.startswith("l_")}
     vprm = {k[2:]: v for k, v in params.items() if k.startswith("v_")}
-    lens = (
-        get_codec(lprm["codec"])
-        .decode(payload[4 : 4 + lsz], lprm, nn_count)
-        .astype(np.int64)
-    )
-    vals = get_codec(vprm["codec"]).decode(
-        payload[4 + lsz :], vprm, int(params["vcount"])
-    )
+    lpay, lprm = _maybe_decompress(payload[4 : 4 + lsz], lprm)
+    vpay, vprm = _maybe_decompress(payload[4 + lsz :], vprm)
+    lens = get_codec(lprm["codec"]).decode(lpay, lprm, nn_count).astype(np.int64)
+    vals = get_codec(vprm["codec"]).decode(vpay, vprm, int(params["vcount"]))
     child_tag = row["ltype"].split("_", 1)[1]
     child = pa.array(
         np.asarray(vals).astype(_LTYPE_NP[child_tag], copy=False),
@@ -666,7 +675,7 @@ def _make_encode_kernel(
             try:
                 vals, notnull, ltype = _normalize_arrow(arr)
             except TypeError:
-                vec = _encode_vec_block(part_id, col, arr)
+                vec = _encode_vec_block(part_id, col, arr, block_comp=block_comp)
                 rows_out.append(vec or _encode_opaque_block(part_id, col, arr))
                 continue
             n, nn = len(arr), int(notnull.sum())
@@ -828,13 +837,7 @@ def _decode_block_values(row: dict, name: str) -> pa.Array:
         return _decode_vec_block(row)
     codec = get_codec(row["codec"])
     nn_count = int(row["rows"]) - int(row["nulls"])
-    params = dict(row["params"])
-    payload = bytes(row["payload"])
-    bc = params.pop("bc", None)
-    if bc:  # block compression stacked over the codec payload
-        payload = bytes(
-            pa.Codec(bc).decompress(payload, decompressed_size=int(params.pop("bc_n")))
-        )
+    payload, params = _maybe_decompress(bytes(row["payload"]), dict(row["params"]))
     vals = codec.decode(payload, params, nn_count)
     if row["validity"]:
         notnull = np.unpackbits(

@@ -118,3 +118,21 @@ def test_size_gate_bc_vs_parquet_zstd(spark):
     assert engine_bytes <= parquet_zstd, (engine_bytes, parquet_zstd)
     # and the lightweight-only gate still holds without bc
     assert engine_bytes <= parquet_lightweight_bytes(pdf)
+
+
+def test_vec_blocks_take_block_comp():
+    # embeddings-shaped list<float> column: both streams (lengths +
+    # flat values) may carry the bc layer; decode is bit-identical
+    from parquetry_spark.engine import _decode_vec_block, _encode_vec_block
+
+    rng = np.random.default_rng(3)
+    n, dim = 2000, 64
+    flat = np.round(rng.normal(size=n * dim), 2)  # 2-decimal → alp-able
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(flat), dim)
+    row = _encode_vec_block(0, "embedding", arr, block_comp="zstd")
+    assert row is not None
+    prm = row["params"]
+    assert prm.get("v_bc") == "zstd"  # values stream wins under zstd
+    back = _decode_vec_block(row)
+    out = np.asarray(back.flatten().to_numpy(zero_copy_only=False))
+    assert np.array_equal(out.view(np.uint64), flat.view(np.uint64))
