@@ -122,7 +122,9 @@ def train_symbols(buf: np.ndarray) -> list[bytes]:
     return out
 
 
-def _gather_keys(buf: np.ndarray, pos: np.ndarray, L: int) -> np.ndarray:
+def _gather_keys(
+    buf: np.ndarray, pos: np.ndarray, L: int, scratch: np.ndarray | None = None
+) -> np.ndarray:
     """u64 big-endian-value window keys at selected positions only
     (m×L gather instead of an n-length key materialization)."""
     m = len(pos)
@@ -130,14 +132,27 @@ def _gather_keys(buf: np.ndarray, pos: np.ndarray, L: int) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     # L strided 1-D gathers accumulated into u64 — measured ~1.6x the
     # 2-D fancy-index + byteswap (which materializes an m×L int64
-    # index matrix; this kernel is memory-bound)
+    # index matrix; this kernel is memory-bound). The per-step gather
+    # lands in a reusable u64 scratch (`out=` upcasts in place), so the
+    # loop allocates nothing — fresh pages cost ~MB/s in this VM's
+    # cold-fault phases, and this loop used to make L-1 of them per call.
     k = buf[pos].astype(np.uint64)
     p = pos.copy()
+    # scratch invariant: only the little-endian LOW byte of each u64
+    # slot is ever written (the [::8] stride); the other 7 bytes must
+    # be zero, so a fresh scratch is zeros, and reuse is safe because
+    # every iteration overwrites exactly those low bytes
+    tmp = (
+        scratch[:m]
+        if scratch is not None and len(scratch) >= m
+        else np.zeros(m, dtype=np.uint64)
+    )
     eight = np.uint64(8)
     for j in range(1, L):
         p += 1
+        np.take(buf, p, out=tmp.view(np.uint8)[::8])  # low byte of each u64 slot
         k <<= eight
-        k |= buf[p]
+        k |= tmp
     return k
 
 
@@ -194,6 +209,8 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
         (buf[: n - 1].astype(np.uint16) << 8) | buf[1:n] if n >= 2 else
         np.zeros(0, dtype=np.uint16)
     )
+    gather_scratch: np.ndarray | None = None  # reused across lengths
+    cum_scratch = np.empty(n, dtype=np.int32)  # reused occupancy cumsum
     for L in SYMBOL_LENGTHS:
         if L not in by_len or n < L:
             continue
@@ -203,7 +220,9 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
         pre = np.flatnonzero(cnt > 0)
         if len(pre) == 0:
             continue
-        wk = _gather_keys(buf, pre, L)
+        if gather_scratch is None or len(gather_scratch) < len(pre):
+            gather_scratch = np.zeros(len(pre), dtype=np.uint64)
+        wk = _gather_keys(buf, pre, L, scratch=gather_scratch)
         st = start2[key2[pre]]
         c = cnt[pre]
         top = len(skeys) - 1
@@ -234,7 +253,7 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
         # one occupancy filter per length against all earlier (longer)
         # matches: candidate [p, p+L) is free iff no covered byte inside
         if any_chosen:
-            cum = np.cumsum(covered, dtype=np.int32)
+            cum = np.cumsum(covered, dtype=np.int32, out=cum_scratch)
             free = (cum[cand + L - 1] - cum[cand] + covered[cand].astype(np.int32)) == 0
             cand, cand_tbl = cand[free], cand_tbl[free]
         for _ in range(PASSES_PER_LENGTH):
