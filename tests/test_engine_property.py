@@ -216,3 +216,49 @@ def test_engine_roundtrip_bool_vec_property(spark, data):
             assert (x is None) == (y is None)
             if x is not None:
                 assert struct.pack("<f", x) == struct.pack("<f", y)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(data=st.data())
+def test_engine_roundtrip_prefix_bc_property(spark, data):
+    """Prefix-sharing sorted strings (the front-coding codec's home
+    turf) + an optional block-compression layer, through the FULL
+    path: selector may pick prefix (avg_prefix stat), the bc layer
+    may re-pick plain+zstd — whatever wins on bytes must decode
+    bit-identically, nulls and embedded NULs included."""
+    n = data.draw(st.integers(2, 60))
+    stems = data.draw(
+        st.lists(
+            st.sampled_from(["https://www.site", "key\x00#", "Customer#00"]),
+            min_size=1, max_size=2,
+        )
+    )
+    vals = data.draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.tuples(
+                    st.sampled_from(stems), st.integers(0, 999), st.text(max_size=6)
+                ).map(lambda t: f"{t[0]}{t[1]:03d}{t[2]}"),
+            ),
+            min_size=n, max_size=n,
+        )
+    )
+    vals = sorted(vals, key=lambda v: (v is None, v))  # nulls last, rest sorted
+    bc = data.draw(st.sampled_from([None, "zstd", "lz4"]))
+    src = pa.table(
+        {"k": pa.array(np.arange(n, dtype=np.int64)), "s": pa.array(vals, pa.string())}
+    )
+    df = spark.createDataFrame(src)
+    blocks = encode_table(df, n_parts=2, url_col=None, ts_col=None, block_comp=bc)
+    dec = decode_blocks(blocks, ["k", "s"], infer_ltypes(df))
+    got = _sorted_by_k(dec.toArrow())
+    want = _sorted_by_k(df.toArrow())
+    _assert_col_bit_identical(want["s"], got["s"], "s")
