@@ -122,45 +122,75 @@ def train_symbols(buf: np.ndarray) -> list[bytes]:
     return out
 
 
+class _Pool:
+    """Named scratch buffers, grown on demand, reused across calls.
+
+    Allocations above glibc's mmap-threshold cap (32 MB) always come
+    from fresh mmap'd pages, which this VM faults in at single-digit
+    MB/s during its cold phases — so the match kernel routes every
+    O(candidates) temporary through one of these slots instead of
+    allocating per call. `zeroed` slots preserve an all-zero invariant
+    outside the bytes the caller explicitly writes.
+    """
+
+    def __init__(self):
+        self._slots: dict[str, np.ndarray] = {}
+
+    def get(self, name: str, m: int, dtype, zeroed: bool = False) -> np.ndarray:
+        a = self._slots.get(name)
+        if a is None or len(a) < m:
+            a = np.zeros(m, dtype=dtype) if zeroed else np.empty(m, dtype=dtype)
+            self._slots[name] = a
+        return a[:m]
+
+
 def _gather_keys(
-    buf: np.ndarray, pos: np.ndarray, L: int, scratch: np.ndarray | None = None
+    buf: np.ndarray, pos: np.ndarray, L: int, pool: _Pool | None = None
 ) -> np.ndarray:
     """u64 big-endian-value window keys at selected positions only
-    (m×L gather instead of an n-length key materialization)."""
+    (m×L gather instead of an n-length key materialization).
+
+    Returns a VIEW of pool slot "gk" — valid until the next call with
+    the same pool. L strided 1-D gathers accumulated into u64 —
+    measured ~1.6x the 2-D fancy-index + byteswap (which materializes
+    an m×L int64 index matrix; this kernel is memory-bound) — and the
+    whole call allocates nothing: the gather target, accumulator, and
+    position counter all live in the pool (the old per-call
+    `buf[pos].astype(u64)` + `pos.copy()` were the encode kernel's
+    largest fresh allocations — 16 B/candidate per call, mmap'd and
+    cold-faulted every time on >32 MB blocks).
+    """
     m = len(pos)
     if m == 0:
         return np.zeros(0, dtype=np.uint64)
-    # L strided 1-D gathers accumulated into u64 — measured ~1.6x the
-    # 2-D fancy-index + byteswap (which materializes an m×L int64
-    # index matrix; this kernel is memory-bound). The per-step gather
-    # lands in a reusable u64 scratch (`out=` upcasts in place), so the
-    # loop allocates nothing — fresh pages cost ~MB/s in this VM's
-    # cold-fault phases, and this loop used to make L-1 of them per call.
-    k = buf[pos].astype(np.uint64)
-    p = pos.copy()
-    # scratch invariant: only the little-endian LOW byte of each u64
-    # slot is ever written (the [::8] stride); the other 7 bytes must
-    # be zero, so a fresh scratch is zeros, and reuse is safe because
-    # every iteration overwrites exactly those low bytes
-    tmp = (
-        scratch[:m]
-        if scratch is not None and len(scratch) >= m
-        else np.zeros(m, dtype=np.uint64)
-    )
+    if pool is None:
+        pool = _Pool()
+    # tmp invariant: only the little-endian LOW byte of each u64 slot
+    # is ever written (the [::8] stride); the other 7 bytes must be
+    # zero, so the slot is created zeroed and reuse is safe because
+    # every call overwrites exactly those low bytes
+    tmp = pool.get("gk_tmp", m, np.uint64, zeroed=True)
+    k = pool.get("gk", m, np.uint64)
+    p = pool.get("gk_pos", m, np.int64)
+    np.take(buf, pos, out=tmp.view(np.uint8)[::8])
+    np.copyto(k, tmp)  # full u64 copy clears stale high bytes in k
+    np.copyto(p, pos)
     eight = np.uint64(8)
-    for j in range(1, L):
+    for _ in range(1, L):
         p += 1
-        np.take(buf, p, out=tmp.view(np.uint8)[::8])  # low byte of each u64 slot
+        np.take(buf, p, out=tmp.view(np.uint8)[::8])  # low byte of each slot
         k <<= eight
         k |= tmp
     return k
 
 
-def _match(buf: np.ndarray, symbols: list[bytes]):
+def _match(buf: np.ndarray, symbols: list[bytes], pool: _Pool | None = None):
     """Vectorized longest-first phase-aligned matching.
 
     Returns (positions, sym_ids) sorted by position, plus the covered
-    bool mask over buf.
+    bool mask over buf. `pool` (optional) reuses scratch buffers
+    across calls — the codec singleton passes a per-process pool so
+    repeated blocks in a long-lived worker allocate nothing.
     """
     n = len(buf)
     covered = np.zeros(n, dtype=bool)
@@ -205,24 +235,26 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
     # (Materializing u64 keys for every position × every length was
     # ~32 B of memory traffic per input byte — the kernel is memory-
     # bound, and that traffic is what kills multicore scaling.)
-    key2_full = (
-        (buf[: n - 1].astype(np.uint16) << 8) | buf[1:n] if n >= 2 else
-        np.zeros(0, dtype=np.uint16)
-    )
-    gather_scratch: np.ndarray | None = None  # reused across lengths
-    cum_scratch = np.empty(n, dtype=np.int32)  # reused occupancy cumsum
+    if pool is None:
+        pool = _Pool()
+    if n >= 2:
+        key2_full = pool.get("key2", n - 1, np.uint16)
+        np.copyto(key2_full, buf[: n - 1])  # upcast copy, in place
+        key2_full <<= 8
+        key2_full |= buf[1:n]
+    else:
+        key2_full = np.zeros(0, dtype=np.uint16)
+    cum_scratch = pool.get("cum", n, np.int32)  # reused occupancy cumsum
     for L in SYMBOL_LENGTHS:
         if L not in by_len or n < L:
             continue
         skeys, sids, start2, cnt2 = by_len[L]
         key2 = key2_full[: n - L + 1]
-        cnt = cnt2[key2]
+        cnt = np.take(cnt2, key2, out=pool.get("cnt", len(key2), np.uint8))
         pre = np.flatnonzero(cnt > 0)
         if len(pre) == 0:
             continue
-        if gather_scratch is None or len(gather_scratch) < len(pre):
-            gather_scratch = np.zeros(len(pre), dtype=np.uint64)
-        wk = _gather_keys(buf, pre, L, scratch=gather_scratch)
+        wk = _gather_keys(buf, pre, L, pool=pool)
         st = start2[key2[pre]]
         c = cnt[pre]
         top = len(skeys) - 1
@@ -267,7 +299,15 @@ def _match(buf: np.ndarray, symbols: list[bytes]):
             chosen = cand[sel]
             all_pos.append(chosen)
             all_ids.append(sids[cand_tbl[sel]])
-            covered[_ranges(chosen, np.full(len(chosen), L, dtype=np.int64))] = True
+            # L strided scatters instead of the grouped-ranges idiom:
+            # _ranges here allocated ~3 fresh arrays of m·L int64
+            # (arange + two repeats) per pass just to set m·L booleans
+            ps = pool.get("cover_pos", len(chosen), np.int64)
+            np.copyto(ps, chosen)
+            for step in range(L):
+                if step:
+                    ps += 1
+                covered[ps] = True
             any_chosen = True
             cand, cand_tbl = cand[~sel], cand_tbl[~sel]
             if len(cand) == 0:
@@ -300,6 +340,14 @@ def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 class FsstCodec(Codec):
     name = "fsst"
 
+    def __init__(self):
+        # registry holds one codec instance per process (base.register),
+        # and Spark python workers evaluate one task at a time, so a
+        # per-instance pool is effectively per-process scratch: every
+        # block after the first in a long-lived worker encodes with
+        # zero fresh large allocations
+        self._pool = _Pool()
+
     def _encode(self, arr):
         if not isinstance(arr, pa.Array) and arr.dtype.kind != "O":
             # contract: reject non-varlen input loudly so the kernel's
@@ -319,7 +367,7 @@ class FsstCodec(Codec):
 
         symbols = train_symbols(buf) if n else []
         pos, ids, covered = (
-            _match(buf, symbols)
+            _match(buf, symbols, pool=self._pool)
             if symbols
             else (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(n, bool))
         )
