@@ -85,8 +85,13 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
         return b""
     if width > 64:
         raise ValueError(f"bit width {width} > 64")
+    nb = (width + 7) >> 3
     v = np.ascontiguousarray(values.astype(">u8"))
-    bits = np.unpackbits(v.view(np.uint8).reshape(n, 8), axis=1)[:, 64 - width :]
+    lead = np.ascontiguousarray(v.view(np.uint8).reshape(n, 8)[:, 8 - nb :])
+    if width == nb * 8:
+        # exact byte multiple: MSB-first packing IS the big-endian bytes
+        return lead.tobytes()
+    bits = np.unpackbits(lead, axis=1)[:, nb * 8 - width :]
     return np.packbits(bits.ravel()).tobytes()
 
 
@@ -94,11 +99,17 @@ def unpack_bits(payload: bytes, width: int, count: int) -> np.ndarray:
     """Inverse of pack_bits → uint64 array of length count."""
     if width == 0 or count == 0:
         return np.zeros(count, dtype=np.uint64)
-    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), count=count * width)
-    bits = bits.reshape(count, width)
-    full = np.zeros((count, 64), dtype=np.uint8)
-    full[:, 64 - width :] = bits
-    return np.packbits(full, axis=1).view(">u8").ravel().astype(np.uint64)
+    nb = (width + 7) >> 3
+    if width == nb * 8:
+        lead = np.frombuffer(payload, dtype=np.uint8)[: count * nb].reshape(count, nb)
+    else:
+        bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), count=count * width)
+        full = np.zeros((count, nb * 8), dtype=np.uint8)
+        full[:, nb * 8 - width :] = bits.reshape(count, width)
+        lead = np.packbits(full, axis=1)
+    out = np.zeros((count, 8), dtype=np.uint8)
+    out[:, 8 - nb :] = lead
+    return out.view(">u8").ravel().astype(np.uint64)
 
 
 # ---------------------------------------------------------------------------
