@@ -455,10 +455,25 @@ class FsstCodec(Codec):
         ) if n_tok else np.zeros(0, np.int64)
         covered = np.zeros(n, dtype=bool)
         if n_tok:
-            dest = _ranges(tok_starts, tok_lens)
-            src = _ranges(sym_offsets[ids], tok_lens)
-            out[dest] = symbuf[src]
-            covered[dest] = True
+            # per-length-class strided scatters instead of the grouped-
+            # ranges idiom: _ranges allocated ~4 fresh m·L int64 arrays
+            # (arange + repeats) per stream — ~60% of decode time. With
+            # ≤4 symbol lengths this is ≤4·L strided writes and the only
+            # temporaries are per-class start/offset vectors.
+            src_starts = sym_offsets[ids]
+            for L in np.unique(sym_lens_tbl):
+                Li = int(L)
+                cls = tok_lens == Li
+                if not cls.any():
+                    continue
+                d = tok_starts[cls]  # fancy index → fresh, safe to += in place
+                s = src_starts[cls]
+                for step in range(Li):
+                    if step:
+                        d += 1
+                        s += 1
+                    out[d] = symbuf[s]
+                    covered[d] = True
         out[~covered] = literals
         return out, row_lens
 
