@@ -61,7 +61,10 @@ TOKEN_OVERHEAD = 2.0  # ~1B sym id + ~1B amortized gap-length stream
 TRAIN_SAMPLE_BYTES = 1 << 17  # 128 KiB training sample cap (255 symbols
 #                               saturate well below this; halves train
 #                               cost on small partitions)
-PASSES_PER_LENGTH = 3
+PASSES_PER_LENGTH = 4  # sweep on sf0.1 text: 3→3.22x, 4→3.32x (free — the
+#                        4th pass consumes leftover candidates), 5+ REGRESSES
+#                        (marginal short-L matches cost more token overhead
+#                        than the bytes they cover)
 MAX_PROBES = 3  # symbols sharing a 2-byte prefix kept per length
 
 
