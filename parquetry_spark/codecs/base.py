@@ -102,14 +102,29 @@ def unpack_bits(payload: bytes, width: int, count: int) -> np.ndarray:
     nb = (width + 7) >> 3
     if width == nb * 8:
         lead = np.frombuffer(payload, dtype=np.uint8)[: count * nb].reshape(count, nb)
-    else:
-        bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), count=count * width)
-        full = np.zeros((count, nb * 8), dtype=np.uint8)
-        full[:, nb * 8 - width :] = bits.reshape(count, width)
-        lead = np.packbits(full, axis=1)
-    out = np.zeros((count, 8), dtype=np.uint8)
-    out[:, 8 - nb :] = lead
-    return out.view(">u8").ravel().astype(np.uint64)
+        out = np.zeros((count, 8), dtype=np.uint8)
+        out[:, 8 - nb :] = lead
+        return out.view(">u8").ravel().astype(np.uint64)
+    if width <= 56:
+        # windowed byte gathers: value i occupies bits [i*w, i*w+w)
+        # MSB-first; read the k bytes covering that window and shift.
+        # k gathers of `count` bytes beat unpackbits' count*w bit ops.
+        k = (width + 14) >> 3  # ceil((width+7)/8): 7-bit phase + width
+        b = np.frombuffer(payload, dtype=np.uint8)
+        pad = np.zeros(len(b) + 8, dtype=np.uint8)
+        pad[: len(b)] = b
+        bit_start = np.arange(count, dtype=np.uint64) * np.uint64(width)
+        byte0 = (bit_start >> np.uint64(3)).astype(np.int64)
+        acc = pad[byte0].astype(np.uint64)
+        for j in range(1, k):
+            acc <<= np.uint64(8)
+            acc |= pad[byte0 + j]
+        rs = np.uint64(k * 8 - width) - (bit_start & np.uint64(7))
+        return (acc >> rs) & np.uint64((1 << width) - 1)
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), count=count * width)
+    full = np.zeros((count, 64), dtype=np.uint8)
+    full[:, 64 - width :] = bits.reshape(count, width)
+    return np.packbits(full, axis=1).view(">u8").ravel().astype(np.uint64)
 
 
 # ---------------------------------------------------------------------------
