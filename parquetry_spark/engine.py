@@ -48,6 +48,7 @@ import hashlib
 import io
 import os
 import struct
+import time
 from datetime import datetime, timezone
 
 import numpy as np
@@ -76,6 +77,7 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("in_bytes", T.LongType()),
         T.StructField("out_bytes", T.LongType()),
         T.StructField("checksum", T.StringType()),
+        T.StructField("enc_us", T.LongType()),
     ]
 )
 
@@ -93,6 +95,11 @@ BLOCK_ARROW_SCHEMA = pa.schema(
         ("in_bytes", pa.int64()),
         ("out_bytes", pa.int64()),
         ("checksum", pa.string()),
+        # per-block encode wall-micros: the manifest doubles as the
+        # run's METRICS ledger (north rule: per-partition lineage +
+        # metrics) — at cluster scale, partition skew and straggler
+        # codecs are visible from the manifest alone, no log mining
+        ("enc_us", pa.int64()),
     ]
 )
 
@@ -105,6 +112,7 @@ MANIFEST_COLS = [
     "in_bytes",
     "out_bytes",
     "checksum",
+    "enc_us",
 ]
 
 
@@ -458,6 +466,7 @@ def _ipc_write(tbl: pa.Table) -> bytes:
 
 
 def _encode_opaque_block(part_id: int, name: str, arr: pa.Array) -> dict:
+    t_enc = time.perf_counter()
     payload = _ipc_write(pa.table({name: arr}))
     in_bytes = int(arr.nbytes)
     try:  # record the Spark type so decode-from-blocks-alone works
@@ -479,6 +488,7 @@ def _encode_opaque_block(part_id: int, name: str, arr: pa.Array) -> dict:
         "in_bytes": in_bytes,
         "out_bytes": len(payload),
         "checksum": hashlib.sha256(payload).hexdigest(),
+        "enc_us": int((time.perf_counter() - t_enc) * 1e6),
     }
 
 
@@ -517,6 +527,7 @@ def _encode_vec_block(
     Layout: [u32 lens_payload_size][lens payload][values payload];
     params carry both codec param sets under 'l_'/'v_' prefixes plus
     'vcount' (flat value count, needed to decode the value stream)."""
+    t_enc = time.perf_counter()
     t = arr.type
     fixed = pa.types.is_fixed_size_list(t)
     if not (pa.types.is_list(t) or pa.types.is_large_list(t) or fixed):
@@ -566,6 +577,7 @@ def _encode_vec_block(
         "in_bytes": len(lin) + len(vin) + (n - int(notnull.sum())),
         "out_bytes": len(payload) + len(validity),
         "checksum": _checksum(lin + vin, notnull),
+        "enc_us": int((time.perf_counter() - t_enc) * 1e6),
     }
 
 
@@ -669,6 +681,7 @@ def _make_encode_kernel(
                 table = table.sort_by([(c, "ascending") for c in present])
         rows_out = []
         for col in columns:
+            t_enc = time.perf_counter()
             arr = table.column(col)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
@@ -699,6 +712,7 @@ def _make_encode_kernel(
                     "in_bytes": in_bytes,
                     "out_bytes": len(payload) + len(validity),
                     "checksum": _checksum(in_payload, notnull),
+                    "enc_us": int((time.perf_counter() - t_enc) * 1e6),
                 }
             )
         return pa.Table.from_pylist(rows_out, schema=BLOCK_ARROW_SCHEMA)
@@ -1053,9 +1067,11 @@ def run_encode(
             F.countDistinct("part_id").alias("parts"),
             F.sum("in_bytes").alias("in_bytes"),
             F.sum("out_bytes").alias("out_bytes"),
+            F.sum("enc_us").alias("enc_us"),
         )
         .collect()[0]
     )
+    enc_us = int(agg["enc_us"] or 0)
     return {
         "blocks_path": blocks_path,
         "manifest_path": manifest_path,
@@ -1065,6 +1081,14 @@ def run_encode(
         "out_bytes": agg["out_bytes"],
         "ratio": (agg["in_bytes"] or 0) / max(agg["out_bytes"] or 1, 1),
         "skipped_parts": n_committed,
+        # metrics, from the ledger alone: total kernel-CPU spent and
+        # the aggregate kernel throughput it implies (wall throughput
+        # divides by the executor count; this is the scheduler-free
+        # number that transfers across cluster sizes)
+        "encode_cpu_s": round(enc_us / 1e6, 3),
+        "kernel_mb_per_cpu_s": round(
+            (agg["in_bytes"] or 0) / 1e6 / max(enc_us / 1e6, 1e-9), 2
+        ),
     }
 
 

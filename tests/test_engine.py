@@ -333,3 +333,26 @@ def test_str_bounds_truncation():
     arr3[:] = ["", "x\x00y", "x\x00z"]  # NUL-bearing bounds round-trip
     b3 = _str_bounds(arr3)
     assert b3["zmin_s"] == "" and b3["zmax_s"] == "x\x00z"
+
+
+def test_manifest_carries_encode_metrics(spark, pages, tmp_path):
+    """The manifest is the run's METRICS ledger too (north rule:
+    per-partition lineage + metrics): every block row carries its
+    encode wall-micros, and run_encode derives kernel-CPU totals +
+    throughput from the ledger alone."""
+    out = str(tmp_path / "enc_metrics")
+    rep = run_encode(spark, pages, out, n_parts=4)
+    man = spark.read.parquet(rep["manifest_path"])
+    assert "enc_us" in man.columns
+    rows = man.select("part_id", "column", "enc_us").collect()
+    assert len(rows) == 4 * 5
+    assert all(r["enc_us"] is not None and r["enc_us"] >= 0 for r in rows)
+    # text blocks (fsst over real bytes) must cost measurably more
+    # than the 10-value lang dict — the skew signal the ledger exists for
+    per_col = {
+        r["column"]: r["s"]
+        for r in man.groupBy("column").agg(F.sum("enc_us").alias("s")).collect()
+    }
+    assert per_col["text"] > per_col["lang"]
+    assert rep["encode_cpu_s"] >= 0.0
+    assert rep["kernel_mb_per_cpu_s"] > 0.0
