@@ -49,6 +49,31 @@ def test_pack_bits_roundtrip(width):
     np.testing.assert_array_equal(unpack_bits(packed, width, n), vals)
 
 
+def _pack_bits_reference(values: np.ndarray, width: int) -> bytes:
+    """Bit-level reference (the original implementation): unpack every
+    value to 64 bit cells, slice the low `width`, repack MSB-first."""
+    n = len(values)
+    if width == 0 or n == 0:
+        return b""
+    v = np.ascontiguousarray(values.astype(">u8"))
+    bits = np.unpackbits(v.view(np.uint8).reshape(n, 8), axis=1)[:, 64 - width :]
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def test_pack_bits_byte_identical_to_bit_level_reference():
+    """The width-proportional fast paths (byte-multiple direct copy,
+    windowed-gather unpack) must be BYTE-identical to the bit-level
+    definition for every width — the payload format is on disk."""
+    for width in range(1, 65):
+        hi = (1 << width) - 1
+        for n in (0, 1, 3, 7, 8, 9, 1000):
+            vals = rng.integers(0, hi, size=n, endpoint=True, dtype=np.uint64)
+            assert pack_bits(vals, width) == _pack_bits_reference(vals, width), width
+            np.testing.assert_array_equal(
+                unpack_bits(pack_bits(vals, width), width, n), vals
+            )
+
+
 # ------------------------------------------------------------------- plain
 @pytest.mark.parametrize(
     "arr",
