@@ -114,3 +114,36 @@ def test_md_history_table_carries_sf_column(monkeypatch, tmp_path):
     assert "| sf |" in md
     assert "| 0.01 |" in hist  # the sf0.01 row is labeled as such
     assert "| — |" in hist  # the legacy row renders a placeholder
+
+
+def test_best_history_window_picks_min_over_modes(monkeypatch, tmp_path):
+    """best_window = the single run maximizing min(eff) across all
+    three modes — runs with a missing mode are ineligible, and a run
+    with one stellar mode can't beat a balanced window."""
+    os.makedirs(tmp_path / "BENCH")
+    rows = [
+        # incomplete: no host — ineligible however good the others are
+        {"ts": 1755400000, "sf": 0.1, "probes_mb_s": [100.0],
+         "eff": {"preserve": 0.99, "stage": 0.99, "host": None}},
+        # complete but lopsided: min = 0.30
+        {"ts": 1755400600, "sf": 0.1, "probes_mb_s": [5.0, 9.0],
+         "eff": {"preserve": 0.99, "stage": 0.98, "host": 0.30}},
+        # complete and balanced: min = 0.84 → the witness
+        {"ts": 1755401200, "sf": 0.1, "probes_mb_s": [4.0, 420.3],
+         "eff": {"preserve": 0.844, "stage": 0.956, "host": 0.862}},
+    ]
+    with open(tmp_path / "BENCH" / "scaling_runs.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    bw = bench._best_history_window()
+    assert bw["min_efficiency"] == 0.844
+    assert bw["efficiency"]["host"] == 0.862
+    assert bw["probe_range_mb_s"] == [4.0, 420.3]
+
+    # and the md writer surfaces it as the north-rule witness line
+    result = _synthetic_missing_host_result()
+    result["scaling"]["best_window_across_runs"] = bw
+    md = _render(monkeypatch, tmp_path, result)
+    assert "North-rule witness" in md
+    assert "0.844" in md
