@@ -392,7 +392,13 @@ def q_prune_decode_expr(spark, sf):
     expr = 'doc_id >= 150 and doc_id < 450 and lang != "de"'
     ltypes = {"doc_id": "int64", "lang": "str", "n_chars": "int64"}
     pruned = prune_blocks_for_expr(blocks, expr, ltypes)
-    dec = where(decode_blocks(pruned, ["doc_id", "lang", "n_chars"], ltypes), expr)
+    # the same bounds also mask rows INSIDE the decode kernel (late
+    # materialization: dict columns evaluate on the dictionary, rows
+    # that fail never materialize) — the exact filter still runs on top
+    dec = where(
+        decode_blocks(pruned, ["doc_id", "lang", "n_chars"], ltypes, where=expr),
+        expr,
+    )
     return dec.select("doc_id", "lang", "n_chars")
 
 

@@ -234,7 +234,9 @@ def main(argv: list[str] | None = None) -> int:
                 # bounds: metadata-only, pruned partitions' payloads
                 # are never fetched or decoded
                 blocks = prune_blocks_for_expr(blocks, args.where, ltypes)
-            out = decode_blocks(blocks, cols, ltypes)
+            # the same bounds mask rows inside the decode kernel (late
+            # materialization) before the exact filter runs on top
+            out = decode_blocks(blocks, cols, ltypes, where=args.where)
             if args.where:
                 from .parity.filters import where as _where
 

@@ -71,17 +71,30 @@ class DictCodec(Codec):
             **params_extra,
         }
 
-    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+    def decode_parts(
+        self, payload: bytes, params: dict[str, str], count: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(uniques, codes) WITHOUT materializing `uniques[codes]` —
+        the encoded-domain hook for the decode kernel's row masking:
+        a predicate evaluates on the (small) dictionary, maps to a
+        boolean over codes, and only the selected rows ever gather
+        their values. uniques come back in the normalized value
+        domain (floats un-viewed from their bit patterns)."""
         (dlen,) = struct.unpack_from("<I", payload, 0)
         dict_payload = payload[4 : 4 + dlen]
         dsize = int(params["dict_size"])
         width = int(params["width"])
-        uniques = deserialize_values(dict_payload, params["dtype"], dsize)
+        uniques = np.asarray(
+            deserialize_values(dict_payload, params["dtype"], dsize)
+        )
         codes = unpack_bits(payload[4 + dlen :], width, count).astype(np.int64)
-        out = uniques[codes] if dsize else uniques[:0]
         if "fdtype" in params:
-            out = np.asarray(out).view(np.dtype(params["fdtype"]))
-        return out
+            uniques = uniques.view(np.dtype(params["fdtype"]))
+        return uniques, codes
+
+    def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        uniques, codes = self.decode_parts(payload, params, count)
+        return uniques[codes] if len(uniques) else uniques[:0]
 
 
 DICT = register(DictCodec())

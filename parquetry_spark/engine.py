@@ -844,6 +844,15 @@ def encode_preserve(
 # ---------------------------------------------------------------------------
 
 
+def _block_validity(row: dict) -> np.ndarray:
+    if row["validity"]:
+        return np.unpackbits(
+            np.frombuffer(bytes(row["validity"]), dtype=np.uint8),
+            count=int(row["rows"]),
+        ).astype(bool)
+    return np.ones(int(row["rows"]), dtype=bool)
+
+
 def _decode_block_values(row: dict, name: str) -> pa.Array:
     if row["ltype"].startswith("arrow"):
         return _decode_opaque_block(bytes(row["payload"]), name)
@@ -853,14 +862,37 @@ def _decode_block_values(row: dict, name: str) -> pa.Array:
     nn_count = int(row["rows"]) - int(row["nulls"])
     payload, params = _maybe_decompress(bytes(row["payload"]), dict(row["params"]))
     vals = codec.decode(payload, params, nn_count)
-    if row["validity"]:
-        notnull = np.unpackbits(
-            np.frombuffer(bytes(row["validity"]), dtype=np.uint8),
-            count=int(row["rows"]),
-        ).astype(bool)
-    else:
-        notnull = np.ones(int(row["rows"]), dtype=bool)
-    return _denormalize_arrow(np.asarray(vals), notnull, row["ltype"])
+    return _denormalize_arrow(np.asarray(vals), _block_validity(row), row["ltype"])
+
+
+def _bounds_mask_nn(vals: np.ndarray, lo, hi) -> np.ndarray:
+    """True where a non-null NORMALIZED value can satisfy
+    lo <= v <= hi under Spark's comparison semantics. Floats: Spark
+    orders NaN greater than everything, so NaN passes any lo-bound
+    and fails any hi-bound (numpy's NaN-comparisons-are-false gives
+    the hi side for free; the lo side needs the explicit OR).
+    Strings compare via Arrow (bytewise UTF-8 = code-point order,
+    same as Spark's UTF8String)."""
+    n = len(vals)
+    m = np.ones(n, dtype=bool)
+    if n == 0:
+        return m
+    if vals.dtype.kind == "O":
+        pav = pa.array(vals, type=pa.large_string())
+        if lo is not None:
+            m &= pa.compute.greater_equal(pav, lo).to_numpy(zero_copy_only=False)
+        if hi is not None:
+            m &= pa.compute.less_equal(pav, hi).to_numpy(zero_copy_only=False)
+        return m
+    isnan = np.isnan(vals) if vals.dtype.kind == "f" else None
+    if lo is not None:
+        ge = vals >= lo
+        if isnan is not None:
+            ge |= isnan
+        m &= ge
+    if hi is not None:
+        m &= vals <= hi  # NaN <= hi is False — matches Spark's order
+    return m
 
 
 def _lower_for_spark(arr: pa.Array) -> pa.Array:
@@ -881,7 +913,28 @@ def _lower_for_spark(arr: pa.Array) -> pa.Array:
     return arr
 
 
-def _make_decode_kernel(columns: list[str]):
+def _make_decode_kernel(columns: list[str], bounds: dict[str, tuple] | None = None):
+    """Per-part decode kernel. With `bounds` (per-column conjunctive
+    [lo, hi] constraints in the NORMALIZED value domain — the output
+    of filter_bounds), rows that provably fail are masked out INSIDE
+    the kernel, before any value materializes:
+
+    - dict-coded blocks evaluate the predicate on the DICTIONARY
+      (cardinality entries, not rows) and map it through the codes —
+      the classic late-materialization win: a selective filter on a
+      dict string column never builds the non-matching strings, and
+      `uniques[codes]` gathers only surviving rows;
+    - other codec blocks compare their normalized numpy values (the
+      codecs are block-sequential, so the decode itself can't skip,
+      but Arrow arrays / string buffers are built for kept rows only);
+    - masked rows never cross the Arrow→JVM boundary.
+
+    The mask is a NECESSARY condition (conjunctive ranges only), so
+    callers still apply the exact filter Spark-side — dropping a row
+    here can only remove rows that filter would drop anyway."""
+    bounds = bounds or {}
+    need = list(dict.fromkeys(list(columns) + sorted(bounds)))
+
     def decode_kernel(table: pa.Table) -> pa.Table:
         by_col: dict[str, dict] = {}
         for r in table.to_pylist():  # ≤ one row per column — not per-data-row
@@ -892,9 +945,80 @@ def _make_decode_kernel(columns: list[str]):
                     f"duplicate block for (part_id={r['part_id']}, column={c!r})"
                 )
             by_col[c] = r
+
+        # normalized decode, once per needed column:
+        #   ("pa", arr)                  opaque arrow / vec blocks
+        #   ("dict", uniques, codes, nn) dictionary parts, rows unmaterialized
+        #   ("np", vals, nn)             normalized non-null values + validity
+        norm: dict[str, tuple] = {}
+
+        def get_norm(c: str) -> tuple:
+            got = norm.get(c)
+            if got is not None:
+                return got
+            r = by_col[c]
+            if r["ltype"].startswith(("arrow", "vec_")):
+                norm[c] = ("pa", _decode_block_values(r, c))
+            else:
+                codec = get_codec(r["codec"])
+                nn_count = int(r["rows"]) - int(r["nulls"])
+                payload, params = _maybe_decompress(
+                    bytes(r["payload"]), dict(r["params"])
+                )
+                notnull = _block_validity(r)
+                if hasattr(codec, "decode_parts"):
+                    u, codes = codec.decode_parts(payload, params, nn_count)
+                    norm[c] = ("dict", u, codes, notnull)
+                else:
+                    vals = np.asarray(codec.decode(payload, params, nn_count))
+                    norm[c] = ("np", vals, notnull)
+            return norm[c]
+
+        n_rows = int(next(iter(by_col.values()))["rows"]) if by_col else 0
+        mask = None
+        for c, (lo, hi) in bounds.items():
+            if c not in by_col:
+                continue  # column not encoded in this run — no constraint
+            k = get_norm(c)
+            if k[0] == "pa":
+                continue  # no bounds domain for opaque/vec blocks
+            if k[0] == "dict":
+                _, u, codes, notnull = k
+                dm = _bounds_mask_nn(u, lo, hi)
+                m_nn = dm[codes] if len(u) else np.zeros(0, dtype=bool)
+            else:
+                _, vals, notnull = k
+                m_nn = _bounds_mask_nn(vals, lo, hi)
+            full = np.zeros(n_rows, dtype=bool)
+            full[notnull] = m_nn  # null rows fail a range predicate
+            mask = full if mask is None else (mask & full)
+        if mask is not None and bool(mask.all()):
+            mask = None  # nothing to drop — skip the filtering gathers
+
         arrays: dict[str, pa.Array] = {}
         for c in columns:
-            arrays[c] = _lower_for_spark(_decode_block_values(by_col[c], c))
+            k = get_norm(c)
+            r = by_col[c]
+            if k[0] == "pa":
+                arr = k[1]
+                if mask is not None:
+                    arr = arr.filter(pa.array(mask))
+                arrays[c] = _lower_for_spark(arr)
+                continue
+            if k[0] == "dict":
+                _, u, codes, notnull = k
+                if mask is not None:
+                    codes = codes[mask[notnull]]
+                    notnull = notnull[mask]
+                vals = u[codes] if len(u) else u[:0]
+            else:
+                _, vals, notnull = k
+                if mask is not None:
+                    vals = vals[mask[notnull]]
+                    notnull = notnull[mask]
+            arrays[c] = _lower_for_spark(
+                _denormalize_arrow(np.asarray(vals), notnull, r["ltype"])
+            )
         n = len(next(iter(arrays.values()))) if arrays else 0
         pid = table["part_id"][0].as_py() if table.num_rows else -1
         data = {"part_id": pa.array(np.full(n, pid, dtype=np.int64))}
@@ -904,7 +1028,12 @@ def _make_decode_kernel(columns: list[str]):
     return decode_kernel
 
 
-def decode_blocks(blocks: DataFrame, columns: list[str], ltypes: dict[str, str]) -> DataFrame:
+def decode_blocks(
+    blocks: DataFrame,
+    columns: list[str],
+    ltypes: dict[str, str],
+    where: str | None = None,
+) -> DataFrame:
     """blocks → reconstructed rows (part_id + requested columns).
 
     Column pruning for free: only the requested columns' block rows
@@ -913,6 +1042,17 @@ def decode_blocks(blocks: DataFrame, columns: list[str], ltypes: dict[str, str])
     (SURVEY.md §4.2). Blocks are deduped on (part_id, column) first:
     a crash-rerun append can leave two identical copies of a block
     (the kernel is deterministic, so any copy is valid).
+
+    `where` (parity filter DSL) pushes the expression's provable
+    conjunctive ranges INTO the decode kernel (filter_bounds →
+    _make_decode_kernel): failing rows are dropped before their
+    values materialize — dict-coded columns evaluate on the
+    dictionary, other codecs on normalized numpy — and never cross
+    into the JVM. The bounds are necessary conditions only, so the
+    caller must still apply the exact filter on the decoded rows
+    (exactly like parquet's PushedFilters, where Spark re-evaluates
+    the predicate above the scan). Predicate-only columns are
+    fetched for masking but not emitted.
     """
     _SPARK_T = {
         "str": T.StringType(),
@@ -955,13 +1095,17 @@ def decode_blocks(blocks: DataFrame, columns: list[str], ltypes: dict[str, str])
             return T.StructField(c, T.TimestampNTZType(), True, {"ltype": lt})
         raise KeyError(f"no Spark decode mapping for ltype {lt!r}")
 
+    bounds = filter_bounds(where, ltypes) if where else {}
+    need = list(dict.fromkeys(list(columns) + sorted(bounds)))
     schema = T.StructType(
         [T.StructField("part_id", T.LongType())] + [spark_field(c) for c in columns]
     )
-    pruned = blocks.filter(F.col("column").isin(columns)).dropDuplicates(
+    pruned = blocks.filter(F.col("column").isin(need)).dropDuplicates(
         ["part_id", "column"]
     )
-    return pruned.groupBy("part_id").applyInArrow(_make_decode_kernel(columns), schema)
+    return pruned.groupBy("part_id").applyInArrow(
+        _make_decode_kernel(columns, bounds), schema
+    )
 
 
 # ---------------------------------------------------------------------------

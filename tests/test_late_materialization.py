@@ -1,0 +1,219 @@
+"""Late materialization: `decode_blocks(..., where=expr)` masks rows
+INSIDE the decode kernel from the expression's provable conjunctive
+ranges — dict-coded columns evaluate the predicate on the dictionary
+(cardinality entries, not rows), everything else on normalized numpy —
+before any value materializes or crosses the Arrow→JVM boundary.
+
+Correctness contract: the mask is a NECESSARY condition only, so
+`where(decode_blocks(blocks, cols, lt, where=expr), expr)` must equal
+`where(decode_blocks(blocks, cols, lt), expr)` row-for-row on every
+expression the DSL accepts — including ones filter_bounds can't lift
+anything from (OR at the top level → mask is a no-op).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark.codecs.dictionary import DICT
+from parquetry_spark.engine import (
+    _bounds_mask_nn,
+    decode_blocks,
+    encode_table,
+    infer_ltypes,
+)
+from parquetry_spark.parity.filters import where
+
+
+def _norm_row(row) -> tuple:
+    # NaN != NaN would fail tuple equality on identical rows
+    return tuple(
+        "NaN" if isinstance(v, float) and np.isnan(v) else v for v in row
+    )
+
+
+def _roundtrip_equal(spark, df, expr, cols):
+    lt = infer_ltypes(df)
+    blocks = encode_table(df, n_parts=4, url_col=None, ts_col=None).cache()
+    try:
+        blocks.count()
+        base = sorted(
+            map(_norm_row, where(decode_blocks(blocks, cols, lt), expr).select(*cols).collect())
+        )
+        fast = sorted(
+            map(
+                _norm_row,
+                where(decode_blocks(blocks, cols, lt, where=expr), expr)
+                .select(*cols)
+                .collect(),
+            )
+        )
+        return base, fast
+    finally:
+        blocks.unpersist()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            # low-cardinality string → dict codec (the fast path)
+            "lang": [["en", "de", "zh", "es", "fr"][i % 5] for i in range(400)],
+            "n_chars": (np.arange(400, dtype=np.int64) * 7) % 1000,
+            "text": [f"document body {i} " + "x" * (i % 50) for i in range(400)],
+        }
+    )
+    # nulls in both a predicate column and a carried column
+    pdf.loc[pdf.index % 13 == 0, "lang"] = None
+    pdf.loc[pdf.index % 17 == 0, "text"] = None
+    df = spark.createDataFrame(pdf)
+    # real NaN (not null) — pandas→Arrow would fold NaN into nulls
+    df = df.withColumn(
+        "score",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(float("nan"))).otherwise(
+            F.col("doc_id") / 400.0
+        ),
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        'lang == "en"',  # dict-domain equality
+        'lang >= "de" && lang <= "es"',  # dict-domain range
+        "n_chars > 500",  # numeric lo-bound
+        "n_chars >= 100 && n_chars <= 300",  # closed numeric range
+        'lang == "zh" && n_chars < 750',  # mixed dict + numeric
+        "score > 0.5",  # float bound over NaN-carrying column
+        "score <= 0.25",  # float hi-bound (NaN must fail)
+        'lang == "en" || n_chars < 50',  # OR → no liftable bounds, mask no-op
+        "doc_id >= 390",  # bound on a plain int column
+    ],
+)
+def test_masked_decode_equals_exact_filter(spark, docs, expr):
+    cols = ["doc_id", "lang", "n_chars", "score", "text"]
+    base, fast = _roundtrip_equal(spark, docs, expr, cols)
+    assert fast == base
+    assert len(base) > 0, f"degenerate test: {expr!r} matched nothing"
+
+
+def test_kernel_mask_passes_exactly_conjunctive_rows(spark, docs):
+    """For a pure conjunctive range expr the kernel mask is exact:
+    the pre-filter row count equals the final filtered count (nothing
+    left for the Spark-side filter to drop)."""
+    lt = infer_ltypes(docs)
+    blocks = encode_table(docs, n_parts=4, url_col=None, ts_col=None).cache()
+    try:
+        blocks.count()
+        expr = 'lang == "en" && n_chars >= 100 && n_chars <= 600'
+        cols = ["doc_id", "lang", "n_chars"]
+        pre = decode_blocks(blocks, cols, lt, where=expr).count()
+        exact = where(decode_blocks(blocks, cols, lt), expr).count()
+        assert pre == exact
+        assert 0 < pre < docs.count()
+    finally:
+        blocks.unpersist()
+
+
+def test_nan_respects_spark_ordering(spark, docs):
+    """Spark orders NaN greater than every value: `score > 0.5` keeps
+    NaN rows, `score <= 0.5` drops them. The kernel mask must agree
+    or it silently drops/keeps the wrong rows."""
+    lt = infer_ltypes(docs)
+    blocks = encode_table(docs, n_parts=4, url_col=None, ts_col=None).cache()
+    try:
+        blocks.count()
+        cols = ["doc_id", "score"]
+        masked = (
+            where(decode_blocks(blocks, cols, lt, where="score > 0.5"), "score > 0.5")
+            .select("doc_id")
+            .collect()
+        )
+        ids = {r[0] for r in masked}
+        nan_ids = {
+            r[0]
+            for r in docs.filter(F.isnan("score")).select("doc_id").collect()
+        }
+        assert nan_ids and nan_ids <= ids  # every NaN row survives > lo
+        hi = (
+            where(decode_blocks(blocks, cols, lt, where="score <= 0.5"), "score <= 0.5")
+            .select("doc_id")
+            .collect()
+        )
+        assert nan_ids.isdisjoint({r[0] for r in hi})  # and fails <= hi
+    finally:
+        blocks.unpersist()
+
+
+def test_predicate_only_column_not_emitted(spark, docs):
+    """A column referenced only by the predicate is fetched for
+    masking but must not appear in the output schema."""
+    lt = infer_ltypes(docs)
+    blocks = encode_table(docs, n_parts=4, url_col=None, ts_col=None)
+    out = decode_blocks(blocks, ["doc_id", "text"], lt, where='lang == "en"')
+    assert set(out.columns) == {"part_id", "doc_id", "text"}
+    # and rows reflect the mask (lang is dict-coded; nulls fail ==)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en
+
+
+def test_mask_filters_vec_and_pages_columns(spark):
+    """Columns the codec engine stores as opaque/vec blocks are
+    row-filtered with pa.Array.filter by a mask from a codec column."""
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(60, dtype=np.int64),
+            "bucket": np.arange(60, dtype=np.int64) % 6,
+            "embedding": [
+                np.arange(4, dtype=np.float32) + i for i in range(60)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    lt = infer_ltypes(df)
+    blocks = encode_table(df, n_parts=2, url_col=None, ts_col=None)
+    expr = "bucket == 3"
+    out = where(
+        decode_blocks(blocks, ["vec_id", "bucket", "embedding"], lt, where=expr),
+        expr,
+    ).orderBy("vec_id")
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == [i for i in range(60) if i % 6 == 3]
+    for r in rows:
+        assert r["embedding"] == pytest.approx(
+            [float(x + r["vec_id"]) for x in range(4)]
+        )
+
+
+def test_dict_decode_parts_matches_full_decode():
+    arr = np.array(
+        ["aa", "bb", "aa", "cc", "bb", "aa", "d\x00d", "cc"], dtype=object
+    )
+    payload, params = DICT.encode(arr)
+    uniques, codes = DICT.decode_parts(payload, params, len(arr))
+    assert list(uniques[codes]) == list(arr)  # parts recompose exactly
+    full = DICT.decode(payload, params, len(arr))
+    assert list(full) == list(arr)
+
+
+def test_bounds_mask_nn_domains():
+    # ints
+    v = np.array([1, 5, 9], dtype=np.int64)
+    assert _bounds_mask_nn(v, 2, 8).tolist() == [False, True, False]
+    assert _bounds_mask_nn(v, None, 5).tolist() == [True, True, False]
+    # floats with NaN: passes lo, fails hi
+    f = np.array([0.1, np.nan, 0.9])
+    assert _bounds_mask_nn(f, 0.5, None).tolist() == [False, True, True]
+    assert _bounds_mask_nn(f, None, 0.5).tolist() == [True, False, False]
+    # strings via Arrow (bytewise UTF-8)
+    s = np.array(["aa", "mm", "zz"], dtype=object)
+    assert _bounds_mask_nn(s, "ab", "y").tolist() == [False, True, False]
+    # empty
+    assert _bounds_mask_nn(np.array([], dtype=np.int64), 0, 1).tolist() == []
