@@ -405,6 +405,17 @@ def filter_bounds(expr: str, ltypes: dict[str, str]) -> dict[str, tuple]:
             walk(node[1])
             walk(node[2])
             return
+        if node[0] == "in" and node[1][0] == "name":
+            # x in [v1..vk] ⇒ min(S) <= x <= max(S): sound range from a
+            # membership set (the exact set goes to the decode kernel
+            # via filter_sets; blocks only see the hull)
+            key = resolve(node[1][1])
+            if key is None:
+                return
+            items = [_range_literal(ltypes[key], it) for it in node[2]]
+            if items and all(v is not None for v in items):
+                add(key, lo=min(items), hi=max(items))
+            return
         if node[0] != "cmp":
             return
         op, ln, rn = node[1], node[2], node[3]
@@ -430,6 +441,50 @@ def filter_bounds(expr: str, ltypes: dict[str, str]) -> dict[str, tuple]:
 
     walk(ast)
     return {c: (lo, hi) for c, (lo, hi) in bounds.items() if lo is not None or hi is not None}
+
+
+def filter_sets(expr: str, ltypes: dict[str, str]) -> dict[str, list]:
+    """Per-column allowed-value SETS provable from `expr`'s top-level
+    conjunction — every `col in [literals]` whose items all convert to
+    the column's normalized domain (_range_literal). Multiple `in`
+    constraints on one column intersect. Used by the decode kernel's
+    row masking (exact membership, unlike the [min, max] hull
+    filter_bounds lifts for zone maps); like bounds, a set is a
+    NECESSARY condition: `x in S` can only be true when x ∈ S."""
+    from .parity.filters import _P, _lex
+
+    ast = _P(_lex(expr)).parse()
+    out: dict[str, list] = {}
+
+    def resolve(col: str) -> str | None:
+        if col in ltypes:
+            return col
+        for k in ltypes:
+            if k.lower() == col.lower():
+                return k
+        return None
+
+    def walk(node):
+        if node[0] == "and":
+            walk(node[1])
+            walk(node[2])
+            return
+        if node[0] != "in" or node[1][0] != "name":
+            return
+        key = resolve(node[1][1])
+        if key is None:
+            return
+        vals = []
+        for item in node[2]:
+            v = _range_literal(ltypes[key], item)
+            if v is None:
+                return  # an unconvertible item → no sound set
+            vals.append(v)
+        cur = out.get(key)
+        out[key] = vals if cur is None else [v for v in cur if v in set(vals)]
+
+    walk(ast)
+    return out
 
 
 def prune_blocks_for_expr(
@@ -895,6 +950,25 @@ def _bounds_mask_nn(vals: np.ndarray, lo, hi) -> np.ndarray:
     return m
 
 
+def _set_mask_nn(vals: np.ndarray, items: list) -> np.ndarray:
+    """True where a non-null normalized value is a member of `items`
+    under Spark's equality (NaN equals NaN in Spark SQL, unlike
+    IEEE — so a NaN item must admit NaN values)."""
+    n = len(vals)
+    if n == 0:
+        return np.ones(0, dtype=bool)
+    if vals.dtype.kind == "O":
+        pav = pa.array(vals, type=pa.large_string())
+        vs = pa.array(items, type=pa.large_string())
+        return pa.compute.is_in(pav, value_set=vs).to_numpy(zero_copy_only=False)
+    m = np.isin(vals, np.asarray(items))
+    if vals.dtype.kind == "f" and any(
+        isinstance(v, float) and np.isnan(v) for v in items
+    ):
+        m |= np.isnan(vals)
+    return m
+
+
 def _lower_for_spark(arr: pa.Array) -> pa.Array:
     """Kernel-exact temporal types Spark can't hold → the engine-wide
     lowered convention (sources.py): time32/64 and ns timestamps become
@@ -913,7 +987,11 @@ def _lower_for_spark(arr: pa.Array) -> pa.Array:
     return arr
 
 
-def _make_decode_kernel(columns: list[str], bounds: dict[str, tuple] | None = None):
+def _make_decode_kernel(
+    columns: list[str],
+    bounds: dict[str, tuple] | None = None,
+    sets: dict[str, list] | None = None,
+):
     """Per-part decode kernel. With `bounds` (per-column conjunctive
     [lo, hi] constraints in the NORMALIZED value domain — the output
     of filter_bounds), rows that provably fail are masked out INSIDE
@@ -933,7 +1011,8 @@ def _make_decode_kernel(columns: list[str], bounds: dict[str, tuple] | None = No
     callers still apply the exact filter Spark-side — dropping a row
     here can only remove rows that filter would drop anyway."""
     bounds = bounds or {}
-    need = list(dict.fromkeys(list(columns) + sorted(bounds)))
+    sets = sets or {}
+    need = list(dict.fromkeys(list(columns) + sorted(set(bounds) | set(sets))))
 
     def decode_kernel(table: pa.Table) -> pa.Table:
         by_col: dict[str, dict] = {}
@@ -976,21 +1055,29 @@ def _make_decode_kernel(columns: list[str], bounds: dict[str, tuple] | None = No
 
         n_rows = int(next(iter(by_col.values()))["rows"]) if by_col else 0
         mask = None
-        for c, (lo, hi) in bounds.items():
+        for c in sorted(set(bounds) | set(sets)):
             if c not in by_col:
                 continue  # column not encoded in this run — no constraint
             k = get_norm(c)
             if k[0] == "pa":
-                continue  # no bounds domain for opaque/vec blocks
+                continue  # no constraint domain for opaque/vec blocks
             if k[0] == "dict":
                 _, u, codes, notnull = k
-                dm = _bounds_mask_nn(u, lo, hi)
+                dm = np.ones(len(u), dtype=bool)
+                if c in bounds:
+                    dm &= _bounds_mask_nn(u, *bounds[c])
+                if c in sets:
+                    dm &= _set_mask_nn(u, sets[c])
                 m_nn = dm[codes] if len(u) else np.zeros(0, dtype=bool)
             else:
                 _, vals, notnull = k
-                m_nn = _bounds_mask_nn(vals, lo, hi)
+                m_nn = np.ones(len(vals), dtype=bool)
+                if c in bounds:
+                    m_nn &= _bounds_mask_nn(vals, *bounds[c])
+                if c in sets:
+                    m_nn &= _set_mask_nn(vals, sets[c])
             full = np.zeros(n_rows, dtype=bool)
-            full[notnull] = m_nn  # null rows fail a range predicate
+            full[notnull] = m_nn  # null rows fail a range/membership test
             mask = full if mask is None else (mask & full)
         if mask is not None and bool(mask.all()):
             mask = None  # nothing to drop — skip the filtering gathers
@@ -1096,7 +1183,8 @@ def decode_blocks(
         raise KeyError(f"no Spark decode mapping for ltype {lt!r}")
 
     bounds = filter_bounds(where, ltypes) if where else {}
-    need = list(dict.fromkeys(list(columns) + sorted(bounds)))
+    sets = filter_sets(where, ltypes) if where else {}
+    need = list(dict.fromkeys(list(columns) + sorted(set(bounds) | set(sets))))
     schema = T.StructType(
         [T.StructField("part_id", T.LongType())] + [spark_field(c) for c in columns]
     )
@@ -1104,7 +1192,7 @@ def decode_blocks(
         ["part_id", "column"]
     )
     return pruned.groupBy("part_id").applyInArrow(
-        _make_decode_kernel(columns, bounds), schema
+        _make_decode_kernel(columns, bounds, sets), schema
     )
 
 

@@ -217,3 +217,72 @@ def test_bounds_mask_nn_domains():
     assert _bounds_mask_nn(s, "ab", "y").tolist() == [False, True, False]
     # empty
     assert _bounds_mask_nn(np.array([], dtype=np.int64), 0, 1).tolist() == []
+
+
+# ---- membership (`in`) constraints -----------------------------------------
+
+
+def test_filter_sets_extraction():
+    from parquetry_spark.engine import filter_sets
+
+    lt = {"lang": "str", "n_chars": "int64"}
+    assert filter_sets('lang in ["en", "de"] && n_chars > 5', lt) == {
+        "lang": ["en", "de"]
+    }
+    # two sets on one column intersect
+    assert filter_sets('lang in ["en", "de"] && lang in ["de", "zh"]', lt) == {
+        "lang": ["de"]
+    }
+    # OR at the top level lifts nothing
+    assert filter_sets('lang in ["en"] || n_chars > 5', lt) == {}
+    # numeric membership converts to the normalized domain
+    assert filter_sets("n_chars in [7, 42]", lt) == {"n_chars": [7, 42]}
+
+
+def test_filter_bounds_lifts_membership_hull():
+    from parquetry_spark.engine import filter_bounds
+
+    lt = {"lang": "str", "n_chars": "int64"}
+    assert filter_bounds('lang in ["en", "de", "zh"]', lt)["lang"] == ("de", "zh")
+    assert filter_bounds("n_chars in [42, 7, 600]", lt)["n_chars"] == (7, 600)
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        'lang in ["en", "zh"]',  # dict-domain membership
+        'lang in ["en", "de"] && n_chars > 300',  # set ∧ range
+        "n_chars in [107, 212, 933]",  # numeric membership, plain codec
+        'lang in ["en", "de"] && lang in ["de", "zh"]',  # intersection
+    ],
+)
+def test_membership_masked_decode_equals_exact_filter(spark, docs, expr):
+    cols = ["doc_id", "lang", "n_chars", "text"]
+    base, fast = _roundtrip_equal(spark, docs, expr, cols)
+    assert fast == base
+    assert len(base) > 0, f"degenerate test: {expr!r} matched nothing"
+
+
+def test_membership_mask_is_exact_in_kernel(spark, docs):
+    lt = infer_ltypes(docs)
+    blocks = encode_table(docs, n_parts=4, url_col=None, ts_col=None).cache()
+    try:
+        blocks.count()
+        expr = 'lang in ["en", "zh"]'
+        cols = ["doc_id", "lang"]
+        pre = decode_blocks(blocks, cols, lt, where=expr).count()
+        exact = where(decode_blocks(blocks, cols, lt), expr).count()
+        assert pre == exact > 0
+    finally:
+        blocks.unpersist()
+
+
+def test_set_mask_nn_nan_matches_spark_equality():
+    from parquetry_spark.engine import _set_mask_nn
+
+    # Spark SQL: NaN = NaN is true — a NaN item must admit NaN values
+    v = np.array([0.5, np.nan, 1.0])
+    assert _set_mask_nn(v, [float("nan"), 1.0]).tolist() == [False, True, True]
+    assert _set_mask_nn(v, [0.5]).tolist() == [True, False, False]
+    s = np.array(["aa", "bb"], dtype=object)
+    assert _set_mask_nn(s, ["bb", "cc"]).tolist() == [False, True]
