@@ -402,6 +402,28 @@ def q_prune_decode_expr(spark, sf):
     return dec.select("doc_id", "lang", "n_chars")
 
 
+def q_prune_decode_in(spark, sf):
+    """Membership-masked decode (r5): 'lang in [...]' lifts BOTH a
+    zone-map hull ([min, max] over the set, engine.filter_bounds) for
+    block pruning AND the exact set (engine.filter_sets) for the
+    decode kernel's dictionary-domain row mask — a dict-coded column
+    tests membership on its dictionary, and non-matching rows never
+    materialize their strings. Equals a plain SQL IN filter."""
+    from parquetry_spark.engine import prune_blocks_for_expr
+    from parquetry_spark.parity.filters import where
+
+    df = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    expr = 'lang in ["en", "zh"] and n_chars >= 120'
+    ltypes = {"doc_id": "int64", "lang": "str", "n_chars": "int64"}
+    pruned = prune_blocks_for_expr(blocks, expr, ltypes)
+    dec = where(
+        decode_blocks(pruned, ["doc_id", "lang", "n_chars"], ltypes, where=expr),
+        expr,
+    )
+    return dec.select("doc_id", "lang", "n_chars")
+
+
 def q_prune_decode_str(spark, sf):
     """String zone-map pruned decode (r4): range-partition documents
     by lang so partitions carry disjoint [zmin_s, zmax_s] string
@@ -702,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_decode": q_prune_decode,
         "prune_decode_str": q_prune_decode_str,
         "prune_decode_expr": q_prune_decode_expr,
+        "prune_decode_in": q_prune_decode_in,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -1128,6 +1151,10 @@ def oracle_sql() -> dict[str, str]:
         "prune_decode_expr": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id >= 150 AND doc_id < 450 AND lang != 'de'"
+        ),
+        "prune_decode_in": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang IN ('en', 'zh') AND n_chars >= 120"
         ),
         # structural manifest oracle: the column set and per-column row
         # coverage are engine-independent (every column appears; blocks
