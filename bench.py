@@ -183,7 +183,7 @@ def ensure_bench_input(rows: int) -> None:
     spark.stop()
 
 
-def size_parity_sizes(rows: int) -> dict:
+def size_parity_sizes(rows: int, engine_zstd: bool = False) -> dict:
     """Column-chunk bytes of the SAME bench input written by the
     standard parquet writer at three settings — the north-rule size
     comparators (compressed size ≤ the reference tool's output):
@@ -194,37 +194,72 @@ def size_parity_sizes(rows: int) -> dict:
         encodings, testdata/meta.txtar:40-88);
       parquet_snappy / parquet_zstd — the common production settings.
 
+    With `engine_zstd` (budget-gated by the caller): also the engine's
+    own total block bytes at the matching setting — the EXACT encode
+    kernel, range (host-contiguous sorted) layout, block_comp="zstd" —
+    computed driver-side: block bytes are layout+kernel-deterministic,
+    so size needs no cluster (throughput is the scaling legs' job,
+    never this one's). Small-scale gate for the same comparison:
+    tests/test_block_comp.py::test_size_gate_bc_vs_parquet_zstd.
+
     Footer excluded on both sides (same convention as
     tests/test_size_parity.py). Deterministic per (rows, seed) →
     cached in /tmp across runs."""
     cache = f"/tmp/spark_graft_size_parity_{rows}_{SEED}.json"
+    out: dict = {}
     try:
         with open(cache) as fh:
-            return json.load(fh)
+            out = json.load(fh)
     except OSError:
         pass
     import io
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(bench_input_path(rows))
-    out: dict = {"docs": tbl.num_rows}
-    for label, comp in (
-        ("parquet_uncompressed_dict", "NONE"),
-        ("parquet_snappy", "SNAPPY"),
-        ("parquet_zstd", "ZSTD"),
-    ):
-        buf = io.BytesIO()
-        pq.write_table(tbl, buf, compression=comp, use_dictionary=True)
-        buf.seek(0)
-        md = pq.ParquetFile(buf).metadata
-        out[label] = int(
-            sum(
-                md.row_group(i).column(j).total_compressed_size
-                for i in range(md.num_row_groups)
-                for j in range(md.num_columns)
+    tbl = None
+    if "parquet_zstd" not in out:
+        tbl = pq.read_table(bench_input_path(rows))
+        out = {"docs": tbl.num_rows}
+        for label, comp in (
+            ("parquet_uncompressed_dict", "NONE"),
+            ("parquet_snappy", "SNAPPY"),
+            ("parquet_zstd", "ZSTD"),
+        ):
+            buf = io.BytesIO()
+            pq.write_table(tbl, buf, compression=comp, use_dictionary=True)
+            buf.seek(0)
+            md = pq.ParquetFile(buf).metadata
+            out[label] = int(
+                sum(
+                    md.row_group(i).column(j).total_compressed_size
+                    for i in range(md.num_row_groups)
+                    for j in range(md.num_columns)
+                )
             )
+    if engine_zstd and "engine_range_zstd_bytes" not in out:
+        import numpy as np
+        import pyarrow as pa
+
+        from parquetry_spark.engine import _make_encode_kernel
+
+        if tbl is None:
+            tbl = pq.read_table(bench_input_path(rows))
+        srt = tbl.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
+        kernel = _make_encode_kernel(
+            list(tbl.column_names), sort_cols=[], block_comp="zstd"
         )
+        step = -(-srt.num_rows // N_PARTS)
+        total = 0
+        for pid in range(N_PARTS):
+            sl = srt.slice(pid * step, step)
+            if sl.num_rows == 0:
+                break
+            sl = sl.append_column(
+                "part_id", pa.array(np.full(sl.num_rows, pid, dtype=np.int64))
+            )
+            blocks = kernel(sl)
+            total += sum(v.as_py() for v in blocks.column("out_bytes"))
+        out["engine_range_zstd_bytes"] = int(total)
     try:
         with open(cache, "w") as fh:
             json.dump(out, fh)
@@ -928,7 +963,12 @@ def main() -> int:
     try:  # north-rule size parity: engine blocks vs the standard
         # parquet writer on the SAME input (cached; cheap after run 1)
         if time.time() < deadline - 20:
-            sp = size_parity_sizes(rows)
+            # the engine+zstd point costs one driver-side kernel pass
+            # on first computation (cached after) — only attempt it
+            # with real budget left
+            sp = size_parity_sizes(
+                rows, engine_zstd=time.time() < deadline - 90
+            )
             enc = result["encode"]
             for m in ("host", "preserve"):
                 ob = (enc.get(m) or {}).get("encoded_out_bytes")
@@ -940,6 +980,14 @@ def main() -> int:
                         "parquet_zstd",
                     ):
                         sp[f"engine_{m}_vs_{ref}"] = round(ob / sp[ref], 4)
+            eb = sp.get("engine_range_zstd_bytes")
+            if eb:
+                for ref in (
+                    "parquet_uncompressed_dict",
+                    "parquet_snappy",
+                    "parquet_zstd",
+                ):
+                    sp[f"engine_range_zstd_vs_{ref}"] = round(eb / sp[ref], 4)
             result["size_parity"] = sp
     except Exception as exc:
         print(f"size parity failed: {exc}", file=sys.stderr)
@@ -1120,8 +1168,8 @@ def _write_bench_md(r: dict) -> None:
             " production settings. `engine/x` < 1.0 = our blocks are"
             " smaller." + """ With `block_comp="zstd"` (opt-in) the engine stacks page-style compression over the codec payloads, selected per column chunk on post-compression bytes; at that setting total block bytes ≤ the parquet-ZSTD column chunks on identical rows (gate: tests/test_block_comp.py::test_size_gate_bc_vs_parquet_zstd).""",
             "",
-            "| output | bytes | engine(host)/x | engine(preserve)/x |",
-            "|---|---|---|---|",
+            "| output | bytes | engine(host)/x | engine(preserve)/x | engine(range+zstd)/x |",
+            "|---|---|---|---|---|",
         ]
         for ref, label in (
             ("parquet_uncompressed_dict", "parquet uncompressed+dict (reference format)"),
@@ -1132,12 +1180,17 @@ def _write_bench_md(r: dict) -> None:
                 md.append(
                     f"| {label} | {sp[ref]:,} "
                     f"| {sp.get(f'engine_host_vs_{ref}', '—')} "
-                    f"| {sp.get(f'engine_preserve_vs_{ref}', '—')} |"
+                    f"| {sp.get(f'engine_preserve_vs_{ref}', '—')} "
+                    f"| {sp.get(f'engine_range_zstd_vs_{ref}', '—')} |"
                 )
-        for m in ("host", "preserve"):
+        for m, label in (
+            ("host", "engine blocks (host layout)"),
+            ("preserve", "engine blocks (preserve layout)"),
+            ("range_zstd", "engine blocks (range layout, block_comp=zstd)"),
+        ):
             b = sp.get(f"engine_{m}_bytes")
             if b:
-                md.append(f"| engine blocks ({m} layout) | {b:,} | 1.0 | — |")
+                md.append(f"| {label} | {b:,} | — | — | — |")
     hist = []
     try:
         with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl")) as fh:
