@@ -1213,7 +1213,15 @@ def _write_bench_md(r: dict) -> None:
         ]
         import datetime as _dt2
 
-        for h in hist[-12:]:
+        # render only rows with a measured efficiency (smoke/partial
+        # runs append all-null rows; the jsonl keeps them, the table
+        # shouldn't spend its last-12 slots on them)
+        shown = [
+            h
+            for h in hist
+            if any(v is not None for v in (h.get("eff") or {}).values())
+        ]
+        for h in shown[-12:]:
             pr = h.get("probes_mb_s") or []
             rng = f"{min(pr)}-{max(pr)}" if pr else "—"
             e = h.get("eff", {})
