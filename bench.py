@@ -511,6 +511,12 @@ def main() -> int:
         emitted = True
         if partial:
             result["partial"] = True
+            if result["value"] < 0 and result["queries"]:
+                # headline loop interrupted mid-query: report the sum
+                # of whatever completed instead of the -1 sentinel
+                result["value"] = round(
+                    sum(t for t in result["queries"].values() if t > 0), 3
+                )
         result["elapsed_s"] = round(time.time() - t_start, 1)
         try:
             _write_bench_md(result)
@@ -544,11 +550,15 @@ def main() -> int:
     result["headline_cores"] = headline_cores
     qs = entrymod.queries()
 
-    def run_headline(cores: int, stop_at: float) -> dict[str, float]:
+    def run_headline(
+        cores: int, stop_at: float, out: dict[str, float] | None = None
+    ) -> dict[str, float]:
         """One warm-up + one timed pass per headline query at one
         parallelism level. Shared discipline for both levels so the
-        in-run pair is comparable."""
-        times: dict[str, float] = {}
+        in-run pair is comparable. `out` lets the caller pass the dict
+        the partial-emit path reports (timings land in the JSON even if
+        a SIGTERM interrupts the loop mid-query)."""
+        times: dict[str, float] = {} if out is None else out
         spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
         for name in HEADLINE:
             if time.time() > stop_at:
@@ -566,8 +576,7 @@ def main() -> int:
         spark.stop()
         return times
 
-    times = run_headline(headline_cores, deadline - 30)
-    result["queries"] = times
+    times = run_headline(headline_cores, deadline - 30, out=result["queries"])
     result["value"] = round(sum(t for t in times.values() if t > 0), 3)
     result["queries_by_level"] = {f"local[{headline_cores}]": times}
 

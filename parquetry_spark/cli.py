@@ -221,7 +221,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(res, default=str))
             return 0
         if args.cmd == "decode":
-            from .engine import decode_blocks, prune_blocks_for_expr
+            from .engine import decode_blocks, filter_columns, prune_blocks_for_expr
 
             blocks = spark.read.parquet(args.blocks)
             cols = args.cols.split(",")
@@ -229,18 +229,27 @@ def main(argv: list[str] | None = None) -> int:
                 r["column"]: r["ltype"]
                 for r in blocks.select("column", "ltype").distinct().collect()
             }
+            decode_cols = cols
             if args.where:
                 # zone-map pruning from the filter's provable range
                 # bounds: metadata-only, pruned partitions' payloads
                 # are never fetched or decoded
                 blocks = prune_blocks_for_expr(blocks, args.where, ltypes)
+                # predicate-only columns must be decoded too — the
+                # kernel mask is only a necessary condition, the exact
+                # filter needs the real values; dropped after filtering
+                decode_cols = cols + [
+                    c for c in filter_columns(args.where, ltypes) if c not in cols
+                ]
             # the same bounds mask rows inside the decode kernel (late
             # materialization) before the exact filter runs on top
-            out = decode_blocks(blocks, cols, ltypes, where=args.where)
+            out = decode_blocks(blocks, decode_cols, ltypes, where=args.where)
             if args.where:
                 from .parity.filters import where as _where
 
                 out = _where(out, args.where)  # exact filter on rows
+                if decode_cols != cols:
+                    out = out.select(*cols)
             if args.out:
                 out.write.mode("overwrite").parquet(args.out)
             else:

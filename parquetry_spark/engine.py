@@ -368,6 +368,44 @@ def _range_literal(ltype: str, node):
     return None
 
 
+def _resolve_name(col: str, ltypes: dict[str, str]) -> str | None:
+    """Resolve a DSL name against the block column set the way the
+    filter DSL itself does — exact first, then case-insensitive."""
+    if col in ltypes:
+        return col
+    for k in ltypes:
+        if k.lower() == col.lower():
+            return k
+    return None
+
+
+def filter_columns(expr: str, ltypes: dict[str, str]) -> list[str]:
+    """Every block column `expr` references (resolved like the DSL,
+    case-insensitively), in first-appearance order. Lets callers decode
+    predicate-only columns — needed by the exact filter even when the
+    user's projection omits them — and drop them after filtering."""
+    from .parity.filters import _P, _lex
+
+    ast = _P(_lex(expr)).parse()
+    seen: dict[str, None] = {}
+
+    def walk(node):
+        if isinstance(node, tuple):
+            if node[0] == "name" and isinstance(node[1], str):
+                key = _resolve_name(node[1], ltypes)
+                if key is not None:
+                    seen.setdefault(key)
+                return
+            for part in node[1:]:
+                walk(part)
+        elif isinstance(node, list):
+            for part in node:
+                walk(part)
+
+    walk(ast)
+    return list(seen)
+
+
 def filter_bounds(expr: str, ltypes: dict[str, str]) -> dict[str, tuple]:
     """Extract per-column [lo, hi] range constraints that MUST hold for
     a row to pass `expr` (the parity filter DSL) — the bridge that lets
@@ -392,14 +430,6 @@ def filter_bounds(expr: str, ltypes: dict[str, str]) -> dict[str, tuple]:
         if hi is not None:
             b[1] = hi if b[1] is None else min(b[1], hi)
 
-    def resolve(col: str) -> str | None:
-        if col in ltypes:
-            return col
-        for k in ltypes:  # the DSL resolves names case-insensitively
-            if k.lower() == col.lower():
-                return k
-        return None
-
     def walk(node):
         if node[0] == "and":
             walk(node[1])
@@ -409,7 +439,7 @@ def filter_bounds(expr: str, ltypes: dict[str, str]) -> dict[str, tuple]:
             # x in [v1..vk] ⇒ min(S) <= x <= max(S): sound range from a
             # membership set (the exact set goes to the decode kernel
             # via filter_sets; blocks only see the hull)
-            key = resolve(node[1][1])
+            key = _resolve_name(node[1][1], ltypes)
             if key is None:
                 return
             items = [_range_literal(ltypes[key], it) for it in node[2]]
@@ -426,7 +456,7 @@ def filter_bounds(expr: str, ltypes: dict[str, str]) -> dict[str, tuple]:
             op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
         else:
             return
-        key = resolve(col)
+        key = _resolve_name(col, ltypes)
         if key is None:
             return
         v = _range_literal(ltypes[key], val_node)
@@ -456,14 +486,6 @@ def filter_sets(expr: str, ltypes: dict[str, str]) -> dict[str, list]:
     ast = _P(_lex(expr)).parse()
     out: dict[str, list] = {}
 
-    def resolve(col: str) -> str | None:
-        if col in ltypes:
-            return col
-        for k in ltypes:
-            if k.lower() == col.lower():
-                return k
-        return None
-
     def walk(node):
         if node[0] == "and":
             walk(node[1])
@@ -471,7 +493,7 @@ def filter_sets(expr: str, ltypes: dict[str, str]) -> dict[str, list]:
             return
         if node[0] != "in" or node[1][0] != "name":
             return
-        key = resolve(node[1][1])
+        key = _resolve_name(node[1][1], ltypes)
         if key is None:
             return
         vals = []
@@ -588,10 +610,15 @@ def _encode_vec_block(
     if not (pa.types.is_list(t) or pa.types.is_large_list(t) or fixed):
         return None
     vt = t.value_type
-    if pa.types.is_floating(vt):
-        child_tag = "float32" if vt.bit_width == 32 else "float64"
-    elif pa.types.is_integer(vt):
-        child_tag = "int32" if vt.bit_width <= 32 else "int64"
+    # only child types the vec ltype can name exactly: decode rebuilds
+    # the child from `vec_<tag>` alone, so a widened int8/int16/float16
+    # child would come back as a DIFFERENT arrow type than the caller's
+    # schema declares (worker-side schema mismatch). Narrower children
+    # fall back to arrow_ipc — exact, just not codec-compressed.
+    if pa.types.is_floating(vt) and vt.bit_width in (32, 64):
+        child_tag = f"float{vt.bit_width}"
+    elif pa.types.is_signed_integer(vt) and vt.bit_width in (32, 64):
+        child_tag = f"int{vt.bit_width}"
     else:
         return None
     n = len(arr)
@@ -1012,7 +1039,6 @@ def _make_decode_kernel(
     here can only remove rows that filter would drop anyway."""
     bounds = bounds or {}
     sets = sets or {}
-    need = list(dict.fromkeys(list(columns) + sorted(set(bounds) | set(sets))))
 
     def decode_kernel(table: pa.Table) -> pa.Table:
         by_col: dict[str, dict] = {}
@@ -1239,14 +1265,33 @@ def run_encode(
     columns = columns or [c for c in df.columns if c != "part_id"]
     # the partition layout (salt map / range boundaries) is part of the
     # run's identity: persist on first run, reload on resume — part
-    # assignment must be identical across runs
+    # assignment must be identical across runs. The identity file makes
+    # that explicit: resuming with a different layout/n_parts/url_col
+    # would reassign rows to part_ids the committed skip-set excludes
+    # (rows silently never encoded), so mismatches fail loudly instead.
+    import json as _json
+
+    ident = {"layout": layout, "n_parts": n_parts, "url_col": url_col}
+    ident_path = os.path.join(out_dir, f"run_identity_{stage}.json")
+    if os.path.exists(ident_path):
+        with open(ident_path) as fh:
+            prev = _json.load(fh)
+        if prev != ident:
+            raise ValueError(
+                f"resume identity mismatch for {out_dir!r} stage={stage!r}: "
+                f"committed run used {prev}, this call passed {ident} — "
+                "part assignment would differ and committed-part skipping "
+                "would silently drop rows; use a fresh out_dir to re-layout"
+            )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(ident_path, "w") as fh:
+            _json.dump(ident, fh)
     salts: dict[str, int] | None = None
     boundaries: list[str] | None = None
     salts_path = os.path.join(out_dir, f"salts_{stage}.json")
     bounds_path = os.path.join(out_dir, f"range_bounds_{stage}.json")
     if url_col and url_col in df.columns:
-        import json as _json
-
         if layout == "range":
             from .partitioning import sample_range_boundaries
 
@@ -1292,8 +1337,15 @@ def run_encode(
     )
     manifest.write.mode("append").parquet(manifest_path)
 
+    # mergeSchema: a resumed out_dir may mix manifest files written
+    # before a ledger column existed (e.g. enc_us) with new ones —
+    # without it Spark resolves the schema from ONE footer and the agg
+    # can fail on the missing column after the blocks already landed
+    mdf = spark.read.option("mergeSchema", "true").parquet(manifest_path)
+    if "enc_us" not in mdf.columns:
+        mdf = mdf.withColumn("enc_us", F.lit(None).cast("long"))
     agg = (
-        spark.read.parquet(manifest_path)
+        mdf
         .agg(
             F.count("*").alias("blocks"),
             F.countDistinct("part_id").alias("parts"),

@@ -162,7 +162,21 @@ def sample_range_boundaries(
         )
     ]
     if not hosts:
-        return [""] * (n_parts - 1)
+        # a sparse sample on a small table can return ZERO rows — and
+        # the degenerate all-empty boundary list would funnel every
+        # host into one partition AND persist as the run's identity.
+        # Retry with a bounded unsampled scan before accepting that.
+        hosts = [
+            r["h"]
+            for r in (
+                df.select(host_of(F.col(url_col)).alias("h"))
+                .filter(F.col("h").isNotNull())
+                .limit(RANGE_SAMPLE_CAP)
+                .collect()
+            )
+        ]
+    if not hosts:
+        return [""] * (n_parts - 1)  # genuinely empty input
     hosts.sort()
     return [hosts[(i * len(hosts)) // n_parts] for i in range(1, n_parts)]
 

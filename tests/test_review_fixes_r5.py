@@ -1,0 +1,178 @@
+"""Regression tests for the round-5 self-review findings: each test
+pins a bug found by reviewing the r5 diff (907710a..HEAD) before it
+could ship — vec child-type exactness, predicate-only decode columns,
+resume identity, degenerate range boundaries, pre-upgrade manifest
+schemas."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquetry_spark.engine import (
+    decode_blocks,
+    encode_table,
+    filter_columns,
+    infer_ltypes,
+    run_encode,
+)
+
+
+def test_vec_smallint_column_roundtrips_via_fallback(spark):
+    """list<int16> has no exact vec ltype: encoding it through the vec
+    path widened the child to int32 and decode crashed on the schema
+    mismatch. It must fall back to arrow_ipc and round-trip exactly."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.ShortType())),
+        ]
+    )
+    rows = [Row(doc_id=i, v=[i % 7, -i % 5, 30_000 - i]) for i in range(200)]
+    rows[3] = Row(doc_id=3, v=None)
+    df = spark.createDataFrame(rows, schema)
+    blocks = encode_table(df, n_parts=2, url_col=None, ts_col=None).cache()
+    codecs = {
+        r["codec"] for r in blocks.filter(F.col("column") == "v").collect()
+    }
+    assert codecs == {"arrow_ipc"}  # fallback, never a widened vec block
+    dec = decode_blocks(blocks, ["doc_id", "v"], infer_ltypes(df))
+    got = {r["doc_id"]: r["v"] for r in dec.collect()}
+    want = {r["doc_id"]: r["v"] for r in df.collect()}
+    assert got == want
+    blocks.unpersist()
+
+
+def test_vec_int_and_float_still_use_vec_codecs(spark):
+    """The exactness guard must not demote the supported child types."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.FloatType())),
+            T.StructField("ids", T.ArrayType(T.LongType())),
+        ]
+    )
+    rows = [
+        Row(doc_id=i, emb=[float(i), 0.5 * i], ids=[i, i * 1_000_000_007])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    blocks = encode_table(df, n_parts=2, url_col=None, ts_col=None).cache()
+    by_col = {
+        r["column"]: r["codec"]
+        for r in blocks.select("column", "codec").distinct().collect()
+    }
+    assert by_col["emb"].startswith("vec[")
+    assert by_col["ids"].startswith("vec[")
+    dec = decode_blocks(blocks, ["doc_id", "emb", "ids"], infer_ltypes(df))
+    got = {r["doc_id"]: (r["emb"], r["ids"]) for r in dec.collect()}
+    want = {r["doc_id"]: (r["emb"], r["ids"]) for r in df.collect()}
+    assert got == want
+    blocks.unpersist()
+
+
+def test_filter_columns_resolves_all_referenced_names(spark):
+    lt = {"doc_id": "int64", "n_chars": "int64", "lang": "str"}
+    assert filter_columns('n_chars > 10 && Lang == "en"', lt) == [
+        "n_chars",
+        "lang",
+    ]
+    assert filter_columns("doc_id in [1, 2] || upper(lang) == \"EN\"", lt) == [
+        "doc_id",
+        "lang",
+    ]
+    assert filter_columns("unknown > 5", lt) == []
+
+
+def test_cli_decode_where_predicate_only_column(spark, tmp_path, monkeypatch):
+    """`decode --cols A --where "B > x"` used to crash: the decoded
+    frame lacked B when the exact filter ran. Predicate-only columns
+    are now decoded for the filter and dropped from the output."""
+    import io
+    import contextlib
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+    from parquetry_spark.engine import encode_preserve
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("n")
+    )
+    blocks_dir = str(tmp_path / "blocks")
+    encode_preserve(df).write.parquet(blocks_dir)
+    out_dir = str(tmp_path / "dec")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(
+            [
+                "decode",
+                "--blocks", blocks_dir,
+                "--cols", "doc_id",
+                "--where", "n > 150",
+                "--out", out_dir,
+            ]
+        )
+    assert rc == 0
+    got = spark.read.parquet(out_dir)
+    assert got.columns == ["doc_id"]  # predicate-only column dropped
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(51, 100))
+
+
+def test_resume_layout_mismatch_raises(spark, pages, tmp_path):
+    out = str(tmp_path / "enc")
+    run_encode(spark, pages, out, n_parts=4, layout="hash")
+    with pytest.raises(ValueError, match="identity mismatch"):
+        run_encode(spark, pages, out, n_parts=4, layout="range")
+    with pytest.raises(ValueError, match="identity mismatch"):
+        run_encode(spark, pages, out, n_parts=8, layout="hash")
+
+
+def test_range_boundaries_survive_empty_sample(spark, pages):
+    """A sparse sample on a small table can return zero rows; the
+    boundaries must come from the bounded unsampled fallback, not
+    collapse every host into the last partition (and persist that)."""
+    from parquetry_spark.partitioning import sample_range_boundaries
+
+    small = pages.limit(40)
+    b = sample_range_boundaries(small, "url", n_parts=4, sample=1e-9)
+    assert len(b) == 3 and any(x != "" for x in b)
+
+
+def test_resume_accepts_pre_enc_us_manifest(spark, pages, tmp_path):
+    """A manifest written before the enc_us ledger column existed must
+    not break a resumed run's final aggregation (mergeSchema +
+    null-tolerant sum)."""
+    out = str(tmp_path / "enc")
+    r1 = run_encode(spark, pages, out, n_parts=4)
+    mpath = r1["manifest_path"]
+    # rewrite every manifest file without enc_us (pre-upgrade schema)
+    for root, _dirs, files in os.walk(mpath):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            tbl = pq.read_table(fp)
+            pq.write_table(tbl.drop_columns(["enc_us"]), fp)
+            crc = os.path.join(root, f".{fn}.crc")
+            if os.path.exists(crc):  # stale Hadoop checksum sidecar
+                os.remove(crc)
+    r2 = run_encode(spark, pages, out, n_parts=4)
+    assert r2["skipped_parts"] == 4
+    assert r2["blocks"] == r1["blocks"]
+    assert r2["encode_cpu_s"] >= 0.0
