@@ -254,3 +254,17 @@ def get_codec(name: str) -> Codec:
 
 def codec_names() -> list[str]:
     return sorted(_REGISTRY)
+
+
+def grouped_ranges(starts: "np.ndarray", lens: "np.ndarray") -> "np.ndarray":
+    """Concat of [s, s+len) index ranges (the grouped-ranges idiom) —
+    shared by the varlen codecs (fsst decode, prefix suffix gather)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    return (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(ends - lens, lens)
+        + np.repeat(starts, lens)
+    )

@@ -42,6 +42,8 @@ from __future__ import annotations
 
 import struct
 
+import threading as _threading
+
 import numpy as np
 import pyarrow as pa
 
@@ -336,27 +338,27 @@ def _match(buf: np.ndarray, symbols: list[bytes], pool: _Pool | None = None):
     return pos[order], ids[order], covered
 
 
-def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Grouped-ranges idiom: concat of [s, s+len) index ranges."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    ends = np.cumsum(lens)
-    return np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens) + np.repeat(
-        starts, lens
-    )
 
 
 class FsstCodec(Codec):
     name = "fsst"
 
     def __init__(self):
-        # registry holds one codec instance per process (base.register),
-        # and Spark python workers evaluate one task at a time, so a
-        # per-instance pool is effectively per-process scratch: every
-        # block after the first in a long-lived worker encodes with
-        # zero fresh large allocations
-        self._pool = _Pool()
+        # registry holds one codec instance per process (base.register);
+        # Spark python workers evaluate one task at a time, but encode()
+        # is also public API callable from arbitrary threads (driver-side
+        # kernels, user apps) — scratch is per-THREAD so concurrent
+        # encodes can never interleave writes into the same slots. In a
+        # worker that degenerates to one pool, keeping the zero-fresh-
+        # allocation behavior for every block after the first.
+        self._tls = _threading.local()
+
+    @property
+    def _pool(self) -> _Pool:
+        p = getattr(self._tls, "pool", None)
+        if p is None:
+            p = self._tls.pool = _Pool()
+        return p
 
     def _encode(self, arr):
         if not isinstance(arr, pa.Array) and arr.dtype.kind != "O":

@@ -37,6 +37,7 @@ from .base import (
     Codec,
     bit_width,
     blob_to_varlen,
+    grouped_ranges,
     pack_bits,
     register,
     unpack_bits,
@@ -78,17 +79,6 @@ def common_prefix_lengths(buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return pl
 
 
-def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concat of [s, s+len) index ranges (grouped-ranges idiom)."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    ends = np.cumsum(lens)
-    return (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(ends - lens, lens)
-        + np.repeat(starts, lens)
-    )
 
 
 class PrefixCodec(Codec):
@@ -105,7 +95,7 @@ class PrefixCodec(Codec):
 
         pl = common_prefix_lengths(buf, offsets)
         slens = lens - pl
-        suffix = buf[_ranges(offsets[:-1] + pl, slens)]
+        suffix = buf[grouped_ranges(offsets[:-1] + pl, slens)]
 
         # offer the suffix stream to FSST as a binary Array built
         # directly on the gathered buffers — no Python object rows
@@ -165,7 +155,7 @@ class PrefixCodec(Codec):
         # suffix bytes: straight gather-scatter (suffix stream is in row order)
         soff = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(slens, out=soff[1:])
-        out[_ranges(outoff[:-1] + pl, slens)] = suffix[: int(soff[-1])]
+        out[grouped_ranges(outoff[:-1] + pl, slens)] = suffix[: int(soff[-1])]
 
         # prefix bytes: byte j of row i (j < pl[i]) equals byte j of the
         # nearest row k ≤ i with pl[k] ≤ j — which stores position j in

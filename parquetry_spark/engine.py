@@ -332,20 +332,18 @@ def prune_blocks(
     return blocks.join(kept_parts, "part_id", "left_semi")
 
 
-_UNIT_NS_OF = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
-
-
 def _range_literal(ltype: str, node):
     """Filter-AST literal node → a value comparable against `ltype`'s
     zone-map bounds (stored/raw units), or None when the literal can't
-    be converted soundly (pruning then simply doesn't use it)."""
-    from .parity.filters import parse_go_duration_ns, parse_rfc3339_ns
+    be converted soundly (pruning then simply doesn't use it).
 
-    base = (
-        ltype.removesuffix("_loc")
-        .removesuffix("_ntz")
-        .replace("timestamp_ntz_", "timestamp_")
-    )
+    Temporal conversion is DELEGATED to parity.filters
+    (normalize_ltype_base / literal_in_stored_units) — the exact filter
+    and this constraint extraction must floor-divide identically or the
+    kernel row mask stops being a superset of the filter's rows."""
+    from .parity.filters import literal_in_stored_units, normalize_ltype_base
+
+    base = normalize_ltype_base(ltype)
     if node[0] == "num":
         if base in ("float64", "float32"):
             return float(node[1])
@@ -355,16 +353,13 @@ def _range_literal(ltype: str, node):
             return int(node[1])  # raw units, the reference's int overload
         return None
     if node[0] == "lit":
-        s = node[1]
-        try:
-            if base == "str":
-                return s
-            if base.startswith("time_"):  # Go duration literal
-                return parse_go_duration_ns(s) // _UNIT_NS_OF[base.split("_", 1)[1]]
-            if base.startswith("timestamp_"):  # RFC3339 at stored unit
-                return parse_rfc3339_ns(s) // _UNIT_NS_OF[base.rsplit("_", 1)[1]]
-        except Exception:
-            return None
+        if base == "str":
+            return node[1]
+        if base.startswith(("time_", "timestamp_")):
+            try:
+                return literal_in_stored_units(base, node[1])
+            except Exception:
+                return None
     return None
 
 
@@ -639,6 +634,12 @@ def _encode_vec_block(
             .astype(np.int64)
         )
     vals = flat.cast(_LTYPE_PA[child_tag]).to_numpy(zero_copy_only=False)
+    if len(vals) > np.iinfo(np.int32).max:
+        # decode rebuilds a 32-bit-offset ListArray (Spark's ArrayType
+        # shape); a block whose flattened element count exceeds int32
+        # would wrap the offsets — route it to arrow_ipc instead (a
+        # >2^31-element single block also signals n_parts is too small)
+        return None
     lp, lprm, _lcodec, lin = _choose_encode(lens, block_comp=block_comp)
     vp, vprm, vcodec, vin = _choose_encode(vals, block_comp=block_comp)
     payload = struct.pack("<I", len(lp)) + lp + vp
@@ -692,6 +693,12 @@ def _decode_vec_block(row: dict) -> pa.Array:
     full_lens[notnull] = lens
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(full_lens, out=offsets[1:])
+    if offsets[-1] > np.iinfo(np.int32).max:  # encode refuses these;
+        # fail loudly rather than wrap silently on a corrupt block
+        raise ValueError(
+            f"vec block for {row['column']!r} has {offsets[-1]} elements "
+            "— exceeds 32-bit list offsets"
+        )
     mask = None if nulls == 0 else pa.array(~notnull)
     return pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32)), child, mask=mask
@@ -812,7 +819,7 @@ def encode_table(
     salts: dict[str, int] | None = None,
     exclude_parts: DataFrame | None = None,
     layout: str = "hash",
-    boundaries: list[int] | None = None,
+    boundaries: list[str] | None = None,
     block_comp: str | None = None,
 ) -> DataFrame:
     """Distributed encode: pages → blocks DataFrame (lazy).
@@ -959,8 +966,14 @@ def _bounds_mask_nn(vals: np.ndarray, lo, hi) -> np.ndarray:
     m = np.ones(n, dtype=bool)
     if n == 0:
         return m
-    if vals.dtype.kind == "O":
-        pav = pa.array(vals, type=pa.large_string())
+    if isinstance(vals, pa.Array) or vals.dtype.kind == "O":
+        # callers with several constraints on one column pass a
+        # prebuilt Arrow array so big text blocks convert only once
+        pav = (
+            vals
+            if isinstance(vals, pa.Array)
+            else pa.array(vals, type=pa.large_string())
+        )
         if lo is not None:
             m &= pa.compute.greater_equal(pav, lo).to_numpy(zero_copy_only=False)
         if hi is not None:
@@ -984,8 +997,12 @@ def _set_mask_nn(vals: np.ndarray, items: list) -> np.ndarray:
     n = len(vals)
     if n == 0:
         return np.ones(0, dtype=bool)
-    if vals.dtype.kind == "O":
-        pav = pa.array(vals, type=pa.large_string())
+    if isinstance(vals, pa.Array) or vals.dtype.kind == "O":
+        pav = (
+            vals
+            if isinstance(vals, pa.Array)
+            else pa.array(vals, type=pa.large_string())
+        )
         vs = pa.array(items, type=pa.large_string())
         return pa.compute.is_in(pav, value_set=vs).to_numpy(zero_copy_only=False)
     m = np.isin(vals, np.asarray(items))
@@ -1097,11 +1114,16 @@ def _make_decode_kernel(
                 m_nn = dm[codes] if len(u) else np.zeros(0, dtype=bool)
             else:
                 _, vals, notnull = k
+                probe = (
+                    pa.array(vals, type=pa.large_string())
+                    if vals.dtype.kind == "O"
+                    else vals
+                )
                 m_nn = np.ones(len(vals), dtype=bool)
                 if c in bounds:
-                    m_nn &= _bounds_mask_nn(vals, *bounds[c])
+                    m_nn &= _bounds_mask_nn(probe, *bounds[c])
                 if c in sets:
-                    m_nn &= _set_mask_nn(vals, sets[c])
+                    m_nn &= _set_mask_nn(probe, sets[c])
             full = np.zeros(n_rows, dtype=bool)
             full[notnull] = m_nn  # null rows fail a range/membership test
             mask = full if mask is None else (mask & full)

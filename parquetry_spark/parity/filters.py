@@ -264,6 +264,41 @@ def parse_rfc3339_ns(s: str) -> int:
     return epoch_s * 10**9 + frac_ns
 
 
+UNIT_NS_OF = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+
+
+def normalize_ltype_base(ltype: str) -> str:
+    """Canonical temporal ltype base: strips the rendering-only `_loc`
+    marker, and folds both NTZ spellings (`timestamp_ntz_<unit>`
+    canonical / `timestamp_<unit>_ntz` legacy) into `timestamp_<unit>`
+    — comparisons are identical in raw stored units for all of them
+    (reference types.go:45-83: the utc flag only changes rendering)."""
+    return (
+        ltype.removesuffix("_loc")
+        .removesuffix("_ntz")
+        .replace("timestamp_ntz_", "timestamp_")
+    )
+
+
+def raw_unit_of(base: str) -> int:
+    """ns per stored unit for a normalized temporal base
+    (`time_us` → 1000). KeyError on non-temporal bases — callers gate."""
+    return UNIT_NS_OF[base.rsplit("_", 1)[1]]
+
+
+def literal_in_stored_units(base: str, s: str) -> int:
+    """A filter string literal converted to `base`'s raw stored units —
+    Go duration for time-of-day, RFC3339 for epoch stamps, both
+    floor-divided to the unit. THE single conversion shared by the
+    exact filter (_coerce_raw) and the engine's zone-map / decode-mask
+    constraint extraction (engine._range_literal): the kernel row mask
+    is only a sound superset of the exact filter while the two sides
+    convert literals identically."""
+    if base.startswith("time_"):
+        return parse_go_duration_ns(s) // raw_unit_of(base)
+    return parse_rfc3339_ns(s) // raw_unit_of(base)
+
+
 # --------------------------------------------------------------- compiler
 
 
@@ -420,17 +455,6 @@ class _Compiler:
             ">=": left >= right,
         }[op]
 
-    _UNIT_NS = {
-        "time_s": 10**9,
-        "time_ms": 10**6,
-        "time_us": 1000,
-        "time_ns": 1,
-        "timestamp_s": 10**9,
-        "timestamp_ms": 10**6,
-        "timestamp_us": 1000,
-        "timestamp_ns": 1,
-    }
-
     def _coerce_raw(self, ltype: str, col_c, other_node, other_c):
         """Raw-unit temporal compare at the COLUMN's stored unit
         (reference time/stampCompare, types.go:45-83): vs int = raw
@@ -442,12 +466,10 @@ class _Compiler:
         # (`time_<unit>_loc`, sources sniff) also compares in raw units:
         # the reference's timeCompare (types.go:67-83) ignores the utc
         # flag — it only changes RENDERING.
-        base = (
-            ltype.removesuffix("_loc")
-            .removesuffix("_ntz")
-            .replace("timestamp_ntz_", "timestamp_")
-        )
-        unit = self._UNIT_NS[base]
+        base = normalize_ltype_base(ltype)
+        unit = raw_unit_of(base)
+        if not base.startswith(("time_", "timestamp_")):
+            raise KeyError(base)  # same contract as the old table lookup
         if base.startswith("timestamp_") and base != "timestamp_ns":
             # Spark holds these as µs timestamps; compare in raw units
             col_units = F.unix_micros(col_c.cast("timestamp"))
@@ -461,13 +483,13 @@ class _Compiler:
             return col_c, other_c  # already raw units (where.txtar:85-91)
         if base.startswith("time_"):
             if other_node[0] == "lit":
-                return col_c, F.lit(parse_go_duration_ns(other_node[1]) // unit)
+                return col_c, F.lit(literal_in_stored_units(base, other_node[1]))
             if other_node[0] == "call" and other_node[1] == "duration":
                 ns = parse_go_duration_ns(self.compile_lit_value(other_node[2][0]))
                 return col_c, F.lit(ns // unit)
         else:  # epoch stamps at stored precision
             if other_node[0] == "lit":
-                return col_c, F.lit(parse_rfc3339_ns(other_node[1]) // unit)
+                return col_c, F.lit(literal_in_stored_units(base, other_node[1]))
         return col_c, other_c
 
     def _coerce(self, col_t, col_c, other_node, other_c):
