@@ -472,6 +472,68 @@ def q_fingerprint(spark, sf):
     return df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing (curation.pack_sequences): documents →
+    (lang, shard, bin) assignments under a 512-token budget. The
+    DuckDB oracle replicates the window cumsum exactly — the packing
+    rule is deliberately SQL-expressible (budget-quantized tape
+    offsets, see the module docstring)."""
+    from parquetry_spark.curation import pack_sequences
+
+    df = _t(spark, sf, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(df, budget=512, n_shards=8)
+    return packed.select("doc_id", "lang", "shard", "bin_id", "n_tokens")
+
+
+def q_group_split(spark, sf):
+    """Leakage-free train/val split (curation.group_split): every
+    `source` group lands wholly in one split; assignment is a pure
+    md5-bucket function of the key, bit-replicated in the oracle."""
+    from parquetry_spark.curation import group_split
+
+    df = _t(spark, sf, "documents")
+    return group_split(df, "source", val_pct=10).select(
+        "doc_id", "source", "split"
+    )
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (curation.decontaminate): training
+    docs sharing any word-level n-gram with the held-out eval slice
+    (doc_id % 23 == 0) are flagged. Eval grams broadcast; the corpus
+    crosses zero pairing shuffles. Oracle replicates the gram
+    extraction with a DuckDB list comprehension. n=4 here: the
+    synthetic corpus draws from a ~30-word vocabulary, so 4-grams
+    match production 8-13-gram selectivity (~6% flagged); the
+    operator is n-parameterized."""
+    from parquetry_spark.curation import decontaminate
+
+    df = _t(spark, sf, "documents")
+    ev = df.filter(F.col("doc_id") % 23 == 0)
+    tr = df.filter(F.col("doc_id") % 23 != 0)
+    return decontaminate(tr, ev, n=4).select(
+        "doc_id", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+def q_resample_domains(spark, sf):
+    """Temperature domain mixing (curation.resample_domains):
+    p_lang ∝ count^0.5 with expected-total preservation — `lang` is
+    the Zipf-skewed column (en is 44%), so alpha=0.5 visibly
+    down-samples the head (copies of 0) and up-samples the tail
+    (copies of 2). Per-row copy counts are integer math on a
+    micro-quantized weight so the SQL oracle replicates the fan-out
+    exactly."""
+    from parquetry_spark.curation import resample_domains
+
+    df = _t(spark, sf, "documents").select("doc_id", "lang")
+    return resample_domains(df, "lang", alpha=0.5).select(
+        "doc_id", "lang", "copy"
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / similarity
 # ---------------------------------------------------------------------------
@@ -729,6 +791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "pack_sequences": q_pack_sequences,
+        "group_split": q_group_split,
+        "decontaminate": q_decontaminate,
+        "resample_domains": q_resample_domains,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
@@ -1004,6 +1070,45 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {tok} AS n_tokens, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
             "AS n_tokens_bpe FROM documents"
+        ),
+        "pack_sequences": (
+            f"WITH t AS (SELECT doc_id, lang, CAST({tok} AS BIGINT) AS n_tokens, "
+            "doc_id % 8 AS shard FROM documents) "
+            "SELECT doc_id, lang, shard, "
+            "CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard "
+            "ORDER BY doc_id) - n_tokens) / 512.0) AS BIGINT) AS bin_id, "
+            "n_tokens FROM t"
+        ),
+        "group_split": (
+            "SELECT doc_id, source, "
+            "CASE WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) "
+            "% 100 < 10 THEN 'val' ELSE 'train' END AS split FROM documents"
+        ),
+        "decontaminate": (
+            "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace("
+            "lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents), "
+            "g AS (SELECT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
+            "for i in range(1, len(w) - 2)]) AS gram FROM w WHERE len(w) >= 4), "
+            "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0), "
+            "hits AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) "
+            "WHERE g.doc_id % 23 <> 0) "
+            "SELECT d.doc_id, CAST(d.doc_id IN (SELECT doc_id FROM hits) AS INT) "
+            "AS contaminated FROM documents d WHERE d.doc_id % 23 <> 0"
+        ),
+        "resample_domains": (
+            "WITH c AS (SELECT lang, count(*) AS cnt FROM documents "
+            "GROUP BY lang), "
+            "cq AS (SELECT lang, cnt, CAST(round(pow(cnt, 0.5) * 1000000) "
+            "AS BIGINT) AS s_q FROM c), "
+            "z AS (SELECT sum(s_q) AS z, sum(cnt) AS n FROM cq), "
+            "wq AS (SELECT lang, CAST(round(s_q / z * n / cnt * 1000000) "
+            "AS BIGINT) AS w_q FROM cq, z), "
+            "r AS (SELECT d.doc_id, d.lang, w_q // 1000000 + CASE WHEN "
+            "(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 10000) * 1000000 < (w_q % 1000000) * 10000 "
+            "THEN 1 ELSE 0 END AS k FROM documents d JOIN wq USING (lang)) "
+            "SELECT doc_id, lang, unnest(range(1, k + 1)) AS copy FROM r "
+            "WHERE k >= 1"
         ),
         "lang_id": (
             _LANG_CTE

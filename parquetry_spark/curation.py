@@ -1,0 +1,239 @@
+"""Training-data curation operators: sequence packing and
+leakage-free splits.
+
+Beyond the reference's own surface (it is a transcode CLI), these are
+the two assignment operators every LLM pretraining pipeline runs after
+dedup/quality filtering:
+
+- `pack_sequences`: assign documents to fixed token-budget training
+  bins ("sequence packing"): consumers concatenate each bin's docs
+  into one ~context-length training sequence. Deterministic and
+  SQL-replicable, so the driver's DuckDB oracle checks it exactly.
+- `group_split`: train/validation split that keeps every group (site,
+  source, domain) WHOLLY on one side — the standard guard against
+  near-duplicate leakage across the split (pages of one site are
+  highly self-similar; a row-wise random split leaks them).
+
+Both are pure Column expressions — whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("lang",),
+    n_shards: int = 64,
+) -> DataFrame:
+    """Budget-quantized sequence packing: docs, in deterministic
+    `order_col` order within (group_cols, shard), are laid end-to-end
+    on a token tape; a doc's bin is the tape offset its FIRST token
+    lands in, divided by `budget`:
+
+        bin_id = floor((running_total - n_tokens) / budget)
+
+    Properties (documented contract, pinned by tests):
+      - deterministic: same input → same bins, any cluster size;
+      - bins are contiguous runs of the doc order (bin_id is
+        non-decreasing within a shard) — consumers stream them;
+      - a bin's total may overflow `budget` by less than its LAST
+        document (the quantized rule never splits a document); a doc
+        longer than the budget occupies one bin alone plus overflow.
+        Exact first-fit packing is NOT used deliberately: it needs a
+        sequential pass (bin state per doc) and is not expressible for
+        the SQL oracle — quantized packing wastes at most one doc-tail
+        per bin and stays a window cumsum.
+
+    Scale shape (10^12 docs): the ONE shuffle is the window's
+    hash-partition on (group_cols, shard). A per-language window alone
+    would serialize each language through one task (languages are few
+    and Zipf-heavy); `n_shards` deterministic shards (pmod of the
+    numeric order column) bound every window partition to ~rows/shards
+    regardless of language skew, and each shard packs independently —
+    bins are identified by (group_cols, shard, bin_id). The window
+    state is a single running sum (O(1) per row, no buffering).
+    """
+    shard = F.pmod(F.col(order_col), F.lit(n_shards)).alias("shard")
+    out = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols], F.col("shard"))
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(token_col)).over(w)
+    return out.withColumn(
+        "bin_id",
+        F.floor((running - F.col(token_col)) / F.lit(float(budget))).cast("long"),
+    )
+
+
+def split_bucket(group_col: str | Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket of a group key: first 8 hex
+    digits of md5 → int, mod buckets. md5 (not xxhash64) so the SAME
+    assignment is bit-replicable in any engine — DuckDB spelling:
+    CAST(('0x' || substr(md5(k),1,8)) AS BIGINT) % buckets."""
+    col = F.col(group_col) if isinstance(group_col, str) else group_col
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    val_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Leakage-free train/val split: every distinct `group_col` value
+    (site, source) lands WHOLLY in one split — rows of a group can
+    never straddle the boundary, so near-duplicates inside a group
+    cannot leak from train into val. The assignment is a pure function
+    of the group key (no sampling state, no driver round-trip): stable
+    under reruns, appends, and cluster-size changes — exactly the
+    property a 10^12-doc pipeline needs to keep its eval set frozen
+    while the corpus grows. Zero shuffles; whole-stage codegen."""
+    return df.withColumn(
+        "split",
+        F.when(split_bucket(group_col, buckets) < F.lit(val_pct), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def word_ngrams(text_col: str | Column, n: int) -> Column:
+    """Distinct word-level n-grams of a text column, normalized the
+    standard decontamination way (lowercase, non-alphanumerics fold to
+    single spaces) — the unit both GPT-3- and PaLM-style benchmark
+    decontamination match on. Pure Column expression (split +
+    transform + slice), whole-stage codegen; DuckDB-replicable as
+    `[array_to_string(w[i:i+n-1],' ') for i in range(1, len(w)-n+2)]`.
+
+    Guarded: texts with fewer than n words yield an empty array —
+    Spark's `sequence(1, size-n+1)` would otherwise produce a
+    DESCENDING sequence for short texts and fabricate grams.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " "
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= F.lit(n), grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word-level n-gram with the evaluation set (the
+    GPT-3 appendix-C / PaLM standard, n≈8-13). Returns `train` plus a
+    boolean `contaminated` column; callers drop or audit flagged rows.
+
+    Scale shape (10^12 train docs vs ~10^6-gram benchmarks): the eval
+    side collapses to DISTINCT grams — a few million short strings —
+    and is broadcast by default, so the train side is matched by a
+    map-side LEFT SEMI hash probe: the full text corpus crosses ZERO
+    pairing shuffles and only (id) rows leave the probe. The final
+    flag join is id-to-id. Set broadcast_eval=False for pathologically
+    large eval sets and AQE picks the strategy.
+    """
+    t_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    e_grams = eval_df.select(
+        F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    if broadcast_eval:
+        e_grams = F.broadcast(e_grams)
+    hit_ids = (
+        t_grams.join(e_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return train.join(hit_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )
+
+
+def resample_domains(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based domain mixing: re-weight groups to
+    p_g ∝ count_g^alpha (the multilingual-sampling rule — alpha<1
+    up-weights tail domains, alpha=1 is the natural distribution),
+    keeping the expected total row count. Each row is emitted
+    floor(w_g) times plus one more for a deterministic md5-bucket
+    fraction of rows — no RNG state, so the realized epoch count per
+    domain is exact and reproducible at any cluster size. Output rows
+    carry `copy` (1-based repeat ordinal) so downstream packing sees
+    distinct training instances.
+
+    Determinism across engines: count^alpha is quantized to integer
+    micro-units PER GROUP (round(pow*1e6) as long) before the
+    normalizer is summed — float sums are order-dependent and Spark
+    and the oracle would visit groups in different orders; an integer
+    sum is exact in any order. The per-group weight is then one fixed
+    left-associated chain of IEEE double ops on identical integer
+    inputs (bit-identical across engines), quantized again to
+    micro-units, and the fractional coin is pure integer math on that
+    quantum — bucket*1e6 < (w_q mod 1e6)*buckets — so the DuckDB
+    oracle replicates the fan-out bit-for-bit.
+
+    Scale shape: ONE tiny aggregation (distinct groups — domains
+    number in the thousands) broadcast back onto the fact table; the
+    replication is `explode(sequence(...))` — rows fan out in place,
+    map-side, no shuffle of the corpus.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.withColumn(
+        "s_q",
+        F.round(F.pow(F.col("cnt"), F.lit(alpha)) * F.lit(1_000_000)).cast("long"),
+    )
+    z = counts.agg(F.sum("s_q").alias("z"), F.sum("cnt").alias("n"))
+    weights = counts.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.round(
+            F.col("s_q")
+            / F.col("z")
+            * F.col("n")
+            / F.col("cnt")
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("w_q"),
+    )
+    out = df.join(F.broadcast(weights), group_col)
+    bucket = split_bucket(F.col(id_col).cast("string"), buckets)
+    n_copies = (F.col("w_q") / F.lit(1_000_000)).cast("long") + F.when(
+        bucket * F.lit(1_000_000) < F.pmod(F.col("w_q"), F.lit(1_000_000)) * F.lit(buckets),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # guard: sequence(1, 0) is DESCENDING in Spark ([1,0]) — a zero-copy
+    # row must yield an empty array so explode drops it entirely.
+    copies = F.when(
+        n_copies >= F.lit(1),
+        F.sequence(F.lit(1).cast("long"), n_copies),
+    ).otherwise(F.array().cast("array<long>"))
+    return out.withColumn("copy", F.explode(copies)).drop("w_q")

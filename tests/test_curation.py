@@ -1,0 +1,172 @@
+"""Contract tests for parquetry_spark.curation — sequence packing and
+leakage-free group splits (the two post-dedup assignment operators a
+pretraining pipeline runs; driver queries `pack_sequences` /
+`group_split` check them against full DuckDB oracles, these pin the
+documented properties the oracle can't see: determinism under
+repartitioning, bin contiguity, group atomicity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquetry_spark.curation import group_split, pack_sequences, split_bucket
+
+
+def _docs(spark, n=400):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("lang"), (F.col("id") % 3).cast("string")).alias("lang"),
+            F.concat(F.lit("site"), (F.col("id") % 37).cast("string")).alias("source"),
+            (F.pmod(F.col("id") * 37 + 11, F.lit(900)) + 1).alias("n_tokens"),
+        )
+    )
+
+
+def test_pack_bins_contiguous_and_budgeted(spark):
+    df = _docs(spark)
+    out = pack_sequences(df, budget=512, order_col="doc_id", n_shards=4)
+    rows = out.orderBy("lang", "shard", "doc_id").collect()
+
+    # bin_id is non-decreasing in doc order within (lang, shard): bins
+    # are contiguous runs a consumer can stream.
+    last = {}
+    for r in rows:
+        key = (r["lang"], r["shard"])
+        assert r["bin_id"] >= last.get(key, 0)
+        last[key] = r["bin_id"]
+
+    # quantized-packing bound: a bin's total may exceed the budget by
+    # less than its LAST doc (documents are never split).
+    totals = {}
+    last_doc = {}
+    for r in rows:
+        key = (r["lang"], r["shard"], r["bin_id"])
+        totals[key] = totals.get(key, 0) + r["n_tokens"]
+        last_doc[key] = r["n_tokens"]
+    for key, tot in totals.items():
+        assert tot < 512 + last_doc[key]
+
+
+def test_pack_deterministic_under_repartition(spark):
+    """Same bins at any parallelism — the property that makes the
+    assignment reproducible on a real cluster of any size."""
+    df = _docs(spark)
+    a = pack_sequences(df, budget=512, n_shards=4)
+    b = pack_sequences(df.repartition(13), budget=512, n_shards=4)
+    assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+
+
+def test_pack_oversized_doc_occupies_own_bin_start(spark):
+    """A doc longer than the budget starts at its own tape offset; the
+    NEXT doc lands in a strictly later bin (overflow never folds two
+    oversized docs into one bin)."""
+    df = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate([700, 700, 10])],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = pack_sequences(df, budget=512, n_shards=1).orderBy("doc_id").collect()
+    assert out[0]["bin_id"] < out[1]["bin_id"] < out[2]["bin_id"]
+
+
+def test_group_split_atomic_and_stable(spark):
+    df = _docs(spark)
+    out = group_split(df, "source", val_pct=20)
+    # every group wholly on one side
+    sides = out.groupBy("source").agg(F.count_distinct("split").alias("k"))
+    assert sides.filter(F.col("k") > 1).count() == 0
+    # pure function of the key: appending rows never flips a group
+    more = group_split(_docs(spark, 800), "source", val_pct=20)
+    a = {r["source"]: r["split"] for r in out.select("source", "split").distinct().collect()}
+    b = {r["source"]: r["split"] for r in more.select("source", "split").distinct().collect()}
+    for k, v in a.items():
+        assert b[k] == v
+    # both sides populated at 37 groups / 20 pct
+    assert out.select("split").distinct().count() == 2
+
+
+def test_decontaminate_flags_shared_ngrams_only(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox jumps away fast"),  # shares a 4-gram
+            (2, "completely different words in this training text"),
+            (3, "Quick! brown-fox JUMPS..."),  # normalization: same 4-gram
+            (4, "too short"),  # < n words: guard path, no fabricated grams
+        ],
+        "doc_id long, text string",
+    )
+    from parquetry_spark.curation import decontaminate
+
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(tr, ev, n=4).select("doc_id", "contaminated").collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_decontaminate_short_texts_yield_no_grams(spark):
+    """sequence(1, size-n+1) is DESCENDING for short texts in Spark —
+    the word_ngrams guard must return [] (not fabricated wrap-around
+    grams) so a 2-word doc can never match a 2-word eval fragment at
+    n=4."""
+    from parquetry_spark.curation import word_ngrams
+
+    row = (
+        spark.createDataFrame([("ab cd",)], "text string")
+        .select(word_ngrams("text", 4).alias("g"))
+        .first()
+    )
+    assert row["g"] == []
+
+
+def test_resample_domains_reweights_skewed_groups(spark):
+    from parquetry_spark.curation import resample_domains
+
+    rows = [(i, "head" if i < 400 else "tail") for i in range(450)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = resample_domains(df, "lang", alpha=0.5, id_col="doc_id")
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # alpha=0.5 with a 400/50 skew: head is down-sampled (< 400),
+    # tail is up-sampled (> 50); the total is preserved in
+    # EXPECTATION — the md5 coin realizes each group's fractional
+    # part, so allow a few σ (σ≈9 here) around 450.
+    assert per["head"] < 400 and per["tail"] > 50
+    assert abs(sum(per.values()) - 450) <= 45
+    # deterministic under repartitioning (exact-integer normalizer)
+    again = resample_domains(df.repartition(7), "lang", alpha=0.5, id_col="doc_id")
+    assert (
+        out.orderBy("doc_id", "copy").collect()
+        == again.orderBy("doc_id", "copy").collect()
+    )
+    # copy ordinals are 1-based and dense per row
+    mx = out.groupBy("doc_id").agg(F.max("copy").alias("m"), F.count(F.lit(1)).alias("n"))
+    assert mx.filter(F.col("m") != F.col("n")).count() == 0
+
+
+def test_split_bucket_matches_duckdb_spelling(spark):
+    """The md5 bucket is bit-replicable in DuckDB (the oracle relies
+    on it): CAST(('0x' || substr(md5(k),1,8)) AS BIGINT) % buckets."""
+    import duckdb
+
+    keys = [f"site{i}" for i in range(50)]
+    sdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["b"]
+        for r in sdf.select("k", split_bucket("k", 100).alias("b")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT k, CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 100 "
+            "FROM (SELECT unnest($keys) AS k)",
+            params={"keys": keys},
+        ).fetchall()
+    )
+    assert got == want
