@@ -534,6 +534,36 @@ def q_resample_domains(spark, sf):
     )
 
 
+def q_pipeline_curate(spark, sf):
+    """The full curation pipeline composed as ONE Catalyst plan —
+    exact dedup (first occurrence wins) → quality gate (integer
+    micros ≥ 0.65) → benchmark decontamination (4-grams vs the
+    doc_id % 23 eval slice) → sequence packing (512-token bins,
+    8 shards). Every stage is a Column expression, so the optimizer
+    sees the whole pipeline: the quality gate and contamination flag
+    prune rows before the packing shuffle, and the only wide
+    exchanges are the dedup hash-group, the semi-join probe, and the
+    window partition. The oracle replicates all four stages in one
+    SQL statement."""
+    from parquetry_spark.curation import decontaminate, pack_sequences
+    from parquetry_spark.dedup import exact_dedup_docs
+    from parquetry_spark.textops import quality_score_micros
+
+    df = _t(spark, sf, "documents")
+    ev = df.filter(F.col("doc_id") % 23 == 0)
+    tr = df.filter(F.col("doc_id") % 23 != 0)
+    kept = exact_dedup_docs(tr).filter(
+        quality_score_micros(F.col("text")) >= F.lit(650_000)
+    )
+    clean = decontaminate(kept, ev, n=4).filter(~F.col("contaminated"))
+    packed = pack_sequences(
+        clean.select("doc_id", "lang", token_count(F.col("text")).alias("n_tokens")),
+        budget=512,
+        n_shards=8,
+    )
+    return packed.select("doc_id", "lang", "shard", "bin_id", "n_tokens")
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / similarity
 # ---------------------------------------------------------------------------
@@ -795,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "decontaminate": q_decontaminate,
         "resample_domains": q_resample_domains,
+        "pipeline_curate": q_pipeline_curate,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
@@ -968,16 +999,11 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN trim(text) = '' THEN 0 "
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
     )
-    quality = f"""
-      WITH q AS (
-        SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST({tok} AS BIGINT) AS n_tok,
-               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
-               CAST({_hits_sql('en')} AS BIGINT) AS stop_hits
-        FROM documents,
-             LATERAL (SELECT ' ' || lower(text) || ' ' AS p) pp
-      )
+    def quality_sql(src: str) -> str:
+        """quality_score_micros replicated over any relation `src`
+        with (doc_id, text) — reused by `quality` and the composed
+        `pipeline_curate` oracle."""
+        return f"""
       SELECT doc_id, (
                least(n_tok * 10000, 1000000)
                + (1000000 - least((punct * 1000000) // greatest(n_tok, 1), 1000000))
@@ -986,8 +1012,18 @@ def oracle_sql() -> dict[str, str]:
                         AND n_chars <= 12 * greatest(n_tok, 1)
                        THEN 1000000 ELSE 500000 END)
              ) // 4 AS quality_u
-      FROM q
+      FROM (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST({tok} AS BIGINT) AS n_tok,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct,
+               CAST({_hits_sql('en')} AS BIGINT) AS stop_hits
+        FROM {src},
+             LATERAL (SELECT ' ' || lower(text) || ' ' AS p) pp
+      ) q
     """
+
+    quality = quality_sql("documents")
     return {
         "scan_reshape": (
             "SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty "
@@ -1094,6 +1130,33 @@ def oracle_sql() -> dict[str, str]:
             "WHERE g.doc_id % 23 <> 0) "
             "SELECT d.doc_id, CAST(d.doc_id IN (SELECT doc_id FROM hits) AS INT) "
             "AS contaminated FROM documents d WHERE d.doc_id % 23 <> 0"
+        ),
+        "pipeline_curate": (
+            "WITH tr AS (SELECT doc_id, text, lang FROM documents "
+            "WHERE doc_id % 23 <> 0), "
+            "ded AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, "
+            "min(doc_id) OVER (PARTITION BY text) AS k FROM tr) WHERE doc_id = k), "
+            f"qm AS ({quality_sql('ded')}), "
+            "qual AS (SELECT ded.doc_id, ded.text, ded.lang FROM ded "
+            "JOIN qm USING (doc_id) WHERE qm.quality_u >= 650000), "
+            "wt AS (SELECT doc_id, string_split(trim(regexp_replace("
+            "lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM qual), "
+            "gt AS (SELECT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
+            "for i in range(1, len(w) - 2)]) AS gram FROM wt WHERE len(w) >= 4), "
+            "we AS (SELECT doc_id, string_split(trim(regexp_replace("
+            "lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents "
+            "WHERE doc_id % 23 = 0), "
+            "ge AS (SELECT DISTINCT unnest([array_to_string(w[i:i+3], ' ') "
+            "for i in range(1, len(w) - 2)]) AS gram FROM we WHERE len(w) >= 4), "
+            "hits AS (SELECT DISTINCT gt.doc_id FROM gt JOIN ge USING (gram)), "
+            "clean AS (SELECT doc_id, lang, text FROM qual "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM hits)), "
+            f"t AS (SELECT doc_id, lang, CAST({tok} AS BIGINT) AS n_tokens, "
+            "doc_id % 8 AS shard FROM clean) "
+            "SELECT doc_id, lang, shard, "
+            "CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard "
+            "ORDER BY doc_id) - n_tokens) / 512.0) AS BIGINT) AS bin_id, "
+            "n_tokens FROM t"
         ),
         "resample_domains": (
             "WITH c AS (SELECT lang, count(*) AS cnt FROM documents "
