@@ -1112,17 +1112,17 @@ def oracle_sql() -> dict[str, str]:
             "doc_id % 8 AS shard FROM documents) "
             "SELECT doc_id, lang, shard, "
             "CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard "
-            "ORDER BY doc_id) - n_tokens) / 512.0) AS BIGINT) AS bin_id, "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS bin_id, "
             "n_tokens FROM t"
         ),
         "group_split": (
             "SELECT doc_id, source, "
-            "CASE WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) "
+            f"CASE WHEN {_HEX32.format(s='source')} "
             "% 100 < 10 THEN 'val' ELSE 'train' END AS split FROM documents"
         ),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace("
-            "lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents), "
+            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
             "for i in range(1, len(w) - 2)]) AS gram FROM w WHERE len(w) >= 4), "
             "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0), "
@@ -1140,11 +1140,11 @@ def oracle_sql() -> dict[str, str]:
             "qual AS (SELECT ded.doc_id, ded.text, ded.lang FROM ded "
             "JOIN qm USING (doc_id) WHERE qm.quality_u >= 650000), "
             "wt AS (SELECT doc_id, string_split(trim(regexp_replace("
-            "lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM qual), "
+            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS w FROM qual), "
             "gt AS (SELECT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
             "for i in range(1, len(w) - 2)]) AS gram FROM wt WHERE len(w) >= 4), "
             "we AS (SELECT doc_id, string_split(trim(regexp_replace("
-            "lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents "
+            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS w FROM documents "
             "WHERE doc_id % 23 = 0), "
             "ge AS (SELECT DISTINCT unnest([array_to_string(w[i:i+3], ' ') "
             "for i in range(1, len(w) - 2)]) AS gram FROM we WHERE len(w) >= 4), "
@@ -1155,20 +1155,20 @@ def oracle_sql() -> dict[str, str]:
             "doc_id % 8 AS shard FROM clean) "
             "SELECT doc_id, lang, shard, "
             "CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard "
-            "ORDER BY doc_id) - n_tokens) / 512.0) AS BIGINT) AS bin_id, "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS bin_id, "
             "n_tokens FROM t"
         ),
         "resample_domains": (
             "WITH c AS (SELECT lang, count(*) AS cnt FROM documents "
             "GROUP BY lang), "
-            "cq AS (SELECT lang, cnt, CAST(round(pow(cnt, 0.5) * 1000000) "
+            "cq AS (SELECT lang, cnt, CAST(round(sqrt(cnt) * 1000000) "
             "AS BIGINT) AS s_q FROM c), "
             "z AS (SELECT sum(s_q) AS z, sum(cnt) AS n FROM cq), "
             "wq AS (SELECT lang, CAST(round(s_q / z * n / cnt * 1000000) "
             "AS BIGINT) AS w_q FROM cq, z), "
             "r AS (SELECT d.doc_id, d.lang, w_q // 1000000 + CASE WHEN "
-            "(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
-            "AS BIGINT) % 10000) * 1000000 < (w_q % 1000000) * 10000 "
+            f"({_HEX32.format(s='CAST(d.doc_id AS VARCHAR)')} "
+            "% 10000) * 1000000 < (w_q % 1000000) * 10000 "
             "THEN 1 ELSE 0 END AS k FROM documents d JOIN wq USING (lang)) "
             "SELECT doc_id, lang, unnest(range(1, k + 1)) AS copy FROM r "
             "WHERE k >= 1"

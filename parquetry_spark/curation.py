@@ -39,7 +39,11 @@ def pack_sequences(
         bin_id = floor((running_total - n_tokens) / budget)
 
     Properties (documented contract, pinned by tests):
-      - deterministic: same input → same bins, any cluster size;
+      - deterministic: same input → same bins, any cluster size —
+        PRECONDITION: `order_col` must be unique within each
+        (group_cols, shard) cell (a row id, not a timestamp); on
+        ties Spark's window order is partition-layout-dependent and
+        no engine can make the cumsum reproducible;
       - bins are contiguous runs of the doc order (bin_id is
         non-decreasing within a shard) — consumers stream them;
       - a bin's total may overflow `budget` by less than its LAST
@@ -117,10 +121,18 @@ def word_ngrams(text_col: str | Column, n: int) -> Column:
     Guarded: texts with fewer than n words yield an empty array —
     Spark's `sequence(1, size-n+1)` would otherwise produce a
     DESCENDING sequence for short texts and fabricate grams.
+
+    Normalization keeps letters and digits of EVERY script
+    (`\\p{L}\\p{N}` — supported identically by Java regex and RE2/
+    DuckDB), not just ASCII: an a-z-only fold would erase Cyrillic/
+    CJK/Arabic text entirely and silently no-op decontamination for
+    those languages. Scripts without word boundaries (CJK) still
+    need character-gram matching — word grams are the wrong unit
+    there regardless of normalization; see textops.shingles.
     """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.split(
-        F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " "
+        F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " ")), " "
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
@@ -201,19 +213,33 @@ def resample_domains(
     quantum — bucket*1e6 < (w_q mod 1e6)*buckets — so the DuckDB
     oracle replicates the fan-out bit-for-bit.
 
+    NULL domains are a real group: the weight join is null-safe
+    (`<=>`), so rows with a NULL `group_col` are reweighted like any
+    other domain instead of silently vanishing in a null-unsafe inner
+    join while still inflating the normalizer (they'd deflate every
+    other group's weight AND break the expected-total contract).
+
+    For alpha = 0.5 the numerator uses sqrt(), which IEEE 754 requires
+    to be CORRECTLY rounded in every engine; pow(x, 0.5) is only
+    1-ulp-accurate in Java's Math.pow, and a 1-ulp disagreement with
+    the oracle's libm at an x.5 rounding boundary would desync s_q.
+    Other alphas keep pow() with that documented caveat.
+
     Scale shape: ONE tiny aggregation (distinct groups — domains
     number in the thousands) broadcast back onto the fact table; the
     replication is `explode(sequence(...))` — rows fan out in place,
     map-side, no shuffle of the corpus.
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
+    powed = (
+        F.sqrt(F.col("cnt")) if alpha == 0.5 else F.pow(F.col("cnt"), F.lit(alpha))
+    )
     counts = counts.withColumn(
-        "s_q",
-        F.round(F.pow(F.col("cnt"), F.lit(alpha)) * F.lit(1_000_000)).cast("long"),
+        "s_q", F.round(powed * F.lit(1_000_000)).cast("long")
     )
     z = counts.agg(F.sum("s_q").alias("z"), F.sum("cnt").alias("n"))
     weights = counts.crossJoin(F.broadcast(z)).select(
-        group_col,
+        F.col(group_col).alias("_rd_key"),
         F.round(
             F.col("s_q")
             / F.col("z")
@@ -224,7 +250,9 @@ def resample_domains(
         .cast("long")
         .alias("w_q"),
     )
-    out = df.join(F.broadcast(weights), group_col)
+    out = df.join(
+        F.broadcast(weights), F.col(group_col).eqNullSafe(F.col("_rd_key"))
+    ).drop("_rd_key")
     bucket = split_bucket(F.col(id_col).cast("string"), buckets)
     n_copies = (F.col("w_q") / F.lit(1_000_000)).cast("long") + F.when(
         bucket * F.lit(1_000_000) < F.pmod(F.col("w_q"), F.lit(1_000_000)) * F.lit(buckets),

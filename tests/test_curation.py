@@ -151,6 +151,81 @@ def test_resample_domains_reweights_skewed_groups(spark):
     assert mx.filter(F.col("m") != F.col("n")).count() == 0
 
 
+def test_decontaminate_non_latin_scripts(spark):
+    """The normalization keeps every script's letters (\\p{L}\\p{N}),
+    not just a-z: Cyrillic benchmark text shared verbatim into
+    training must be flagged — an ASCII-only fold would erase the
+    text on both sides and silently no-op decontamination."""
+    from parquetry_spark.curation import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "съешь же ещё этих мягких французских булок")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "он сказал съешь же ещё этих слов"),  # shares a 4-gram
+            (2, "совсем другие слова в этом обучающем тексте"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(tr, ev, n=4).select("doc_id", "contaminated").collect()
+    }
+    assert got == {1: True, 2: False}
+
+
+def test_word_ngrams_normalization_matches_duckdb(spark):
+    """Cross-engine contract: Spark's lower + \\p{L}\\p{N} regex and
+    split must yield the same grams as the DuckDB oracle spelling on
+    unicode input (Cyrillic, accents, digits, punctuation)."""
+    import duckdb
+
+    from parquetry_spark.curation import word_ngrams
+
+    texts = [
+        "Съешь ЖЕ ещё — этих МЯГКИХ булок!",
+        "Déjà vu: naïve café №42, côté rue.",
+        "mixed Русский and English текст 123",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        sorted(r["g"])
+        for r in sdf.select(word_ngrams("text", 2).alias("g")).collect()
+    ]
+    want = [
+        sorted(row[0])
+        for row in duckdb.sql(
+            "SELECT list_distinct([array_to_string(w[i:i+1], ' ') "
+            "for i in range(1, len(w))]) FROM ("
+            "SELECT string_split(trim(regexp_replace(lower(text), "
+            "'[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS w "
+            "FROM (SELECT unnest($t) AS text))",
+            params={"t": texts},
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_resample_domains_null_group_preserved(spark):
+    """NULL domains are a real group: rows with a NULL group key must
+    be reweighted like any other domain, not silently dropped by a
+    null-unsafe weight join while still inflating the normalizer."""
+    from parquetry_spark.curation import resample_domains
+
+    rows = [(i, "en" if i % 2 == 0 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = resample_domains(df, "lang", alpha=0.5, id_col="doc_id")
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # equal-sized groups -> weight 1.0 each: nothing dropped, nothing
+    # duplicated, and the NULL group is present in full.
+    assert per == {"en": 100, None: 100}
+
+
 def test_split_bucket_matches_duckdb_spelling(spark):
     """The md5 bucket is bit-replicable in DuckDB (the oracle relies
     on it): CAST(('0x' || substr(md5(k),1,8)) AS BIGINT) % buckets."""
