@@ -17,6 +17,9 @@ Engine commands (the north-rule pipeline, spark-submit friendly):
     verify  --in TABLE --blocks DIR [--key url]
     gen     --out DIR --rows N [--seed S]
     report  --out DIR
+    curate  --in DOCS --out DIR [--dedup] [--quality-min Q]
+            [--eval EVAL --ngram N] [--split COL --val-pct P]
+            [--resample COL --alpha A] [--pack COL --budget B --shards S]
 
 Pipeline order matches the reference: filter sees the SOURCE schema,
 then reshape, then sink (main.go:176-186; where.txtar:38-39).
@@ -176,6 +179,46 @@ def main(argv: list[str] | None = None) -> int:
         "zone-mapped columns prune whole block partitions BEFORE any "
         "payload is decoded, then the exact filter runs on the rows",
     )
+    p = sub.add_parser(
+        "curate",
+        help="training-data curation pipeline over a documents table "
+        "(columns: doc_id, text, ...): stages compose in the fixed "
+        "order dedup → quality → decontaminate → split/resample → "
+        "pack, each enabled by its flag; ONE Catalyst plan, written "
+        "distributed to --out",
+    )
+    p.add_argument("--in", dest="inp", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--dedup", action="store_true", help="exact dedup (first id wins)")
+    p.add_argument(
+        "--quality-min", type=float, default=None,
+        help="drop docs with quality score below this [0,1] threshold",
+    )
+    p.add_argument(
+        "--eval", dest="eval_path", default=None,
+        help="parquet of eval/benchmark docs: flag+drop training docs "
+        "sharing any word --ngram with it",
+    )
+    p.add_argument("--ngram", type=int, default=8)
+    p.add_argument(
+        "--split", default=None, metavar="GROUP_COL",
+        help="add a group-atomic train/val split column on GROUP_COL",
+    )
+    p.add_argument("--val-pct", type=int, default=10)
+    p.add_argument(
+        "--resample", default=None, metavar="GROUP_COL",
+        help="temperature-resample domains on GROUP_COL (adds `copy`)",
+    )
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument(
+        "--pack", default=None, metavar="GROUP_COL",
+        help="pack into token-budget bins grouped by GROUP_COL "
+        "(adds shard/bin_id/n_tokens)",
+    )
+    p.add_argument("--budget", type=int, default=2048)
+    p.add_argument("--shards", type=int, default=64)
     p = sub.add_parser("verify")
     p.add_argument("--in", dest="inp", required=True)
     p.add_argument("--blocks", required=True)
@@ -254,6 +297,49 @@ def main(argv: list[str] | None = None) -> int:
                 out.write.mode("overwrite").parquet(args.out)
             else:
                 out.show(20, truncate=False)
+            return 0
+        if args.cmd == "curate":
+            from pyspark.sql import functions as F
+
+            from .curation import (
+                decontaminate,
+                group_split,
+                pack_sequences,
+                resample_domains,
+            )
+            from .dedup import exact_dedup_docs
+            from .textops import quality_score_micros, token_count
+
+            df = spark.read.parquet(args.inp)
+            stats = {"in_rows": df.count()}
+            if args.dedup:
+                df = exact_dedup_docs(df, args.text_col, args.id_col)
+            if args.quality_min is not None:
+                df = df.filter(
+                    quality_score_micros(F.col(args.text_col))
+                    >= F.lit(int(args.quality_min * 1_000_000))
+                )
+            if args.eval_path:
+                ev = spark.read.parquet(args.eval_path)
+                df = decontaminate(
+                    df, ev, n=args.ngram,
+                    text_col=args.text_col, id_col=args.id_col,
+                ).filter(~F.col("contaminated")).drop("contaminated")
+            if args.split:
+                df = group_split(df, args.split, val_pct=args.val_pct)
+            if args.resample:
+                df = resample_domains(
+                    df, args.resample, alpha=args.alpha, id_col=args.id_col
+                )
+            if args.pack:
+                df = df.withColumn("n_tokens", token_count(F.col(args.text_col)))
+                df = pack_sequences(
+                    df, budget=args.budget, order_col=args.id_col,
+                    group_cols=(args.pack,), n_shards=args.shards,
+                )
+            df.write.mode("overwrite").parquet(args.out)
+            stats["out_rows"] = spark.read.parquet(args.out).count()
+            print(json.dumps(stats))
             return 0
         if args.cmd == "verify":
             from .engine import verify_roundtrip

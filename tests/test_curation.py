@@ -226,6 +226,66 @@ def test_resample_domains_null_group_preserved(spark):
     assert per == {"en": 100, None: 100}
 
 
+def test_cli_curate_end_to_end(spark, tmp_path, monkeypatch):
+    """`curate` CLI: dedup + quality + decontaminate + split + pack
+    compose into one run; output parquet carries the stage columns and
+    fewer rows than the input (gates actually fired)."""
+    import contextlib
+    import io
+    import json
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+
+    docs = spark.createDataFrame(
+        [
+            # every token carries the variant id, so n-grams are shared
+            # only WITHIN a variant — the eval doc contaminates exactly
+            # its own variant
+            (i, f"site{i % 7}",
+             " ".join(f"word{j}kind{i % 11}" for j in range(12)))
+            for i in range(120)
+        ],
+        "doc_id long, source string, text string",
+    ).withColumn("lang", F.lit("en"))
+    # eval set: one benchmark doc verbatim-equal to the i%11==3 variant
+    # → exactly that variant is contaminated, the other 10 survive
+    ev = docs.filter(F.col("doc_id") == 3).select("doc_id", "text")
+    inp = str(tmp_path / "docs"); evp = str(tmp_path / "eval"); outp = str(tmp_path / "out")
+    docs.write.parquet(inp)
+    ev.write.parquet(evp)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([
+            "curate", "--in", inp, "--out", outp,
+            "--dedup", "--quality-min", "0.3",
+            "--eval", evp, "--ngram", "6",
+            "--split", "source",
+            "--pack", "lang", "--budget", "64", "--shards", "4",
+        ])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    out = spark.read.parquet(outp)
+    for c in ("split", "shard", "bin_id", "n_tokens"):
+        assert c in out.columns
+    # dedup (11 distinct texts) and decontamination both fired
+    assert 0 < stats["out_rows"] < stats["in_rows"]
+    assert out.count() == stats["out_rows"]
+
+
 def test_split_bucket_matches_duckdb_spelling(spark):
     """The md5 bucket is bit-replicable in DuckDB (the oracle relies
     on it): CAST(('0x' || substr(md5(k),1,8)) AS BIGINT) % buckets."""
