@@ -518,6 +518,21 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_decontaminate_char(spark, sf):
+    """Character-gram decontamination (unit='char', k=22): the
+    matching unit for unsegmented scripts (CJK) where word grams
+    silently never match. Same broadcast-semi-probe shape as the word
+    mode; oracle replicates the substr window in SQL."""
+    from parquetry_spark.curation import decontaminate
+
+    df = _t(spark, sf, "documents")
+    ev = df.filter(F.col("doc_id") % 23 == 0)
+    tr = df.filter(F.col("doc_id") % 23 != 0)
+    return decontaminate(tr, ev, n=22, unit="char").select(
+        "doc_id", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 def q_resample_domains(spark, sf):
     """Temperature domain mixing (curation.resample_domains):
     p_lang ∝ count^0.5 with expected-total preservation — `lang` is
@@ -824,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "group_split": q_group_split,
         "decontaminate": q_decontaminate,
+        "decontaminate_char": q_decontaminate_char,
         "resample_domains": q_resample_domains,
         "pipeline_curate": q_pipeline_curate,
         "exact_dedup": q_exact_dedup,
@@ -1157,6 +1173,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard "
             "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS bin_id, "
             "n_tokens FROM t"
+        ),
+        "decontaminate_char": (
+            "WITH nt AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')) AS t FROM documents), "
+            "g AS (SELECT doc_id, unnest([substr(t, i, 22) "
+            "for i in range(1, len(t) - 20)]) AS gram FROM nt "
+            "WHERE len(t) >= 22), "
+            "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0), "
+            "hits AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) "
+            "WHERE g.doc_id % 23 <> 0) "
+            "SELECT d.doc_id, CAST(d.doc_id IN (SELECT doc_id FROM hits) AS INT) "
+            "AS contaminated FROM documents d WHERE d.doc_id % 23 <> 0"
         ),
         "resample_domains": (
             "WITH c AS (SELECT lang, count(*) AS cnt FROM documents "

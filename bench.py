@@ -518,10 +518,17 @@ def main() -> int:
                     sum(t for t in result["queries"].values() if t > 0), 3
                 )
         result["elapsed_s"] = round(time.time() - t_start, 1)
-        try:
-            _write_bench_md(result)
-        except Exception as exc:  # md is reporting, never block the JSON
-            print(f"BENCH/BASELINE.md write failed: {exc}", file=sys.stderr)
+        # Only a COMPLETE run may rewrite BENCH/BASELINE.md: a partial
+        # emission (SIGTERM from a driver timeout, input-gen failure)
+        # would clobber the last complete report with near-empty
+        # tables — and the driver commits the working tree at round
+        # end, baking the truncation in. The partial run is still
+        # fully recorded in the JSON line and scaling_runs.jsonl.
+        if not partial:
+            try:
+                _write_bench_md(result)
+            except Exception as exc:  # md is reporting, never block the JSON
+                print(f"BENCH/BASELINE.md write failed: {exc}", file=sys.stderr)
         print(json.dumps(result))
         sys.stdout.flush()
 
@@ -1409,8 +1416,12 @@ def _write_bench_md(r: dict) -> None:
         _ICEBERG_EVIDENCE,
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # atomic swap: a kill mid-write must never leave a truncated md
+    dest = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as f:
         f.write("\n".join(md) + "\n")
+    os.replace(tmp, dest)
 
 
 # static section re-emitted on every bench run (the md file is fully

@@ -145,6 +145,24 @@ def word_ngrams(text_col: str | Column, n: int) -> Column:
     )
 
 
+def char_ngrams(text_col: str | Column, k: int) -> Column:
+    """Distinct character k-grams over whitespace-normalized lowercase
+    text — the matching unit for scripts without word boundaries
+    (CJK), where word grams degenerate to one giant token. Guarded
+    like word_ngrams: texts shorter than k yield an empty array.
+    DuckDB-replicable as `[substr(t, i, k) for i in
+    range(1, len(t)-k+2)]`."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    m = F.length(norm) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.substr(norm, i, F.lit(k))
+    )
+    return F.array_distinct(
+        F.when(m >= F.lit(1), grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -152,6 +170,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_eval: bool = True,
+    unit: str = "word",
 ) -> DataFrame:
     """Benchmark decontamination: flag every training document that
     shares at least one word-level n-gram with the evaluation set (the
@@ -165,12 +184,20 @@ def decontaminate(
     pairing shuffles and only (id) rows leave the probe. The final
     flag join is id-to-id. Set broadcast_eval=False for pathologically
     large eval sets and AQE picks the strategy.
+
+    `unit` picks the matching unit: "word" (default; n≈8-13) or
+    "char" (n≈20-50 character grams) — the right unit for CJK and
+    other unsegmented scripts, where a whole sentence is one "word"
+    and word grams silently never match.
     """
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    gramf = word_ngrams if unit == "word" else char_ngrams
     t_grams = train.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+        F.col(id_col), F.explode(gramf(text_col, n)).alias("gram")
     )
     e_grams = eval_df.select(
-        F.explode(word_ngrams(text_col, n)).alias("gram")
+        F.explode(gramf(text_col, n)).alias("gram")
     ).distinct()
     if broadcast_eval:
         e_grams = F.broadcast(e_grams)

@@ -208,6 +208,63 @@ def test_word_ngrams_normalization_matches_duckdb(spark):
     assert got == want
 
 
+def test_decontaminate_char_mode_catches_cjk(spark):
+    """Unsegmented scripts: the whole sentence is one 'word', so word
+    grams never fire — char grams must. The same Chinese benchmark
+    fragment shared verbatim into training is caught by unit='char'
+    and (documented gap) missed by unit='word'."""
+    from parquetry_spark.curation import decontaminate
+
+    frag = "机器学习模型的训练数据质量决定了最终效果"
+    ev = spark.createDataFrame([(100, frag)], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [
+            (1, "前言：" + frag + "，因此需要仔细清洗。"),
+            (2, "完全不同的内容，与评测基准没有任何重叠的句子。"),
+        ],
+        "doc_id long, text string",
+    )
+    char = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(tr, ev, n=12, unit="char")
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    assert char == {1: True, 2: False}
+    word = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(tr, ev, n=8, unit="word")
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    assert word == {1: False, 2: False}  # the documented word-gram gap
+
+
+def test_char_ngrams_match_duckdb_spelling(spark):
+    import duckdb
+
+    from parquetry_spark.curation import char_ngrams
+
+    texts = ["ABC  def\tGH", "短文本测试例子", "xy"]
+    got = [
+        sorted(r["g"])
+        for r in spark.createDataFrame([(t,) for t in texts], "text string")
+        .select(char_ngrams("text", 4).alias("g"))
+        .collect()
+    ]
+    want = [
+        sorted(row[0])
+        for row in duckdb.sql(
+            "SELECT list_distinct(CASE WHEN len(t) >= 4 THEN "
+            "[substr(t, i, 4) for i in range(1, len(t) - 2)] "
+            "ELSE [] END) FROM (SELECT trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')) AS t FROM (SELECT unnest($t) AS text))",
+            params={"t": texts},
+        ).fetchall()
+    ]
+    assert got == want
+
+
 def test_resample_domains_null_group_preserved(spark):
     """NULL domains are a real group: rows with a NULL group key must
     be reweighted like any other domain, not silently dropped by a
