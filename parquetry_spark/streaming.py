@@ -179,3 +179,70 @@ def windowed_ingest_stats(
             F.sum(F.length("text")).alias("text_bytes"),
         )
     )
+
+
+def stream_curate(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    eval_df: DataFrame | None = None,
+    ngram: int = 8,
+    unit: str = "word",
+    quality_min: float | None = None,
+    split_col: str | None = None,
+    val_pct: int = 10,
+    checkpoint: str | None = None,
+):
+    """Curation on ingest: the STATELESS curation stages — quality
+    gate, benchmark decontamination against a static eval set, and the
+    group-atomic split — applied to pages as they arrive, writing
+    curated parquet per epoch.
+
+    Scope is deliberate: these three stages are pure per-row functions
+    (the eval set is static and broadcast), so they stream exactly.
+    Sequence packing and temperature resampling are NOT offered here —
+    both depend on corpus-global state (cumulative token tape, group
+    counts) that a stream cannot know; they belong to the batch engine
+    over the accumulated corpus. Cross-batch dedup is `stream_dedup`
+    (stateful, bounded TTL).
+
+    foreachBatch + epoch-deterministic overwrite gives the same
+    exactly-once-per-epoch discipline as `stream_encode`: a replayed
+    epoch overwrites its own output instead of duplicating it.
+    """
+    from .curation import decontaminate, group_split
+    from .generator import PAGES_SCHEMA
+    from .textops import quality_score_micros
+
+    checkpoint = checkpoint or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        df = batch_df
+        if quality_min is not None:
+            df = df.filter(
+                quality_score_micros(F.col("text"))
+                >= F.lit(int(quality_min * 1_000_000))
+            )
+        if eval_df is not None:
+            df = (
+                decontaminate(df, eval_df, n=ngram, unit=unit, id_col="url")
+                .filter(~F.col("contaminated"))
+                .drop("contaminated")
+            )
+        if split_col is not None:
+            df = group_split(df, split_col, val_pct=val_pct)
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

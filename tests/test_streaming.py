@@ -99,3 +99,43 @@ def test_stream_dedup_across_restarts(spark, tmp_path):
     # beta already seen in run 1 → suppressed; only gamma is new
     new_urls = {r["url"] for r in r2} - {r["url"] for r in r1}
     assert len(r2) == 3 and new_urls == {"u5"}
+
+
+def test_stream_curate_matches_batch(spark, tmp_path):
+    """Streaming curation must produce EXACTLY the batch result on the
+    same input: quality gate + decontamination vs a static eval set +
+    group-atomic split, with every gate provably firing."""
+    from parquetry_spark.curation import decontaminate, group_split
+    from parquetry_spark.streaming import stream_curate
+    from parquetry_spark.textops import quality_score_micros
+
+    in_dir = str(tmp_path / "cur_in")
+    out_dir = str(tmp_path / "cur_out")
+    pages = gen_pages(spark, 400, seed=9, n_hosts=20).cache()
+    pages.write.mode("overwrite").parquet(in_dir)
+    eval_df = pages.limit(5).select("url", "text")
+
+    q = stream_curate(
+        spark, in_dir, out_dir,
+        eval_df=eval_df, ngram=4,
+        quality_min=0.4, split_col="lang",
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    want = pages.filter(
+        quality_score_micros(F.col("text")) >= F.lit(400_000)
+    )
+    want = (
+        decontaminate(want, eval_df, n=4, id_col="url")
+        .filter(~F.col("contaminated"))
+        .drop("contaminated")
+    )
+    want = group_split(want, "lang")
+    # every gate fired, and streaming == batch row-for-row
+    assert 0 < got.count() < 400
+    assert "split" in got.columns
+    key = ["url", "split"]
+    assert sorted(tuple(r) for r in got.select(*key).collect()) == sorted(
+        tuple(r) for r in want.select(*key).collect()
+    )
