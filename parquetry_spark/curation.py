@@ -171,6 +171,7 @@ def decontaminate(
     id_col: str = "doc_id",
     broadcast_eval: bool = True,
     unit: str = "word",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag every training document that
     shares at least one word-level n-gram with the evaluation set (the
@@ -189,16 +190,26 @@ def decontaminate(
     "char" (n≈20-50 character grams) — the right unit for CJK and
     other unsegmented scripts, where a whole sentence is one "word"
     and word grams silently never match.
+
+    `hash_grams=True` matches on xxhash64(gram) instead of the gram
+    string: the broadcast eval table shrinks ~10× (8 bytes vs a
+    20-100-byte string per gram) and the probe compares int64 — the
+    production setting for big benchmarks. Tradeoff: a 64-bit
+    collision flags an innocent doc (P ≈ m·k/2^64 — negligible, and
+    decontamination errs toward dropping). Exact string matching
+    (default) is what the DuckDB oracle replicates.
     """
     if unit not in ("word", "char"):
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     gramf = word_ngrams if unit == "word" else char_ngrams
-    t_grams = train.select(
-        F.col(id_col), F.explode(gramf(text_col, n)).alias("gram")
-    )
-    e_grams = eval_df.select(
-        F.explode(gramf(text_col, n)).alias("gram")
-    ).distinct()
+    gram = F.explode(gramf(text_col, n)).alias("gram")
+    if hash_grams:
+        key = F.xxhash64(F.col("gram")).alias("gram")
+        t_grams = train.select(F.col(id_col), gram).select(id_col, key)
+        e_grams = eval_df.select(gram).select(key).distinct()
+    else:
+        t_grams = train.select(F.col(id_col), gram)
+        e_grams = eval_df.select(gram).distinct()
     if broadcast_eval:
         e_grams = F.broadcast(e_grams)
     hit_ids = (

@@ -362,3 +362,22 @@ def test_split_bucket_matches_duckdb_spelling(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_decontaminate_hash_grams_matches_exact(spark):
+    """hash_grams=True (xxhash64 match, 10x smaller broadcast) must
+    agree with exact string matching wherever no 64-bit collision
+    exists — i.e. everywhere at test scale."""
+    from parquetry_spark.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}k{i % 9}" for j in range(10))) for i in range(90)],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") == 4).select("doc_id", "text")
+    tr = docs.filter(F.col("doc_id") != 4)
+    exact = decontaminate(tr, ev, n=4).select("doc_id", "contaminated")
+    hashed = decontaminate(tr, ev, n=4, hash_grams=True).select(
+        "doc_id", "contaminated"
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, hashed.collect()))
