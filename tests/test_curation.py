@@ -381,3 +381,50 @@ def test_decontaminate_hash_grams_matches_exact(spark):
         "doc_id", "contaminated"
     )
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, hashed.collect()))
+
+
+def test_pack_property_invariants(spark):
+    """Hypothesis fuzz of the packing contract over adversarial token
+    distributions (zeros, budget-sized, oversized, huge), sparse ids,
+    and several shard counts: bins contiguous, overflow bounded by the
+    last doc, every input row assigned exactly once."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        toks=st.lists(
+            st.sampled_from([0, 1, 7, 63, 64, 65, 500, 10_000]),
+            min_size=1,
+            max_size=60,
+        ),
+        shards=st.sampled_from([1, 3, 8]),
+        data=st.data(),
+    )
+    def check(toks, shards, data):
+        ids = data.draw(
+            st.lists(
+                st.integers(0, 10_000),
+                min_size=len(toks),
+                max_size=len(toks),
+                unique=True,
+            )
+        )
+        df = spark.createDataFrame(
+            [(i, "g", t) for i, t in zip(ids, toks)],
+            "doc_id long, lang string, n_tokens long",
+        )
+        out = pack_sequences(df, budget=64, n_shards=shards)
+        rows = sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+        assert len(rows) == len(toks)  # every row assigned exactly once
+        last_bin: dict = {}
+        running: dict = {}
+        for r in rows:
+            s = r["shard"]
+            assert r["bin_id"] >= last_bin.get(s, 0)  # contiguous
+            # bin_id is the quantized tape offset of the doc's FIRST token
+            assert r["bin_id"] == running.get(s, 0) // 64
+            running[s] = running.get(s, 0) + r["n_tokens"]
+            last_bin[s] = r["bin_id"]
+
+    check()
