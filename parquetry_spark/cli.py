@@ -203,6 +203,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--ngram", type=int, default=8)
     p.add_argument(
+        "--unit", choices=("word", "char"), default="word",
+        help="decontamination matching unit (char for unsegmented scripts)",
+    )
+    p.add_argument(
+        "--hash-grams", action="store_true",
+        help="match on xxhash64(gram) — ~10x smaller eval broadcast",
+    )
+    p.add_argument(
         "--split", default=None, metavar="GROUP_COL",
         help="add a group-atomic train/val split column on GROUP_COL",
     )
@@ -324,6 +332,7 @@ def main(argv: list[str] | None = None) -> int:
                 df = decontaminate(
                     df, ev, n=args.ngram,
                     text_col=args.text_col, id_col=args.id_col,
+                    unit=args.unit, hash_grams=args.hash_grams,
                 ).filter(~F.col("contaminated")).drop("contaminated")
             if args.split:
                 df = group_split(df, args.split, val_pct=args.val_pct)
