@@ -342,9 +342,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
             if args.pack:
                 df = df.withColumn("n_tokens", token_count(F.col(args.text_col)))
+                # a resampled corpus has duplicate ids (one per copy):
+                # the copy ordinal restores the unique window order the
+                # packing determinism contract requires
+                ties = ("copy",) if args.resample else ()
                 df = pack_sequences(
                     df, budget=args.budget, order_col=args.id_col,
                     group_cols=(args.pack,), n_shards=args.shards,
+                    tie_cols=ties,
                 )
             df.write.mode("overwrite").parquet(args.out)
             stats["out_rows"] = spark.read.parquet(args.out).count()

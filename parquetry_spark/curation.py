@@ -30,6 +30,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     group_cols: tuple[str, ...] = ("lang",),
     n_shards: int = 64,
+    tie_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Budget-quantized sequence packing: docs, in deterministic
     `order_col` order within (group_cols, shard), are laid end-to-end
@@ -40,10 +41,12 @@ def pack_sequences(
 
     Properties (documented contract, pinned by tests):
       - deterministic: same input → same bins, any cluster size —
-        PRECONDITION: `order_col` must be unique within each
-        (group_cols, shard) cell (a row id, not a timestamp); on
+        PRECONDITION: `(order_col, *tie_cols)` must be unique within
+        each (group_cols, shard) cell (a row id, not a timestamp); on
         ties Spark's window order is partition-layout-dependent and
-        no engine can make the cumsum reproducible;
+        no engine can make the cumsum reproducible. When the input is
+        a resampled corpus (duplicate ids with a `copy` ordinal),
+        pass `tie_cols=("copy",)`;
       - bins are contiguous runs of the doc order (bin_id is
         non-decreasing within a shard) — consumers stream them;
       - a bin's total may overflow `budget` by less than its LAST
@@ -67,7 +70,7 @@ def pack_sequences(
     out = df.withColumn("shard", shard)
     w = (
         Window.partitionBy(*[F.col(c) for c in group_cols], F.col("shard"))
-        .orderBy(F.col(order_col))
+        .orderBy(F.col(order_col), *[F.col(c) for c in tie_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     running = F.sum(F.col(token_col)).over(w)

@@ -428,3 +428,25 @@ def test_pack_property_invariants(spark):
             last_bin[s] = r["bin_id"]
 
     check()
+
+
+def test_pack_after_resample_deterministic_with_tie_cols(spark):
+    """A resampled corpus has duplicate doc_ids (one row per copy) —
+    packing it must pass tie_cols=("copy",) to keep the window order
+    unique, and then the bins are reproducible at any parallelism."""
+    from parquetry_spark.curation import pack_sequences, resample_domains
+
+    rows = [(i, "head" if i < 160 else "tail") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string").withColumn(
+        "n_tokens", F.lit(37)
+    )
+    fan = resample_domains(df, "lang", alpha=0.5, id_col="doc_id")
+    a = pack_sequences(fan, budget=64, n_shards=4, tie_cols=("copy",))
+    b = pack_sequences(
+        fan.repartition(11), budget=64, n_shards=4, tie_cols=("copy",)
+    )
+    key = ["doc_id", "copy", "shard", "bin_id"]
+    assert (
+        a.select(*key).orderBy(*key).collect()
+        == b.select(*key).orderBy(*key).collect()
+    )
