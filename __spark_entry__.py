@@ -1176,7 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate_char": (
             "WITH nt AS (SELECT doc_id, trim(regexp_replace(lower(text), "
-            "'\\s+', ' ', 'g')) AS t FROM documents), "
+            "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t FROM documents), "
             "g AS (SELECT doc_id, unnest([substr(t, i, 22) "
             "for i in range(1, len(t) - 20)]) AS gram FROM nt "
             "WHERE len(t) >= 22), "
@@ -1197,7 +1197,8 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT d.doc_id, d.lang, w_q // 1000000 + CASE WHEN "
             f"({_HEX32.format(s='CAST(d.doc_id AS VARCHAR)')} "
             "% 10000) * 1000000 < (w_q % 1000000) * 10000 "
-            "THEN 1 ELSE 0 END AS k FROM documents d JOIN wq USING (lang)) "
+            "THEN 1 ELSE 0 END AS k FROM documents d "
+            "JOIN wq ON d.lang IS NOT DISTINCT FROM wq.lang) "
             "SELECT doc_id, lang, unnest(range(1, k + 1)) AS copy FROM r "
             "WHERE k >= 1"
         ),

@@ -1416,9 +1416,17 @@ def _write_bench_md(r: dict) -> None:
         _ICEBERG_EVIDENCE,
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    # atomic swap: a kill mid-write must never leave a truncated md
+    # atomic swap: a kill mid-write must never leave a truncated md.
+    # os.replace needs same-filesystem, so the tmp sits next to the
+    # dest — as a gitignored dotfile, unlinked on entry, so a kill
+    # between write and replace can't leave a stray file for the
+    # round-end auto-commit to bake into the tree.
     dest = os.path.join(REPO, "BENCH", "BASELINE.md")
-    tmp = dest + ".tmp"
+    tmp = os.path.join(REPO, "BENCH", ".BASELINE.md.tmp")
+    try:
+        os.unlink(tmp)  # stale tmp from a kill mid-swap
+    except FileNotFoundError:
+        pass
     with open(tmp, "w") as f:
         f.write("\n".join(md) + "\n")
     os.replace(tmp, dest)

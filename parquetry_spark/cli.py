@@ -319,7 +319,19 @@ def main(argv: list[str] | None = None) -> int:
             from .textops import quality_score_micros, token_count
 
             df = spark.read.parquet(args.inp)
-            stats = {"in_rows": df.count()}
+            # input count from parquet FOOTERS — a df.count() here
+            # would be a second full scan of a 10^12-doc table purely
+            # for a stat line
+            import pyarrow.parquet as _pq
+
+            from .sources import list_parquet_files
+
+            stats = {
+                "in_rows": sum(
+                    _pq.ParquetFile(p).metadata.num_rows
+                    for p in list_parquet_files(args.inp)
+                )
+            }
             if args.dedup:
                 df = exact_dedup_docs(df, args.text_col, args.id_col)
             if args.quality_min is not None:

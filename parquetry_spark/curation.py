@@ -66,8 +66,17 @@ def pack_sequences(
     bins are identified by (group_cols, shard, bin_id). The window
     state is a single running sum (O(1) per row, no buffering).
     """
-    shard = F.pmod(F.col(order_col), F.lit(n_shards)).alias("shard")
-    out = df.withColumn("shard", shard)
+    # numeric order columns shard by value (SQL-replicable `% n`);
+    # non-numeric ids (url) shard by xxhash64 — without this, Spark's
+    # ANSI cast inside pmod would throw mid-job on strings (and the
+    # non-ANSI NULL would silently collapse every row into one shard).
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[order_col].dataType, NumericType):
+        shard_src = F.col(order_col)
+    else:
+        shard_src = F.xxhash64(F.col(order_col))
+    out = df.withColumn("shard", F.pmod(shard_src, F.lit(n_shards)))
     w = (
         Window.partitionBy(*[F.col(c) for c in group_cols], F.col("shard"))
         .orderBy(F.col(order_col), *[F.col(c) for c in tie_cols])
@@ -132,7 +141,14 @@ def word_ngrams(text_col: str | Column, n: int) -> Column:
     those languages. Scripts without word boundaries (CJK) still
     need character-gram matching — word grams are the wrong unit
     there regardless of normalization; see textops.shingles.
+
+    (dedup.word_shingles and textops.shingles are deliberately NOT
+    reused here: their whole-doc fallback for short texts is the right
+    semantics for near-dup signatures but would fabricate matches for
+    decontamination, where a short text must yield NO grams.)
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.split(
         F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " ")), " "
@@ -141,10 +157,12 @@ def word_ngrams(text_col: str | Column, n: int) -> Column:
         F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(words, i, n), " "),
     )
+    # empty/symbol-only text normalizes to '' and splits to [''] — at
+    # n=1 that single empty token would fabricate a '' gram matching
+    # any other empty doc, so require a non-empty first token too.
+    ok = (F.size(words) >= F.lit(n)) & (F.element_at(words, 1) != F.lit(""))
     return F.array_distinct(
-        F.when(F.size(words) >= F.lit(n), grams).otherwise(
-            F.array().cast("array<string>")
-        )
+        F.when(ok, grams).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -154,9 +172,16 @@ def char_ngrams(text_col: str | Column, k: int) -> Column:
     (CJK), where word grams degenerate to one giant token. Guarded
     like word_ngrams: texts shorter than k yield an empty array.
     DuckDB-replicable as `[substr(t, i, k) for i in
-    range(1, len(t)-k+2)]`."""
+    range(1, len(t)-k+2)]`.
+
+    The whitespace class is spelled explicitly (`[ \\t\\n\\x0B\\f\\r]`)
+    in BOTH engines: Java's `\\s` includes \\x0B but RE2's does not, so
+    the shorthand would silently desync the oracle on a vertical tab.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(col), "[ \t\n\x0b\f\r]+", " "))
     m = F.length(norm) - F.lit(k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), m), lambda i: F.substr(norm, i, F.lit(k))
@@ -166,15 +191,36 @@ def char_ngrams(text_col: str | Column, k: int) -> Column:
     )
 
 
+def eval_grams(
+    eval_df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    unit: str = "word",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Distinct (optionally hashed) grams of an eval set — the probe
+    table `decontaminate` matches against. Extract it ONCE and pass it
+    via `eval_grams_df` (after `.cache()`) when decontaminating many
+    batches against the same benchmark — e.g. per streaming epoch —
+    instead of re-running explode+distinct over the eval corpus each
+    time."""
+    gramf = word_ngrams if unit == "word" else char_ngrams
+    g = eval_df.select(F.explode(gramf(text_col, n)).alias("gram"))
+    if hash_grams:
+        g = g.select(F.xxhash64(F.col("gram")).alias("gram"))
+    return g.distinct()
+
+
 def decontaminate(
     train: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_eval: bool = True,
     unit: str = "word",
     hash_grams: bool = False,
+    eval_grams_df: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag every training document that
     shares at least one word-level n-gram with the evaluation set (the
@@ -201,18 +247,24 @@ def decontaminate(
     collision flags an innocent doc (P ≈ m·k/2^64 — negligible, and
     decontamination errs toward dropping). Exact string matching
     (default) is what the DuckDB oracle replicates.
+
+    `eval_grams_df` short-circuits the eval-side extraction: pass
+    `eval_grams(...).cache()` when decontaminating many batches
+    against one benchmark (streaming epochs) so explode+distinct over
+    the eval corpus runs once, not per call.
     """
     if unit not in ("word", "char"):
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     gramf = word_ngrams if unit == "word" else char_ngrams
     gram = F.explode(gramf(text_col, n)).alias("gram")
+    if eval_grams_df is None:
+        eval_grams_df = eval_grams(eval_df, n, text_col, unit, hash_grams)
+    e_grams = eval_grams_df
     if hash_grams:
         key = F.xxhash64(F.col("gram")).alias("gram")
         t_grams = train.select(F.col(id_col), gram).select(id_col, key)
-        e_grams = eval_df.select(gram).select(key).distinct()
     else:
         t_grams = train.select(F.col(id_col), gram)
-        e_grams = eval_df.select(gram).distinct()
     if broadcast_eval:
         e_grams = F.broadcast(e_grams)
     hit_ids = (
@@ -295,7 +347,10 @@ def resample_domains(
         F.broadcast(weights), F.col(group_col).eqNullSafe(F.col("_rd_key"))
     ).drop("_rd_key")
     bucket = split_bucket(F.col(id_col).cast("string"), buckets)
-    n_copies = (F.col("w_q") / F.lit(1_000_000)).cast("long") + F.when(
+    # `div` is Spark's integral division on longs — the double `/`
+    # would be exact only below 2^52 micro-units, and the docstring
+    # promises pure integer math on the quantum (oracle uses `//`).
+    n_copies = F.expr("w_q div 1000000") + F.when(
         bucket * F.lit(1_000_000) < F.pmod(F.col("w_q"), F.lit(1_000_000)) * F.lit(buckets),
         F.lit(1),
     ).otherwise(F.lit(0))

@@ -210,7 +210,7 @@ def stream_curate(
     exactly-once-per-epoch discipline as `stream_encode`: a replayed
     epoch overwrites its own output instead of duplicating it.
     """
-    from .curation import decontaminate, group_split
+    from .curation import decontaminate, eval_grams, group_split
     from .generator import PAGES_SCHEMA
     from .textops import quality_score_micros
 
@@ -220,6 +220,13 @@ def stream_curate(
         .option("maxFilesPerTrigger", 8)
         .parquet(in_dir)
     )
+    # extract + materialize the benchmark's gram table ONCE — inside
+    # the sink it would re-run explode+distinct over the whole eval
+    # corpus (and rebuild the broadcast) every micro-batch
+    e_grams = None
+    if eval_df is not None:
+        e_grams = eval_grams(eval_df, ngram, unit=unit).cache()
+        e_grams.count()
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
         df = batch_df
@@ -228,11 +235,24 @@ def stream_curate(
                 quality_score_micros(F.col("text"))
                 >= F.lit(int(quality_min * 1_000_000))
             )
-        if eval_df is not None:
+        if e_grams is not None:
+            # the contamination id is a (url, content) digest, not the
+            # url: a crawl batch can hold several pages of one url
+            # (revisits), and an url-level hit set would drop a CLEAN
+            # revisit because a dirty sibling shares its id
             df = (
-                decontaminate(df, eval_df, n=ngram, unit=unit, id_col="url")
+                decontaminate(
+                    df.withColumn(
+                        "_cid", F.sha2(F.concat_ws("\x00", "url", "text"), 256)
+                    ),
+                    None,
+                    n=ngram,
+                    unit=unit,
+                    id_col="_cid",
+                    eval_grams_df=e_grams,
+                )
                 .filter(~F.col("contaminated"))
-                .drop("contaminated")
+                .drop("contaminated", "_cid")
             )
         if split_col is not None:
             df = group_split(df, split_col, val_pct=val_pct)

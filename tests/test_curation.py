@@ -245,7 +245,7 @@ def test_char_ngrams_match_duckdb_spelling(spark):
 
     from parquetry_spark.curation import char_ngrams
 
-    texts = ["ABC  def\tGH", "短文本测试例子", "xy"]
+    texts = ["ABC  def\tGH", "短文本测试例子", "xy", "a\x0bb vertical"]
     got = [
         sorted(r["g"])
         for r in spark.createDataFrame([(t,) for t in texts], "text string")
@@ -258,7 +258,7 @@ def test_char_ngrams_match_duckdb_spelling(spark):
             "SELECT list_distinct(CASE WHEN len(t) >= 4 THEN "
             "[substr(t, i, 4) for i in range(1, len(t) - 2)] "
             "ELSE [] END) FROM (SELECT trim(regexp_replace(lower(text), "
-            "'\\s+', ' ', 'g')) AS t FROM (SELECT unnest($t) AS text))",
+            "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t FROM (SELECT unnest($t) AS text))",
             params={"t": texts},
         ).fetchall()
     ]
