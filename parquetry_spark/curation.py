@@ -258,6 +258,8 @@ def decontaminate(
     gramf = word_ngrams if unit == "word" else char_ngrams
     gram = F.explode(gramf(text_col, n)).alias("gram")
     if eval_grams_df is None:
+        if eval_df is None:
+            raise ValueError("need eval_df or eval_grams_df")
         eval_grams_df = eval_grams(eval_df, n, text_col, unit, hash_grams)
     e_grams = eval_grams_df
     if hash_grams:
