@@ -1,20 +1,27 @@
-"""Training-data curation operators: sequence packing and
-leakage-free splits.
+"""Training-data curation operators: the assignment/selection stages
+every LLM pretraining pipeline runs after dedup and quality filtering.
 
-Beyond the reference's own surface (it is a transcode CLI), these are
-the two assignment operators every LLM pretraining pipeline runs after
-dedup/quality filtering:
+Beyond the reference's own surface (it is a transcode CLI):
 
 - `pack_sequences`: assign documents to fixed token-budget training
   bins ("sequence packing"): consumers concatenate each bin's docs
-  into one ~context-length training sequence. Deterministic and
-  SQL-replicable, so the driver's DuckDB oracle checks it exactly.
+  into one ~context-length training sequence.
 - `group_split`: train/validation split that keeps every group (site,
   source, domain) WHOLLY on one side — the standard guard against
   near-duplicate leakage across the split (pages of one site are
   highly self-similar; a row-wise random split leaks them).
+- `decontaminate` (+ `word_ngrams` / `char_ngrams` / `eval_grams`):
+  flag training docs sharing n-grams with an eval benchmark — the
+  GPT-3/PaLM gate; word or character matching unit.
+- `resample_domains`: temperature-based domain mixing,
+  p_g ∝ count_g^alpha, realized as deterministic per-row copy counts.
 
-Both are pure Column expressions — whole-stage codegen, no UDFs.
+All are pure Column expressions (whole-stage codegen, no UDFs),
+deterministic at any cluster size, and — by construction — exactly
+replicable in ANSI SQL so the driver's DuckDB oracles check them
+value-for-value. Surfaces: `cli.py curate` (stage flags compose into
+one Catalyst plan) and `streaming.stream_curate` (the stateless
+stages per ingest epoch).
 """
 
 from __future__ import annotations
