@@ -147,3 +147,38 @@ def test_best_history_window_picks_min_over_modes(monkeypatch, tmp_path):
     md = _render(monkeypatch, tmp_path, result)
     assert "North-rule witness" in md
     assert "0.844" in md
+
+
+def test_bench_sigterm_preserves_md_and_emits_partial_json(tmp_path):
+    """The r4 driver regression, pinned end-to-end: SIGTERM mid-run
+    must (a) still emit the one JSON line, marked partial, (b) leave
+    BENCH/BASELINE.md byte-identical (a partial rewrite clobbered the
+    last complete report in r4), and (c) leave no stray tmp file for
+    the round-end auto-commit to pick up."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    md_path = os.path.join(repo, "BENCH", "BASELINE.md")
+    before = open(md_path, "rb").read()
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.Popen(
+        ["python", "bench.py"],
+        cwd=repo,
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+    )
+    time.sleep(20)  # mid-run: session up, first warm-ups underway
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=60)
+
+    lines = [ln for ln in out.decode().strip().splitlines() if ln.startswith("{")]
+    assert lines, "no JSON line emitted after SIGTERM"
+    d = json.loads(lines[-1])
+    assert d.get("partial") is True
+    assert open(md_path, "rb").read() == before
+    assert not os.path.exists(os.path.join(repo, "BENCH", ".BASELINE.md.tmp"))
