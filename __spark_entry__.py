@@ -579,6 +579,41 @@ def q_pipeline_curate(spark, sf):
     return packed.select("doc_id", "lang", "shard", "bin_id", "n_tokens")
 
 
+def q_pipeline_curate_full(spark, sf):
+    """The COMPLETE curation pipeline — all six stages in one Catalyst
+    plan: exact dedup → quality gate → decontamination → temperature
+    domain resampling (p_lang ∝ √count over the CLEAN corpus) →
+    sequence packing of the fanned-out corpus with tie_cols=("copy",)
+    restoring the unique window order. The oracle replicates every
+    stage, including the resample weights computed on the post-
+    decontamination counts and the (doc_id, copy) ROWS-frame cumsum."""
+    from parquetry_spark.curation import (
+        decontaminate,
+        pack_sequences,
+        resample_domains,
+    )
+    from parquetry_spark.dedup import exact_dedup_docs
+    from parquetry_spark.textops import quality_score_micros
+
+    df = _t(spark, sf, "documents")
+    ev = df.filter(F.col("doc_id") % 23 == 0)
+    tr = df.filter(F.col("doc_id") % 23 != 0)
+    kept = exact_dedup_docs(tr).filter(
+        quality_score_micros(F.col("text")) >= F.lit(650_000)
+    )
+    clean = decontaminate(kept, ev, n=4).filter(~F.col("contaminated"))
+    base = clean.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    fan = resample_domains(base, "lang", alpha=0.5)
+    packed = pack_sequences(
+        fan, budget=512, n_shards=8, tie_cols=("copy",)
+    )
+    return packed.select(
+        "doc_id", "copy", "lang", "shard", "bin_id", "n_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / similarity
 # ---------------------------------------------------------------------------
@@ -842,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_char": q_decontaminate_char,
         "resample_domains": q_resample_domains,
         "pipeline_curate": q_pipeline_curate,
+        "pipeline_curate_full": q_pipeline_curate_full,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
@@ -1040,6 +1076,31 @@ def oracle_sql() -> dict[str, str]:
     """
 
     quality = quality_sql("documents")
+
+    # shared CTE chain for the composed curation pipeline oracles:
+    # train slice → exact dedup → quality gate → 4-gram
+    # decontamination vs the doc_id % 23 eval slice → `clean`
+    pipe_prefix = (
+        "WITH tr AS (SELECT doc_id, text, lang FROM documents "
+        "WHERE doc_id % 23 <> 0), "
+        "ded AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, "
+        "min(doc_id) OVER (PARTITION BY text) AS k FROM tr) WHERE doc_id = k), "
+        f"qm AS ({quality_sql('ded')}), "
+        "qual AS (SELECT ded.doc_id, ded.text, ded.lang FROM ded "
+        "JOIN qm USING (doc_id) WHERE qm.quality_u >= 650000), "
+        "wt AS (SELECT doc_id, string_split(trim(regexp_replace("
+        "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS w FROM qual), "
+        "gt AS (SELECT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
+        "for i in range(1, len(w) - 2)]) AS gram FROM wt WHERE len(w) >= 4), "
+        "we AS (SELECT doc_id, string_split(trim(regexp_replace("
+        "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS w FROM documents "
+        "WHERE doc_id % 23 = 0), "
+        "ge AS (SELECT DISTINCT unnest([array_to_string(w[i:i+3], ' ') "
+        "for i in range(1, len(w) - 2)]) AS gram FROM we WHERE len(w) >= 4), "
+        "hits AS (SELECT DISTINCT gt.doc_id FROM gt JOIN ge USING (gram)), "
+        "clean AS (SELECT doc_id, lang, text FROM qual "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM hits)), "
+    )
     return {
         "scan_reshape": (
             "SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty "
@@ -1148,31 +1209,37 @@ def oracle_sql() -> dict[str, str]:
             "AS contaminated FROM documents d WHERE d.doc_id % 23 <> 0"
         ),
         "pipeline_curate": (
-            "WITH tr AS (SELECT doc_id, text, lang FROM documents "
-            "WHERE doc_id % 23 <> 0), "
-            "ded AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, "
-            "min(doc_id) OVER (PARTITION BY text) AS k FROM tr) WHERE doc_id = k), "
-            f"qm AS ({quality_sql('ded')}), "
-            "qual AS (SELECT ded.doc_id, ded.text, ded.lang FROM ded "
-            "JOIN qm USING (doc_id) WHERE qm.quality_u >= 650000), "
-            "wt AS (SELECT doc_id, string_split(trim(regexp_replace("
-            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS w FROM qual), "
-            "gt AS (SELECT doc_id, unnest([array_to_string(w[i:i+3], ' ') "
-            "for i in range(1, len(w) - 2)]) AS gram FROM wt WHERE len(w) >= 4), "
-            "we AS (SELECT doc_id, string_split(trim(regexp_replace("
-            "lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS w FROM documents "
-            "WHERE doc_id % 23 = 0), "
-            "ge AS (SELECT DISTINCT unnest([array_to_string(w[i:i+3], ' ') "
-            "for i in range(1, len(w) - 2)]) AS gram FROM we WHERE len(w) >= 4), "
-            "hits AS (SELECT DISTINCT gt.doc_id FROM gt JOIN ge USING (gram)), "
-            "clean AS (SELECT doc_id, lang, text FROM qual "
-            "WHERE doc_id NOT IN (SELECT doc_id FROM hits)), "
-            f"t AS (SELECT doc_id, lang, CAST({tok} AS BIGINT) AS n_tokens, "
+            pipe_prefix
+            + f"t AS (SELECT doc_id, lang, CAST({tok} AS BIGINT) AS n_tokens, "
             "doc_id % 8 AS shard FROM clean) "
             "SELECT doc_id, lang, shard, "
             "CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard "
             "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS bin_id, "
             "n_tokens FROM t"
+        ),
+        "pipeline_curate_full": (
+            pipe_prefix
+            + f"base AS (SELECT doc_id, lang, CAST({tok} AS BIGINT) "
+            "AS n_tokens FROM clean), "
+            "c AS (SELECT lang, count(*) AS cnt FROM base GROUP BY lang), "
+            "cq AS (SELECT lang, cnt, CAST(round(sqrt(cnt) * 1000000) "
+            "AS BIGINT) AS s_q FROM c), "
+            "z AS (SELECT sum(s_q) AS z, sum(cnt) AS n FROM cq), "
+            "wq AS (SELECT lang, CAST(round(s_q / z * n / cnt * 1000000) "
+            "AS BIGINT) AS w_q FROM cq, z), "
+            "r AS (SELECT b.doc_id, b.lang, b.n_tokens, w_q // 1000000 "
+            f"+ CASE WHEN ({_HEX32.format(s='CAST(b.doc_id AS VARCHAR)')} "
+            "% 10000) * 1000000 < (w_q % 1000000) * 10000 THEN 1 ELSE 0 END "
+            "AS k FROM base b JOIN wq ON b.lang IS NOT DISTINCT FROM wq.lang), "
+            "fan AS (SELECT doc_id, lang, n_tokens, "
+            "unnest(range(1, k + 1)) AS copy FROM r WHERE k >= 1), "
+            "ft AS (SELECT doc_id, copy, lang, n_tokens, doc_id % 8 AS shard "
+            "FROM fan) "
+            "SELECT doc_id, copy, lang, shard, "
+            "CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang, shard "
+            "ORDER BY doc_id, copy ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS bin_id, "
+            "n_tokens FROM ft"
         ),
         "decontaminate_char": (
             "WITH nt AS (SELECT doc_id, trim(regexp_replace(lower(text), "
