@@ -183,6 +183,35 @@ def ensure_bench_input(rows: int) -> None:
     spark.stop()
 
 
+def _engine_src_digest() -> str:
+    """Short content hash of every source file the size-parity numbers
+    depend on (codecs, engine, selector/stats, partitioning, input
+    generator) — the cache key component that ties cached byte counts
+    to the code that produced them."""
+    import glob
+    import hashlib
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "parquetry_spark")
+    paths = sorted(glob.glob(os.path.join(root, "codecs", "*.py"))) + [
+        os.path.join(root, name)
+        for name in (
+            "engine.py",
+            "selector.py",
+            "stats.py",
+            "partitioning.py",
+            "generator.py",
+        )
+    ]
+    h = hashlib.sha256()
+    for p in paths:
+        try:
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            h.update(p.encode())
+    return h.hexdigest()[:12]
+
+
 def size_parity_sizes(rows: int, engine_zstd: bool = False) -> dict:
     """Column-chunk bytes of the SAME bench input written by the
     standard parquet writer at three settings — the north-rule size
@@ -203,9 +232,14 @@ def size_parity_sizes(rows: int, engine_zstd: bool = False) -> dict:
     tests/test_block_comp.py::test_size_gate_bc_vs_parquet_zstd.
 
     Footer excluded on both sides (same convention as
-    tests/test_size_parity.py). Deterministic per (rows, seed) →
-    cached in /tmp across runs."""
-    cache = f"/tmp/spark_graft_size_parity_{rows}_{SEED}.json"
+    tests/test_size_parity.py). Deterministic per (rows, seed,
+    engine-source digest) → cached in /tmp across runs; the digest in
+    the key means a codec/selector/engine change invalidates the
+    cached engine bytes instead of silently reporting the OLD engine's
+    sizes as current north-rule evidence."""
+    cache = (
+        f"/tmp/spark_graft_size_parity_{rows}_{SEED}_{_engine_src_digest()}.json"
+    )
     out: dict = {}
     try:
         with open(cache) as fh:
@@ -594,7 +628,11 @@ def main() -> int:
     # of the hypervisor phase. Strictly budget-capped so a cold
     # window can't starve the scaling sampler (the primary artifact).
     lvl2 = max(4, headline_cores // 2)
-    if time.time() < t_start + 0.30 * budget:
+    if lvl2 == headline_cores:
+        # 4-core host: the "pair" would re-run the same level and
+        # overwrite its queries_by_level entry — no cross-level signal
+        print("second headline level equals first; skipping", file=sys.stderr)
+    elif time.time() < t_start + 0.30 * budget:
         times2 = run_headline(lvl2, min(deadline - 30, t_start + 0.42 * budget))
         if times2:
             result["queries_by_level"][f"local[{lvl2}]"] = times2

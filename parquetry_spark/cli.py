@@ -272,14 +272,25 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(res, default=str))
             return 0
         if args.cmd == "decode":
-            from .engine import decode_blocks, filter_columns, prune_blocks_for_expr
+            from .engine import (
+                decode_blocks,
+                filter_columns,
+                ordered_ltypes_view,
+                prune_blocks_for_expr,
+            )
 
             blocks = spark.read.parquet(args.blocks)
             cols = args.cols.split(",")
-            ltypes = {
-                r["column"]: r["ltype"]
-                for r in blocks.select("column", "ltype").distinct().collect()
-            }
+            # ordered view: DSL name resolution (projection cols first,
+            # then sorted) must match the decoded schema's field order —
+            # distinct().collect() row order is nondeterministic
+            ltypes = ordered_ltypes_view(
+                {
+                    r["column"]: r["ltype"]
+                    for r in blocks.select("column", "ltype").distinct().collect()
+                },
+                cols,
+            )
             decode_cols = cols
             if args.where:
                 # zone-map pruning from the filter's provable range

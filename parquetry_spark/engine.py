@@ -364,14 +364,33 @@ def _range_literal(ltype: str, node):
 
 
 def _resolve_name(col: str, ltypes: dict[str, str]) -> str | None:
-    """Resolve a DSL name against the block column set the way the
-    filter DSL itself does — exact first, then case-insensitive."""
-    if col in ltypes:
-        return col
+    """Resolve a DSL name against the block column set EXACTLY the way
+    the filter DSL does (parity.filters._Compiler.field_of): the FIRST
+    case-insensitive match in iteration order, with NO exact-match
+    preference. The kernel mask is only a sound superset of the exact
+    filter if both sides bind a name to the same column, so callers
+    must iterate `ltypes` in the decoded schema's column order — see
+    ordered_ltypes_view."""
     for k in ltypes:
         if k.lower() == col.lower():
             return k
     return None
+
+
+def ordered_ltypes_view(
+    ltypes: dict[str, str], columns: list[str]
+) -> dict[str, str]:
+    """`ltypes` reordered so name resolution matches the exact filter:
+    decode-output columns first (the order the DSL's field_of walks the
+    decoded schema), then any remaining block columns in sorted order
+    (deterministic — the CLI builds ltypes from a distinct().collect()
+    whose row order is not). With case-colliding column names, the
+    kernel mask and the Spark-side exact filter would otherwise bind
+    the same DSL name to different columns and silently drop rows."""
+    view = {c: ltypes[c] for c in columns if c in ltypes}
+    for k in sorted(ltypes):
+        view.setdefault(k, ltypes[k])
+    return view
 
 
 def filter_columns(expr: str, ltypes: dict[str, str]) -> list[str]:
@@ -511,6 +530,11 @@ def prune_blocks_for_expr(
     `expr` (filter_bounds). The exact filter must still run on the
     decoded rows — this only skips partitions that cannot match."""
     for col, (lo, hi) in filter_bounds(expr, ltypes).items():
+        if col.lower() == "part_id":
+            # the decoded schema leads with the synthetic part_id, so
+            # the exact filter binds THAT field, not this block column —
+            # pruning on its zone maps would drop rows the filter keeps
+            continue
         blocks = prune_blocks(blocks, col, lo=lo, hi=hi)
     return blocks
 
@@ -845,7 +869,12 @@ def encode_table(
     """
     from .partitioning import assign_part_id_range, sample_range_boundaries
 
-    columns = columns or [c for c in df.columns if c != "part_id"]
+    # any column ci-equal to "part_id" is a stale partition key, not
+    # data: Spark's default case-insensitive resolution makes the
+    # withColumn("part_id", ...) in every layout branch REPLACE it, so
+    # listing it in `columns` would make the encode kernel look up a
+    # field the clobbered batch no longer carries
+    columns = columns or [c for c in df.columns if c.lower() != "part_id"]
     if layout not in ("hash", "range"):
         raise ValueError(f"unknown layout {layout!r}: expected 'hash' or 'range'")
     if layout == "range" and url_col and url_col in df.columns:
@@ -1230,8 +1259,18 @@ def decode_blocks(
             return T.StructField(c, T.TimestampNTZType(), True, {"ltype": lt})
         raise KeyError(f"no Spark decode mapping for ltype {lt!r}")
 
-    bounds = filter_bounds(where, ltypes) if where else {}
-    sets = filter_sets(where, ltypes) if where else {}
+    # resolve DSL names in the decoded schema's column order so the
+    # kernel mask binds each name to the SAME column the caller's exact
+    # filter will (field_of walks schema fields first-ci-match)
+    lview = ordered_ltypes_view(ltypes, columns)
+    bounds = filter_bounds(where, lview) if where else {}
+    sets = filter_sets(where, lview) if where else {}
+    # the decoded schema's FIRST field is the synthetic part_id, so the
+    # exact filter binds a ci-"part_id" DSL name to it — never to a
+    # block column of that name; masking on the block column's values
+    # would drop rows the filter keeps
+    bounds = {k: v for k, v in bounds.items() if k.lower() != "part_id"}
+    sets = {k: v for k, v in sets.items() if k.lower() != "part_id"}
     need = list(dict.fromkeys(list(columns) + sorted(set(bounds) | set(sets))))
     schema = T.StructType(
         [T.StructField("part_id", T.LongType())] + [spark_field(c) for c in columns]

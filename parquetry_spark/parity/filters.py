@@ -282,7 +282,12 @@ def normalize_ltype_base(ltype: str) -> str:
 
 def raw_unit_of(base: str) -> int:
     """ns per stored unit for a normalized temporal base
-    (`time_us` → 1000). KeyError on non-temporal bases — callers gate."""
+    (`time_us` → 1000). KeyError on non-temporal bases — callers gate.
+    The guard must come first: bases without an underscore ('str')
+    would otherwise IndexError out of rsplit, breaking the documented
+    KeyError contract."""
+    if not base.startswith(("time_", "timestamp_")):
+        raise KeyError(base)
     return UNIT_NS_OF[base.rsplit("_", 1)[1]]
 
 
@@ -467,9 +472,7 @@ class _Compiler:
         # the reference's timeCompare (types.go:67-83) ignores the utc
         # flag — it only changes RENDERING.
         base = normalize_ltype_base(ltype)
-        unit = raw_unit_of(base)
-        if not base.startswith(("time_", "timestamp_")):
-            raise KeyError(base)  # same contract as the old table lookup
+        unit = raw_unit_of(base)  # raises KeyError on non-temporal bases
         if base.startswith("timestamp_") and base != "timestamp_ns":
             # Spark holds these as µs timestamps; compare in raw units
             col_units = F.unix_micros(col_c.cast("timestamp"))

@@ -146,35 +146,37 @@ def sample_range_boundaries(
     ("www.", country TLD mirrors), so any fixed-width prefix key
     collapses — string boundaries keep full lexicographic precision.
     The driver materializes at most RANGE_SAMPLE_CAP hosts (explicit
-    limit — never an unbounded collect); boundaries are part of a
+    cap — never an unbounded collect); boundaries are part of a
     run's identity and persist as JSON next to the salt map.
     Duplicate cut points are KEPT: a heavy host pinning k quantiles
     spans k+1 buckets and its rows salt across the span.
+
+    The cap is applied as a deterministic hash-ordered top-k
+    (orderBy(xxhash64) + limit → per-partition TakeOrdered, then a
+    driver merge of ≤cap rows per partition), NOT a bare limit(): a
+    bare limit short-circuits from the first partitions scanned, so on
+    input already clustered by host (a prior range-layout run's
+    output, host-sorted crawl shards) it would sample only a prefix of
+    the host space and funnel every host above it into the last
+    bucket — frozen for all resumes, since boundaries persist.
     """
-    hosts = [
-        r["h"]
-        for r in (
-            df.sample(fraction=min(sample, 1.0), seed=13)
-            .select(host_of(F.col(url_col)).alias("h"))
+
+    def cap_uniform(src):
+        return (
+            src.select(host_of(F.col(url_col)).alias("h"))
             .filter(F.col("h").isNotNull())
+            .orderBy(F.xxhash64(F.col("h"), F.lit(13)))
             .limit(RANGE_SAMPLE_CAP)
             .collect()
         )
-    ]
+
+    hosts = [r["h"] for r in cap_uniform(df.sample(fraction=min(sample, 1.0), seed=13))]
     if not hosts:
         # a sparse sample on a small table can return ZERO rows — and
         # the degenerate all-empty boundary list would funnel every
         # host into one partition AND persist as the run's identity.
         # Retry with a bounded unsampled scan before accepting that.
-        hosts = [
-            r["h"]
-            for r in (
-                df.select(host_of(F.col(url_col)).alias("h"))
-                .filter(F.col("h").isNotNull())
-                .limit(RANGE_SAMPLE_CAP)
-                .collect()
-            )
-        ]
+        hosts = [r["h"] for r in cap_uniform(df)]
     if not hosts:
         return [""] * (n_parts - 1)  # genuinely empty input
     hosts.sort()
@@ -199,6 +201,14 @@ def assign_part_id_range(
 
     from pyspark.sql import types as T
 
+    stale = [c for c in df.columns if c.lower() == "part_id"]
+    if stale:
+        # replace semantics, matching the hash layout's withColumn
+        # (which substitutes case-insensitively under Spark's default
+        # resolution): a re-encode of decode_blocks output carries a
+        # stale part_id — two same-named fields would make the
+        # repartition("part_id") that follows ambiguous
+        df = df.drop(*stale)
     bounds = np.array(list(boundaries), dtype=str)
     in_fields = df.schema.fields
     out_schema = T.StructType(in_fields + [T.StructField("part_id", T.IntegerType())])

@@ -1,0 +1,172 @@
+"""Regression tests for the round-5 full-diff review findings:
+
+1. decode-kernel mask name resolution must match the filter DSL's
+   (first case-insensitive schema match, projection order — no
+   exact-match preference, no dict-order dependence);
+2. assign_part_id_range must REPLACE an existing part_id column
+   (hash layout's withColumn semantics), not append a duplicate;
+3. sample_range_boundaries must not sample a lexicographic prefix of
+   the host space on host-clustered input;
+4. raw_unit_of must keep its KeyError contract for non-temporal bases.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- 1
+
+
+def test_resolve_name_matches_dsl_resolution():
+    """_resolve_name must pick the FIRST case-insensitive match in
+    iteration order — exactly parity.filters._Compiler.field_of — even
+    when a later key matches exactly."""
+    from parquetry_spark.engine import _resolve_name
+
+    assert _resolve_name("id", {"ID": "int64", "id": "str"}) == "ID"
+    assert _resolve_name("id", {"id": "str", "ID": "int64"}) == "id"
+    assert _resolve_name("missing", {"id": "str"}) is None
+
+
+def test_ordered_ltypes_view_is_projection_first_then_sorted():
+    from parquetry_spark.engine import ordered_ltypes_view
+
+    lt = {"zz": "str", "ID": "int64", "aa": "int32"}
+    view = ordered_ltypes_view(lt, ["ID"])
+    assert list(view) == ["ID", "aa", "zz"]
+    # projection columns missing from ltypes are skipped, not invented
+    view2 = ordered_ltypes_view(lt, ["nope", "zz"])
+    assert list(view2) == ["zz", "ID", "aa"]
+    assert view2["zz"] == "str"
+
+
+def test_filter_bounds_binds_case_collisions_like_the_schema():
+    """With two columns differing only by case, the kernel's range
+    extraction must bind the DSL name to the same column the exact
+    filter's field_of will: the first ci match in decoded-schema
+    order, regardless of how the ltypes dict was accumulated."""
+    from parquetry_spark.engine import filter_bounds, ordered_ltypes_view
+
+    for accumulation_order in (
+        {"score": "int64", "SCORE": "float64"},
+        {"SCORE": "float64", "score": "int64"},
+    ):
+        view = ordered_ltypes_view(accumulation_order, ["SCORE", "score"])
+        bounds = filter_bounds("score > 5", view)
+        assert list(bounds) == ["SCORE"]  # first in projection order
+
+
+def test_encode_table_treats_ci_part_id_as_stale_key(spark):
+    """Any input column ci-equal to part_id is a stale partition key:
+    Spark's case-insensitive withColumn REPLACES it in every layout
+    branch, so encoding it as data would make the kernel look up a
+    field the batch no longer carries (was: worker KeyError)."""
+    from parquetry_spark.engine import encode_table
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "Part_ID: long, doc: string"
+    )
+    blocks = encode_table(df, n_parts=4, url_col=None, ts_col=None)
+    assert [r["column"] for r in blocks.select("column").distinct().collect()] == [
+        "doc"
+    ]
+
+
+def test_decode_mask_never_binds_synthetic_part_id(spark):
+    """A block column named Part_ID (encode_preserve CAN produce one —
+    no partition-key substitution there) ci-collides with the
+    synthetic part_id the decoded schema leads with; the exact filter
+    binds the synthetic field, so neither the kernel mask nor zone-map
+    pruning may consult the block column — rows must survive to the
+    exact filter."""
+    from parquetry_spark.engine import (
+        decode_blocks,
+        encode_preserve,
+        prune_blocks_for_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "Part_ID: long, doc: string"
+    )
+    blocks = encode_preserve(df)
+    ltypes = {"Part_ID": "int64", "doc": "str"}
+    # a mask bound to the Part_ID VALUES would drop every row (< -1
+    # matches none); bound correctly — to nothing, since the decoded
+    # schema's part_id is synthetic — all rows survive the kernel
+    pruned = prune_blocks_for_expr(blocks, "part_id < -1", ltypes)
+    out = decode_blocks(pruned, ["Part_ID", "doc"], ltypes, where="part_id < -1")
+    assert out.count() == 40
+
+
+# ---------------------------------------------------------------- 2
+
+
+def test_range_layout_replaces_existing_part_id(spark):
+    from parquetry_spark.partitioning import (
+        assign_part_id_range,
+        sample_range_boundaries,
+    )
+
+    df = spark.createDataFrame(
+        [(f"https://h{i % 7}.example/p{i}", i % 3) for i in range(60)],
+        "url: string, part_id: int",
+    )
+    bounds = sample_range_boundaries(df, "url", 4, sample=1.0)
+    keyed = assign_part_id_range(df, bounds, "url")
+    assert keyed.columns.count("part_id") == 1
+    # and the repartition that encode_table performs must analyze
+    keyed.repartition(8, "part_id").count()
+
+
+# ---------------------------------------------------------------- 3
+
+
+def test_boundary_sample_covers_clustered_input(spark, monkeypatch):
+    """Host-sorted input + a cap smaller than the table: a bare
+    limit() would return a lexicographic prefix and push every later
+    host into the final bucket. The hash-ordered cap must instead
+    spread boundary mass across the whole host space."""
+    import parquetry_spark.partitioning as pmod
+
+    monkeypatch.setattr(pmod, "RANGE_SAMPLE_CAP", 64)
+    hosts = [f"{chr(ord('a') + i // 40)}{i:04d}.example" for i in range(1000)]
+    df = (
+        spark.createDataFrame([(f"https://{h}/x",) for h in hosts], "url: string")
+        .coalesce(1)  # one partition, rows in sorted order — the
+        # exact layout a prior range run or sorted shards produce
+    )
+    bounds = pmod.sample_range_boundaries(df, "url", 8, sample=1.0)
+    assert len(bounds) == 7
+    # the 1000 hosts span first letters a..z; a prefix sample of 64
+    # would put every cut below "b". At least one cut must land in
+    # the upper half of the alphabet.
+    assert max(bounds) > "m", bounds
+    # determinism: boundaries are a run's persisted identity
+    assert bounds == pmod.sample_range_boundaries(df, "url", 8, sample=1.0)
+
+
+# ---------------------------------------------------------------- 4
+
+
+def test_raw_unit_of_keyerror_contract():
+    from parquetry_spark.parity.filters import raw_unit_of
+
+    with pytest.raises(KeyError):
+        raw_unit_of("str")  # no underscore: was IndexError
+    with pytest.raises(KeyError):
+        raw_unit_of("float64")
+    with pytest.raises(KeyError):
+        raw_unit_of("vec_float32")  # underscore but not temporal
+    assert raw_unit_of("time_us") == 1000
+    assert raw_unit_of("timestamp_ns") == 1
+
+
+# ---------------------------------------------------------------- 5
+
+
+def test_size_parity_cache_key_carries_engine_digest():
+    import bench
+
+    d = bench._engine_src_digest()
+    assert len(d) == 12 and int(d, 16) >= 0
+    assert d == bench._engine_src_digest()  # stable within a tree
