@@ -1,0 +1,61 @@
+"""The external driver's canonicalization contract, pinned.
+
+The driver imports `__spark_entry__`, runs every `queries()` entry,
+then pandas-`sort_values`-and-`pd.factorize`s EVERY result column to
+build the value hash it compares against the DuckDB oracle. An
+array/map/struct column in any result therefore crashes the driver
+(unhashable in factorize / unorderable in sort_values) even when the
+local oracle checker passes — so "no complex types in a query result
+schema" is a hard product invariant, not a style rule.
+
+Plan-build only (df.schema is resolved without executing the job), so
+the whole registry is checked in seconds at sf0.001.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.conftest import SF_DIR  # noqa: E402
+
+_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+
+def test_no_complex_columns_in_any_query_result(spark):
+    violations = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)]
+        if bad:
+            violations[name] = bad
+    assert not violations, (
+        "driver-crashing complex result columns (pd.factorize/sort_values "
+        f"cannot canonicalize them): {violations}"
+    )
+
+
+def test_every_query_has_oracle_or_is_known_rows_only():
+    """`oracle_sql()` must cover queries() except the documented
+    rows-only set — a new query landing without an oracle silently
+    downgrades its correctness gate."""
+    rows_only = {"encode_manifest_full"}
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert oracles <= qs, f"oracles without queries: {sorted(oracles - qs)}"
+    assert qs - oracles == rows_only, (
+        f"queries missing an oracle beyond the documented rows-only set: "
+        f"{sorted((qs - oracles) - rows_only)}"
+    )
+
+
+def test_entry_runs_and_is_driver_safe(spark):
+    df = entrymod.entry(spark)
+    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, _COMPLEX)]
+    assert not bad
+    assert df.count() >= 0
