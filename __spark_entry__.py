@@ -472,6 +472,25 @@ def q_fingerprint(spark, sf):
     return df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_repetition(spark, sf):
+    """Gopher/MassiveText repetition signals
+    (textops.repetition_profile): duplicate-word fraction, top
+    word-2-gram occurrence fraction, char-weighted duplicate-line
+    fraction — all integer micros, all row-local zero-shuffle
+    codegen (the top-gram mode is a sorted-array run-length fold,
+    not an explode + groupBy)."""
+    from parquetry_spark.textops import repetition_profile
+
+    df = _t(spark, sf, "documents")
+    return repetition_profile(df).select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac_u",
+        "top2gram_frac_u",
+        "dup_line_char_frac_u",
+    )
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing (curation.pack_sequences): documents →
     (lang, shard, bin) assignments under a 512-token budget. The
@@ -871,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
         "pack_sequences": q_pack_sequences,
         "group_split": q_group_split,
         "decontaminate": q_decontaminate,
@@ -1278,6 +1298,46 @@ def oracle_sql() -> dict[str, str]:
             "WHEN h_es > 0 THEN 'es' ELSE 'und' END AS lang_guess FROM h"
         ),
         "quality": quality,
+        "repetition": (
+            # same normalization as the Spark side (word_ngrams
+            # docstring: \p{L}\p{N} is identical in Java regex and
+            # DuckDB/RE2); micros = floor over the same IEEE double
+            # division on both engines, so the value hash is exact
+            r"WITH w AS (SELECT doc_id, string_split(trim("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')"
+            r"), ' ') AS w FROM documents), "
+            "wn AS (SELECT doc_id, "
+            "CASE WHEN w[1] = '' THEN 0 ELSE len(w) END AS n, "
+            "CASE WHEN w[1] = '' THEN 0 ELSE len(list_distinct(w)) END "
+            "AS nd FROM w), "
+            "g AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] "
+            "for i in range(1, len(w))]) AS gram "
+            "FROM w WHERE len(w) >= 2 AND w[1] <> ''), "
+            "gc AS (SELECT doc_id, gram, count(*) AS c FROM g "
+            "GROUP BY doc_id, gram), "
+            "gt AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM gc "
+            "GROUP BY doc_id), "
+            "l AS (SELECT doc_id, line FROM documents, "
+            "unnest(string_split(text, chr(10))) AS t(line) "
+            "WHERE trim(line) <> ''), "
+            "lc AS (SELECT doc_id, line, count(*) AS c, "
+            "length(line) AS L FROM l GROUP BY doc_id, line), "
+            "ld AS (SELECT doc_id, sum(c * L) AS tot, "
+            "sum(CASE WHEN c > 1 THEN c * L ELSE 0 END) AS dup FROM lc "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(wn.n, 0) AS BIGINT) AS n_words, "
+            "CAST(CASE WHEN wn.n > 0 THEN "
+            "floor(1000000 * (wn.n - wn.nd) / wn.n) ELSE 0 END AS BIGINT) "
+            "AS dup_word_frac_u, "
+            "CAST(CASE WHEN gt.tot > 0 THEN "
+            "floor(1000000 * gt.mx / gt.tot) ELSE 0 END AS BIGINT) "
+            "AS top2gram_frac_u, "
+            "CAST(CASE WHEN ld.tot > 0 THEN "
+            "floor(1000000 * ld.dup / ld.tot) ELSE 0 END AS BIGINT) "
+            "AS dup_line_char_frac_u "
+            "FROM documents d LEFT JOIN wn USING (doc_id) "
+            "LEFT JOIN gt USING (doc_id) LEFT JOIN ld USING (doc_id)"
+        ),
         "fingerprint": (
             "SELECT doc_id, list_min(list_transform("
             "generate_series(1, greatest(length(text) - 7, 1)), "

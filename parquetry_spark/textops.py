@@ -129,6 +129,152 @@ def fingerprint(col: Column, k: int = 8) -> Column:
     )
 
 
+_MICROS = 1_000_000
+
+
+def _frac_micros(num: Column, den: Column) -> Column:
+    """floor(1e6 * num/den) as a long, 0 on an empty denominator.
+    Integer micros, not a double ratio: the double division is the
+    same IEEE operation in Spark and DuckDB so floor agrees, and the
+    driver's value hash never sees float formatting drift."""
+    zero = F.lit(0).cast("long")
+    return F.when(den > 0, F.floor(num * F.lit(_MICROS) / den)).otherwise(zero)
+
+
+def _norm_words(col: Column) -> Column:
+    """Word array under the decontamination normalization (lowercase,
+    `\\p{L}\\p{N}` folding — identical in Java regex and DuckDB/RE2;
+    see curation.word_ngrams for why not an ASCII-only class).
+    Empty/symbol-only text normalizes to `['']` — callers gate on
+    `element_at(words, 1) != ''`."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " ")), " "
+    )
+
+
+def word_count_norm(col: Column) -> Column:
+    """Number of normalized words (0 for empty/symbol-only text)."""
+    words = _norm_words(col)
+    return (
+        F.when(F.element_at(words, 1) != F.lit(""), F.size(words))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def dup_word_frac_micros(col: Column) -> Column:
+    """Fraction (micros) of normalized words that are repeats of an
+    earlier word — `(n - n_distinct) / n`. The first of the
+    MassiveText/Gopher repetition signals; high values flag listings,
+    keyword stuffing and boilerplate that simple length/stopword
+    quality scores miss. Row-local (no shuffle)."""
+    words = _norm_words(col)
+    ok = F.element_at(words, 1) != F.lit("")
+    n = F.when(ok, F.size(words)).otherwise(F.lit(0)).cast("long")
+    nd = F.size(F.array_distinct(words)).cast("long")
+    return _frac_micros(n - nd, n)
+
+
+def top_gram_frac_micros(col: Column, n: int = 2) -> Column:
+    """Fraction (micros) of word n-gram occurrences taken by the
+    single most frequent n-gram — Gopher's "top n-gram fraction"
+    repetition filter. Computed without exploding: sort the
+    (non-distinct) gram array and take the longest run of equal
+    adjacent elements via one incremental F.aggregate, so the whole
+    statistic is a row-local codegen expression — the naive
+    explode + groupBy(doc, gram) + window formulation would shuffle
+    every gram of every document."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = _norm_words(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    ok = (F.size(words) >= F.lit(n)) & (F.element_at(words, 1) != F.lit(""))
+    grams = F.when(ok, grams).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(grams)
+    zero = F.lit(0).cast("long")
+    # grams are never '' (words are non-empty post-guard) so '' is a
+    # safe run sentinel
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        new_run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    best = F.aggregate(srt, init, merge, lambda a: a["best"])
+    return _frac_micros(best, F.size(srt).cast("long"))
+
+
+def dup_line_char_frac_micros(col: Column) -> Column:
+    """Fraction (micros) of characters that sit inside duplicated
+    non-blank lines — Gopher's char-weighted duplicate-line filter
+    (a 500-char legal footer repeated 3x weighs its bytes, not 1
+    line). Same zero-shuffle shape as top_gram_frac_micros: sort the
+    line array and fold run-lengths in one F.aggregate, flushing a
+    run's `count * len` into the duplicate tally when it ends (the
+    finish lambda flushes the final run)."""
+    lines = F.filter(
+        F.split(col, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    srt = F.array_sort(lines)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("dup")
+    )
+
+    def flushed(acc: Column) -> Column:
+        return acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"]).cast("long")
+        ).otherwise(zero)
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("run"),
+            F.when(same, acc["dup"]).otherwise(flushed(acc)).alias("dup"),
+        )
+
+    dup = F.aggregate(srt, init, merge, flushed)
+    total = F.aggregate(
+        lines, zero, lambda a, x: a + F.length(x).cast("long")
+    )
+    return _frac_micros(dup, total)
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText repetition signals, one narrow zero-shuffle
+    projection per document: normalized word count, duplicate-word
+    fraction, top word-2-gram occurrence fraction, and char-weighted
+    duplicate-line fraction (all integer micros). These catch the
+    repetition pathologies (boilerplate, stuffing, templated spam)
+    that quality_score's length/punct/stopword ratios can't."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_words": word_count_norm(c),
+            "dup_word_frac_u": dup_word_frac_micros(c),
+            "top2gram_frac_u": top_gram_frac_micros(c, 2),
+            "dup_line_char_frac_u": dup_line_char_frac_micros(c),
+        }
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One narrow projection with all text-analysis columns."""
     c = F.col(text_col)

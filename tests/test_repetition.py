@@ -1,0 +1,98 @@
+"""Gopher/MassiveText repetition signals (textops.repetition_profile).
+
+Hand-computed fixtures for all four statistics plus the degenerate
+inputs (empty text, symbol-only text, blank lines), and a plan
+assertion that the whole profile stays row-local JVM codegen — no
+Python eval, no Exchange (the top-gram mode is a sorted-array
+run-length fold, never an explode + groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _profile_rows(spark, rows):
+    from parquetry_spark.textops import repetition_profile
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_profile(df).select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac_u",
+        "top2gram_frac_u",
+        "dup_line_char_frac_u",
+    )
+    return {r["doc_id"]: tuple(r)[1:] for r in out.collect()}
+
+
+def test_hand_computed_fixtures(spark):
+    got = _profile_rows(
+        spark,
+        [
+            # 3 words / 1 distinct -> 2/3; grams ["a a","a a"] -> 2/2
+            (0, "a a a"),
+            # 4 distinct words; 3 distinct grams -> 1/3
+            (1, "the quick brown fox"),
+            # words: x y x y foo bar x y -> 8 words 4 distinct;
+            # 7 grams, "x y" x3 -> 3/7; lines kept: "x y","x y",
+            # "foo bar","x y" (blank + whitespace-only dropped) ->
+            # dup chars 3*3=9 of 16
+            (4, "x y\nx y\nfoo bar\n\n  \nx y"),
+            # 6 words 2 distinct -> 4/6; grams "one two" x3 of 5 -> 3/5
+            (5, "one two one two one two"),
+        ],
+    )
+    assert got[0] == (3, 666666, 1000000, 0)
+    assert got[1] == (4, 0, 333333, 0)
+    assert got[4] == (8, 500000, 428571, 562500)
+    assert got[5] == (6, 666666, 600000, 0)
+
+
+def test_degenerate_inputs_all_zero(spark):
+    got = _profile_rows(
+        spark,
+        [
+            (2, ""),  # normalizes to [''] -> 0 words, no grams
+            (3, "!!! ???"),  # symbol-only folds to '' too
+            (6, "word"),  # 1 word: no 2-grams, no dup possible
+            (7, "\n \n\t\n"),  # only blank lines
+        ],
+    )
+    assert got[2] == (0, 0, 0, 0)
+    assert got[3] == (0, 0, 0, 0)
+    assert got[6] == (1, 0, 0, 0)
+    # whitespace is non-\p{L}\p{N} so the word normalizer folds it all
+    # away (0 words); the '\t' line survives Spark's space-only trim
+    # but is a single occurrence -> no duplicate chars
+    assert got[7] == (0, 0, 0, 0)
+
+
+def test_normalization_matches_word_ngrams(spark):
+    """Case folding and symbol folding follow curation.word_ngrams:
+    'Foo,BAR foo!' -> [foo, bar, foo]."""
+    got = _profile_rows(spark, [(0, "Foo,BAR foo!")])
+    n_words, dup_u, top_u, _ = got[0]
+    assert n_words == 3
+    assert dup_u == 333333  # 1 repeat of 3
+    assert top_u == 500000  # grams: "foo bar","bar foo" -> 1/2
+
+
+def test_duplicate_line_char_weighting(spark):
+    """A long repeated line dominates the char-weighted fraction even
+    when most LINES are unique — the reason Gopher weights by chars."""
+    footer = "this is a very long legal footer " * 4  # 136 chars
+    text = "\n".join(["u1", "u2", "u3", footer.strip(), footer.strip()])
+    got = _profile_rows(spark, [(0, text)])
+    dup_chars = 2 * len(footer.strip())
+    total = dup_chars + 6
+    assert got[0][3] == 1_000_000 * dup_chars // total
+
+
+def test_stays_jvm_side_zero_shuffle(spark):
+    from parquetry_spark.textops import repetition_profile
+
+    df = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    plan = repetition_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
