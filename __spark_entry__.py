@@ -491,6 +491,18 @@ def q_repetition(spark, sf):
     )
 
 
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (sessions.session_stats): one shuffle
+    on user_id shared by lag + running-sum + rollup; 12 h gap chosen
+    so the synthetic event stream (median inter-event gap ~7 h)
+    exercises both break and continue paths. Stats are exact integer
+    micros — no float aggregation order dependence."""
+    from parquetry_spark.sessions import session_stats
+
+    df = _t(spark, sf, "events")
+    return session_stats(df, gap_s=43_200)
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing (curation.pack_sequences): documents →
     (lang, shard, bin) assignments under a 512-token budget. The
@@ -891,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
+        "sessionize": q_sessionize,
         "pack_sequences": q_pack_sequences,
         "group_split": q_group_split,
         "decontaminate": q_decontaminate,
@@ -1337,6 +1350,23 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_line_char_frac_u "
             "FROM documents d LEFT JOIN wn USING (doc_id) "
             "LEFT JOIN gt USING (doc_id) LEFT JOIN ld USING (doc_id)"
+        ),
+        "sessionize": (
+            # same total order (ts, event_id) and integer-micro break
+            # rule as sessions.sessionize; 12 h = 43_200_000_000 us
+            "WITH o AS (SELECT user_id, event_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS pts FROM events), "
+            "b AS (SELECT *, CASE WHEN pts IS NULL OR "
+            "epoch_us(ts) - epoch_us(pts) > 43200000000 THEN 1 ELSE 0 "
+            "END AS brk FROM o), "
+            "c AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS session_seq FROM b) "
+            "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+            "count(*) AS n_events, min(epoch_us(ts)) AS start_us, "
+            "max(epoch_us(ts)) AS end_us "
+            "FROM c GROUP BY user_id, session_seq"
         ),
         "fingerprint": (
             "SELECT doc_id, list_min(list_transform("

@@ -1,0 +1,74 @@
+"""Gap-based sessionization over event logs (batch form).
+
+The classic event-analytics operator the reference's filter/reshape
+surface can't express: assign each event a per-entity session sequence
+number, breaking a session when the gap to the previous event exceeds
+a threshold.
+
+100-TB shape: ONE shuffle on the entity key (the two window functions
+and the per-session aggregation all share the same partitioning, so
+Catalyst plans a single Exchange), then lag + a running sum + a
+partial-aggregated groupBy. Skewed entities (one bot user with 10^9
+events) serialize their own window partition — for those corpora,
+pre-split hot keys on a coarse time bucket before sessionizing
+(the same salting idea partitioning.py uses for crawl hosts).
+
+The streaming twin is Structured Streaming's native
+``session_window(ts, gap)`` aggregation — this module is the batch
+semantics that a backfill must match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Events + a ``session_seq`` column (1-based per entity, in time
+    order). A new session starts at the entity's first event and at
+    every event whose gap to the previous one exceeds ``gap_s``.
+
+    ``order_cols`` breaks timestamp ties deterministically (equal
+    timestamps always share a session — the gap is 0 — but a total
+    order keeps lag/sum replayable and oracle-replicable). Times
+    compare in stored microseconds (unix_micros), so the break rule
+    is exact integer math — no float drift against a SQL oracle.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = us - F.unix_micros(prev.cast("timestamp"))
+    brk = F.when(
+        prev.isNull() | (gap > F.lit(int(gap_s) * 1_000_000)), F.lit(1)
+    ).otherwise(F.lit(0))
+    seq = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn("session_seq", seq.cast("long"))
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Per-session rollup: event count and start/end in stored
+    microseconds (exact integers — deterministic under any
+    aggregation order, unlike a float value sum)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        sessionize(df, user_col, ts_col, gap_s, order_cols)
+        .groupBy(user_col, "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+        )
+    )

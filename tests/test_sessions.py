@@ -1,0 +1,80 @@
+"""Gap-based sessionization (parquetry_spark.sessions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ev(uid, eid, minute):
+    return (eid, dt.datetime(2024, 1, 1, 0, minute), uid)
+
+
+def _build(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+
+
+def test_breaks_and_sequence(spark):
+    from parquetry_spark.sessions import sessionize
+
+    # user 1: events at minute 0, 5, 40, 41 with a 10-minute gap ->
+    # sessions (0,5) then (40,41); user 2: one event
+    df = _build(
+        spark,
+        [_ev(1, 10, 0), _ev(1, 11, 5), _ev(1, 12, 40), _ev(1, 13, 41), _ev(2, 20, 7)],
+    )
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap_s=600).collect()
+    }
+    assert out == {10: 1, 11: 1, 12: 2, 13: 2, 20: 1}
+
+
+def test_exact_gap_does_not_break(spark):
+    """The rule is strictly-greater-than: a gap of exactly gap_s
+    continues the session (integer-micro comparison, no float)."""
+    from parquetry_spark.sessions import sessionize
+
+    df = _build(spark, [_ev(1, 1, 0), _ev(1, 2, 10)])
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(df, gap_s=600).collect()}
+    assert out == {1: 1, 2: 1}
+
+
+def test_timestamp_ties_share_a_session(spark):
+    from parquetry_spark.sessions import sessionize
+
+    df = _build(spark, [_ev(1, 2, 0), _ev(1, 1, 0), _ev(1, 3, 30)])
+    rows = sessionize(df, gap_s=600).collect()
+    assert {r["event_id"]: r["session_seq"] for r in rows} == {1: 1, 2: 1, 3: 2}
+
+
+def test_session_stats_rollup(spark):
+    from parquetry_spark.sessions import session_stats
+
+    df = _build(
+        spark, [_ev(1, 10, 0), _ev(1, 11, 5), _ev(1, 12, 40), _ev(2, 20, 7)]
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in session_stats(df, gap_s=600).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert got[(1, 1)] == (2, base, base + 5 * 60_000_000)
+    assert got[(1, 2)] == (1, base + 40 * 60_000_000, base + 40 * 60_000_000)
+    assert got[(2, 1)] == (1, base + 7 * 60_000_000, base + 7 * 60_000_000)
+
+
+def test_single_exchange_plan(spark):
+    """lag + running sum + rollup all share the user_id partitioning:
+    exactly ONE Exchange in the whole plan (the shape that survives
+    10^12 events — re-shuffling between the window and the groupBy
+    would double the network cost)."""
+    from parquetry_spark.sessions import session_stats
+
+    df = _build(spark, [_ev(1, 1, 0), _ev(1, 2, 5)])
+    plan = session_stats(df, gap_s=600)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
