@@ -17,6 +17,9 @@ Design:
   windowed_ingest_stats: a watermarked tumbling-window aggregation
     over warc_ts (late data tolerated up to the watermark) for
     monitoring ingest lag — the standard streaming-agg shape.
+  stream_sessions: watermarked session_window rollup, the streaming
+    twin of sessions.session_stats (batch backfill matches
+    set-exactly — tested).
 """
 
 from __future__ import annotations
@@ -178,6 +181,41 @@ def windowed_ingest_stats(
             F.count("*").alias("n_pages"),
             F.sum(F.length("text")).alias("text_bytes"),
         )
+    )
+
+
+def stream_sessions(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of sessions.session_stats: a watermarked
+    `session_window` aggregation whose closed sessions carry the same
+    (user, n_events, start_us, end_us) rows the batch rollup computes.
+
+    The two agree bit-for-bit on the break boundary: session_window
+    MERGES an event arriving exactly `gap` after the previous one
+    (probed empirically — the merge test is touch-inclusive), which is
+    the batch rule's strict `gap > gap_s` break. The equivalence is
+    pinned by tests/test_streaming.py::test_stream_sessions_matches_batch,
+    so a streaming pipeline can be backfilled by the batch operator
+    without seam sessions at the handover point.
+
+    Late events inside the watermark re-open/merge their session
+    (native session_window state); events later than the watermark are
+    dropped — the batch backfill is the recovery path for those.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros(F.col(ts_col))).alias("start_us"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("end_us"),
+        )
+        .select(user_col, "n_events", "start_us", "end_us")
     )
 
 

@@ -139,3 +139,56 @@ def test_stream_curate_matches_batch(spark, tmp_path):
     assert sorted(tuple(r) for r in got.select(*key).collect()) == sorted(
         tuple(r) for r in want.select(*key).collect()
     )
+
+
+def test_stream_sessions_matches_batch(spark, tmp_path):
+    """The session_window streaming rollup and the batch
+    sessions.session_stats agree set-exactly on the same events —
+    including the break boundary (session_window merges an event
+    arriving EXACTLY gap after the previous; the batch rule's strict
+    `gap > gap_s` is the same boundary) and across micro-batches
+    (maxFilesPerTrigger=1 forces session-state merging between
+    batches). Watermark is set wider than the input's disorder so no
+    event is late-dropped — the equivalence claim is for in-watermark
+    data; beyond it the batch operator IS the recovery path."""
+    import datetime
+
+    from parquetry_spark.sessions import session_stats
+    from parquetry_spark.streaming import stream_sessions
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(10):
+        t = 0
+        for i in range(20):
+            t += ((u * 7 + i * 13) % 40) * 60  # gaps 0..39 min incl. exact-gap ties
+            rows.append((eid, base + datetime.timedelta(seconds=t), u))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    in_dir = str(tmp_path / "sess_in")
+    df.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    batch = {
+        tuple(r)
+        for r in session_stats(spark.read.parquet(in_dir), gap_s=600)
+        .select("user_id", "n_events", "start_us", "end_us")
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_sessions(stream, gap="600 seconds", watermark="48 hours")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_eq")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess_eq").collect()}
+    assert len(batch) > 100  # non-trivial: many multi-event sessions
+    assert got == batch
