@@ -18,6 +18,8 @@ Engine commands (the north-rule pipeline, spark-submit friendly):
     gen     --out DIR --rows N [--seed S]
     report  --out DIR
     curate  --in DOCS --out DIR [--dedup] [--quality-min Q]
+            [--max-dup-word-frac F] [--max-top2gram-frac F]
+            [--max-dup-line-frac F]
             [--eval EVAL --ngram N] [--split COL --val-pct P]
             [--resample COL --alpha A] [--pack COL --budget B --shards S]
 
@@ -197,6 +199,21 @@ def main(argv: list[str] | None = None) -> int:
         help="drop docs with quality score below this [0,1] threshold",
     )
     p.add_argument(
+        "--max-dup-word-frac", type=float, default=None, metavar="F",
+        help="drop docs whose duplicate-word fraction exceeds F [0,1] "
+        "(Gopher repetition filter; row-local, no shuffle)",
+    )
+    p.add_argument(
+        "--max-top2gram-frac", type=float, default=None, metavar="F",
+        help="drop docs whose most frequent word 2-gram exceeds "
+        "fraction F of all 2-gram occurrences",
+    )
+    p.add_argument(
+        "--max-dup-line-frac", type=float, default=None, metavar="F",
+        help="drop docs with more than fraction F of characters inside "
+        "duplicated non-blank lines",
+    )
+    p.add_argument(
         "--eval", dest="eval_path", default=None,
         help="parquet of eval/benchmark docs: flag+drop training docs "
         "sharing any word --ngram with it",
@@ -349,6 +366,29 @@ def main(argv: list[str] | None = None) -> int:
                 df = df.filter(
                     quality_score_micros(F.col(args.text_col))
                     >= F.lit(int(args.quality_min * 1_000_000))
+                )
+            # Gopher-style repetition gates (textops): row-local
+            # integer-micro thresholds, same plan — no extra stage
+            if args.max_dup_word_frac is not None:
+                from .textops import dup_word_frac_micros
+
+                df = df.filter(
+                    dup_word_frac_micros(F.col(args.text_col))
+                    <= F.lit(int(args.max_dup_word_frac * 1_000_000))
+                )
+            if args.max_top2gram_frac is not None:
+                from .textops import top_gram_frac_micros
+
+                df = df.filter(
+                    top_gram_frac_micros(F.col(args.text_col), 2)
+                    <= F.lit(int(args.max_top2gram_frac * 1_000_000))
+                )
+            if args.max_dup_line_frac is not None:
+                from .textops import dup_line_char_frac_micros
+
+                df = df.filter(
+                    dup_line_char_frac_micros(F.col(args.text_col))
+                    <= F.lit(int(args.max_dup_line_frac * 1_000_000))
                 )
             if args.eval_path:
                 ev = spark.read.parquet(args.eval_path)

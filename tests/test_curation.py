@@ -450,3 +450,50 @@ def test_pack_after_resample_deterministic_with_tie_cols(spark):
         a.select(*key).orderBy(*key).collect()
         == b.select(*key).orderBy(*key).collect()
     )
+
+
+def test_cli_curate_repetition_gates(spark, tmp_path, monkeypatch):
+    """The Gopher repetition gates drop the stuffed/templated docs and
+    keep the clean ones, inside the same single curate plan."""
+    import contextlib
+    import io
+    import json
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+
+    clean = [(i, " ".join(f"tok{i}x{j}" for j in range(20))) for i in range(10)]
+    stuffed = [(100, "buy cheap pills " * 40)]  # dup_word ~ 0.97, top2gram high
+    footer = "all rights reserved worldwide " * 4
+    lined = [(200, "\n".join(["unique line one", footer, footer, footer]))]
+    docs = spark.createDataFrame(
+        clean + stuffed + lined, "doc_id long, text string"
+    )
+    inp = str(tmp_path / "rg_in"); outp = str(tmp_path / "rg_out")
+    docs.write.parquet(inp)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([
+            "curate", "--in", inp, "--out", outp,
+            "--max-dup-word-frac", "0.5",
+            "--max-top2gram-frac", "0.5",
+            "--max-dup-line-frac", "0.5",
+        ])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert kept == {i for i, _ in clean}
+    assert stats["out_rows"] == 10 and stats["in_rows"] == 12
