@@ -665,6 +665,22 @@ def q_ngram_jaccard(spark, sf):
     ).select("id_a", "id_b", "jaccard")
 
 
+def q_neardup_clusters(spark, sf):
+    """Cluster formation (dedup.connected_components) over the
+    capped-jaccard pair set: iterative min-label propagation to a
+    fixpoint (edge-list shuffles carry ids only; per-round driver
+    action is a scalar changed-count). Output is a TOTAL labeling —
+    every document, singletons as their own component — the exact
+    input a keep-one-per-cluster dedup decision joins against."""
+    from parquetry_spark.dedup import connected_components
+
+    df = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        df, n=3, threshold=0.5, max_gram_df=NGRAM_MAX_DF
+    ).select("id_a", "id_b")
+    return connected_components(pairs, nodes=df.select("doc_id"))
+
+
 def q_minhash_pairs(spark, sf):
     """MinHash+LSH banding + exact hashed-shingle Jaccard, md5 base
     hash — the full banding pipeline is replicated in DuckDB SQL."""
@@ -913,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_full": q_pipeline_curate_full,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -1076,6 +1093,37 @@ def _ngram_oracle() -> str:
                         JOIN grams y ON y.doc_id = cand.id_b)
         SELECT id_a, id_b, i / u AS jaccard FROM j
         WHERE i / u >= 0.5 ORDER BY id_a, id_b
+    """
+
+
+def _clusters_oracle() -> str:
+    """connected_components over the SAME capped-jaccard pair set as
+    _ngram_oracle, as one recursive CTE: reach(id, r) enumerates every
+    node reachable from id over the undirected pair edges (UNION
+    dedup terminates the recursion), and comp = min reachable id —
+    exactly the fixpoint min-label propagation computes."""
+    return f"""
+        WITH RECURSIVE {_TOKS_CTE.format(where="")},
+        grams AS (SELECT doc_id, {_word_grams_sql(3)} AS g FROM toks),
+        ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= {NGRAM_MAX_DF}),
+        exr AS (SELECT ex.doc_id, ex.gram FROM ex JOIN rare USING (gram)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM exr a JOIN exr b
+                 ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        j AS (SELECT id_a, id_b, len(list_intersect(x.g, y.g)) AS i,
+                     greatest(len(list_distinct(x.g || y.g)), 1) AS u
+              FROM cand JOIN grams x ON x.doc_id = cand.id_a
+                        JOIN grams y ON y.doc_id = cand.id_b),
+        pairs AS (SELECT id_a, id_b FROM j WHERE i / u >= 0.5),
+        e AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+        )
+        SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
     """
 
 
@@ -1378,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_copies FROM documents GROUP BY sha256(text)"
         ),
         "ngram_jaccard": _ngram_oracle(),
+        "neardup_clusters": _clusters_oracle(),
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "embedding_neardup": _embedding_oracle(),

@@ -509,3 +509,82 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_u") >= int(round(threshold * 10000)))
         .orderBy("id_a", "id_b")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster formation over near-duplicate PAIRS: (id, comp) where
+    comp is the minimum node id in the pair-connected component — the
+    step between pair detection (minhash/simhash/jaccard/embedding)
+    and an actual dedup decision ("keep comp's representative, drop
+    the rest").
+
+    Algorithm: iterative min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels,
+    until a fixpoint. Rounds needed = the component graph's diameter,
+    which for near-dup clusters is tiny (duplicates of a page all
+    pair with each other or a hub copy; diameters beyond ~5 are
+    pathological), so the loop is bounded and short. At 10^12-doc
+    scale each round is one shuffle of the EDGE list (ids only — text
+    never enters this operator) plus a co-partitioned label join; the
+    per-round driver action is a scalar changed-count, never data.
+    `max_iter` is a hard cap; hitting it raises rather than silently
+    returning a half-converged clustering.
+
+    `nodes` (optional) adds isolated documents as singleton
+    components (comp = own id) so the output is a TOTAL labeling the
+    dedup decision can join against.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    if nodes is not None:
+        base = nodes.select(F.col(id_col).alias("a")).distinct()
+    else:
+        base = e.select("a").distinct()
+    labels = base.select("a", F.col("a").alias("comp")).persist()
+    labels.count()
+    e = e.persist()
+    e.count()
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                e.join(labels, on="a")
+                .select(F.col("b").alias("a"), "comp")
+                .groupBy("a")
+                .agg(F.min("comp").alias("mcomp"))
+            )
+            new_labels = (
+                labels.join(msgs, on="a", how="left")
+                .select(
+                    "a",
+                    F.least(
+                        F.col("comp"), F.coalesce("mcomp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="a")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(F.col("a").alias(id_col), "comp")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the cap — raise max_iter)"
+        )
+    finally:
+        e.unpersist()

@@ -1,0 +1,51 @@
+"""Connected components over near-dup pairs (dedup.connected_components)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def test_chain_and_separate_component(spark):
+    from parquetry_spark.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3 -> multiple propagation rounds) and
+    # pair 10-11; node 99 isolated
+    out = connected_components(
+        _edges(spark, [(2, 1), (2, 3), (3, 4), (10, 11)]),
+        nodes=_nodes(spark, [1, 2, 3, 4, 10, 11, 99]),
+    )
+    got = {r["doc_id"]: r["comp"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_without_nodes_only_edge_endpoints_labeled(spark):
+    from parquetry_spark.dedup import connected_components
+
+    out = connected_components(_edges(spark, [(5, 7), (7, 6)]))
+    got = {r["doc_id"]: r["comp"] for r in out.collect()}
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_max_iter_cap_raises(spark):
+    from parquetry_spark.dedup import connected_components
+
+    # a path of length 6: min label needs ~5 rounds to reach the end
+    path = [(i, i + 1) for i in range(1, 7)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, path), max_iter=2)
+
+
+def test_cycle_converges(spark):
+    from parquetry_spark.dedup import connected_components
+
+    out = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 1)]))
+    got = {r["doc_id"]: r["comp"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
