@@ -1077,33 +1077,13 @@ def _embedding_oracle() -> str:
     """
 
 
-def _ngram_oracle() -> str:
-    return f"""
-        WITH {_TOKS_CTE.format(where="")},
-        grams AS (SELECT doc_id, {_word_grams_sql(3)} AS g FROM toks),
-        ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
-        rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= {NGRAM_MAX_DF}),
-        exr AS (SELECT ex.doc_id, ex.gram FROM ex JOIN rare USING (gram)),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                 FROM exr a JOIN exr b
-                 ON a.gram = b.gram AND a.doc_id < b.doc_id),
-        j AS (SELECT id_a, id_b, len(list_intersect(x.g, y.g)) AS i,
-                     greatest(len(list_distinct(x.g || y.g)), 1) AS u
-              FROM cand JOIN grams x ON x.doc_id = cand.id_a
-                        JOIN grams y ON y.doc_id = cand.id_b)
-        SELECT id_a, id_b, i / u AS jaccard FROM j
-        WHERE i / u >= 0.5 ORDER BY id_a, id_b
-    """
-
-
-def _clusters_oracle() -> str:
-    """connected_components over the SAME capped-jaccard pair set as
-    _ngram_oracle, as one recursive CTE: reach(id, r) enumerates every
-    node reachable from id over the undirected pair edges (UNION
-    dedup terminates the recursion), and comp = min reachable id —
-    exactly the fixpoint min-label propagation computes."""
-    return f"""
-        WITH RECURSIVE {_TOKS_CTE.format(where="")},
+def _ngram_pairs_ctes() -> str:
+    """The capped-jaccard pair CTE chain — ONE definition shared by
+    _ngram_oracle and _clusters_oracle so the clusters oracle can't
+    silently validate against a different pair set than the Spark
+    side computes (same n=3, threshold 0.5, cap as q_ngram_jaccard /
+    q_neardup_clusters)."""
+    return f"""{_TOKS_CTE.format(where="")},
         grams AS (SELECT doc_id, {_word_grams_sql(3)} AS g FROM toks),
         ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
         rare AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) <= {NGRAM_MAX_DF}),
@@ -1115,7 +1095,25 @@ def _clusters_oracle() -> str:
                      greatest(len(list_distinct(x.g || y.g)), 1) AS u
               FROM cand JOIN grams x ON x.doc_id = cand.id_a
                         JOIN grams y ON y.doc_id = cand.id_b),
-        pairs AS (SELECT id_a, id_b FROM j WHERE i / u >= 0.5),
+        pairs AS (SELECT id_a, id_b, i / u AS jaccard FROM j
+                  WHERE i / u >= 0.5)"""
+
+
+def _ngram_oracle() -> str:
+    return f"""
+        WITH {_ngram_pairs_ctes()}
+        SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+    """
+
+
+def _clusters_oracle() -> str:
+    """connected_components over the SAME capped-jaccard pair set as
+    _ngram_oracle, as one recursive CTE: reach(id, r) enumerates every
+    node reachable from id over the undirected pair edges (UNION
+    dedup terminates the recursion), and comp = min reachable id —
+    exactly the fixpoint min-label propagation computes."""
+    return f"""
+        WITH RECURSIVE {_ngram_pairs_ctes()},
         e AS (SELECT id_a AS a, id_b AS b FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
         reach(id, r) AS (

@@ -365,7 +365,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.quality_min is not None:
                 df = df.filter(
                     quality_score_micros(F.col(args.text_col))
-                    >= F.lit(int(args.quality_min * 1_000_000))
+                    >= F.lit(round(args.quality_min * 1_000_000))
                 )
             # Gopher-style repetition gates (textops): row-local
             # integer-micro thresholds, same plan — no extra stage
@@ -374,21 +374,21 @@ def main(argv: list[str] | None = None) -> int:
 
                 df = df.filter(
                     dup_word_frac_micros(F.col(args.text_col))
-                    <= F.lit(int(args.max_dup_word_frac * 1_000_000))
+                    <= F.lit(round(args.max_dup_word_frac * 1_000_000))
                 )
             if args.max_top2gram_frac is not None:
                 from .textops import top_gram_frac_micros
 
                 df = df.filter(
                     top_gram_frac_micros(F.col(args.text_col), 2)
-                    <= F.lit(int(args.max_top2gram_frac * 1_000_000))
+                    <= F.lit(round(args.max_top2gram_frac * 1_000_000))
                 )
             if args.max_dup_line_frac is not None:
                 from .textops import dup_line_char_frac_micros
 
                 df = df.filter(
                     dup_line_char_frac_micros(F.col(args.text_col))
-                    <= F.lit(int(args.max_dup_line_frac * 1_000_000))
+                    <= F.lit(round(args.max_dup_line_frac * 1_000_000))
                 )
             if args.eval_path:
                 ev = spark.read.parquet(args.eval_path)

@@ -153,24 +153,15 @@ def word_ngrams(text_col: str | Column, n: int) -> Column:
     reused here: their whole-doc fallback for short texts is the right
     semantics for near-dup signatures but would fabricate matches for
     decontamination, where a short text must yield NO grams.)
+
+    Normalization + gram construction live in textops (norm_words /
+    word_gram_array — one definition shared with the repetition
+    signals); this is the distinct view with the same guards.
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
+    from .textops import word_gram_array
+
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " ")), " "
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    # empty/symbol-only text normalizes to '' and splits to [''] — at
-    # n=1 that single empty token would fabricate a '' gram matching
-    # any other empty doc, so require a non-empty first token too.
-    ok = (F.size(words) >= F.lit(n)) & (F.element_at(words, 1) != F.lit(""))
-    return F.array_distinct(
-        F.when(ok, grams).otherwise(F.array().cast("array<string>"))
-    )
+    return F.array_distinct(word_gram_array(col, n))
 
 
 def char_ngrams(text_col: str | Column, k: int) -> Column:

@@ -538,18 +538,26 @@ def connected_components(
     returning a half-converged clustering.
 
     `nodes` (optional) adds isolated documents as singleton
-    components (comp = own id) so the output is a TOTAL labeling the
-    dedup decision can join against.
+    components (comp = own id) and RESTRICTS the output to that set —
+    but propagation always runs over every edge endpoint, so two
+    nodes connected only through an id outside `nodes` still land in
+    the same component (a filtered doc set with pairs computed on the
+    full corpus is the common case; labeling only inside `nodes`
+    would silently split their components).
+
+    The returned DataFrame is the final round's persisted labeling;
+    callers holding it long-term may `.unpersist()` after
+    materializing.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    base = e.select("a").distinct()
     if nodes is not None:
-        base = nodes.select(F.col(id_col).alias("a")).distinct()
-    else:
-        base = e.select("a").distinct()
+        node_ids = nodes.select(F.col(id_col).alias("a")).distinct()
+        base = base.union(node_ids).distinct()
     labels = base.select("a", F.col("a").alias("comp")).persist()
     labels.count()
     e = e.persist()
@@ -581,7 +589,12 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                return labels.select(F.col("a").alias(id_col), "comp")
+                out = labels.select(F.col("a").alias(id_col), "comp")
+                if nodes is not None:
+                    out = out.join(node_ids.withColumnRenamed("a", id_col),
+                                   on=id_col, how="left_semi")
+                return out
+        labels.unpersist()  # the cap path must not pin the last round
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds the cap — raise max_iter)"

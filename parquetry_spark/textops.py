@@ -141,20 +141,42 @@ def _frac_micros(num: Column, den: Column) -> Column:
     return F.when(den > 0, F.floor(num * F.lit(_MICROS) / den)).otherwise(zero)
 
 
-def _norm_words(col: Column) -> Column:
+def norm_words(col: Column) -> Column:
     """Word array under the decontamination normalization (lowercase,
     `\\p{L}\\p{N}` folding — identical in Java regex and DuckDB/RE2;
     see curation.word_ngrams for why not an ASCII-only class).
     Empty/symbol-only text normalizes to `['']` — callers gate on
-    `element_at(words, 1) != ''`."""
+    `element_at(words, 1) != ''`.
+
+    THE single definition: curation.word_ngrams and the repetition
+    signals both build on this expression, so the cross-operator
+    consistency (and each one's DuckDB-oracle parity) can't drift."""
     return F.split(
         F.trim(F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " ")), " "
     )
 
 
+def word_gram_array(col: Column, n: int) -> Column:
+    """NON-distinct word n-grams over norm_words; empty array for
+    texts with fewer than n words (guarded — Spark's
+    `sequence(1, size-n+1)` DESCENDS for short texts and would
+    fabricate grams) or empty/symbol-only text (which normalizes to
+    `['']` — at n=1 that single empty token would fabricate a ''
+    gram). curation.word_ngrams is the distinct view of this."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = norm_words(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    ok = (F.size(words) >= F.lit(n)) & (F.element_at(words, 1) != F.lit(""))
+    return F.when(ok, grams).otherwise(F.array().cast("array<string>"))
+
+
 def word_count_norm(col: Column) -> Column:
     """Number of normalized words (0 for empty/symbol-only text)."""
-    words = _norm_words(col)
+    words = norm_words(col)
     return (
         F.when(F.element_at(words, 1) != F.lit(""), F.size(words))
         .otherwise(F.lit(0))
@@ -168,7 +190,7 @@ def dup_word_frac_micros(col: Column) -> Column:
     MassiveText/Gopher repetition signals; high values flag listings,
     keyword stuffing and boilerplate that simple length/stopword
     quality scores miss. Row-local (no shuffle)."""
-    words = _norm_words(col)
+    words = norm_words(col)
     ok = F.element_at(words, 1) != F.lit("")
     n = F.when(ok, F.size(words)).otherwise(F.lit(0)).cast("long")
     nd = F.size(F.array_distinct(words)).cast("long")
@@ -184,16 +206,7 @@ def top_gram_frac_micros(col: Column, n: int = 2) -> Column:
     statistic is a row-local codegen expression — the naive
     explode + groupBy(doc, gram) + window formulation would shuffle
     every gram of every document."""
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    words = _norm_words(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    ok = (F.size(words) >= F.lit(n)) & (F.element_at(words, 1) != F.lit(""))
-    grams = F.when(ok, grams).otherwise(F.array().cast("array<string>"))
-    srt = F.array_sort(grams)
+    srt = F.array_sort(word_gram_array(col, n))
     zero = F.lit(0).cast("long")
     # grams are never '' (words are non-empty post-guard) so '' is a
     # safe run sentinel

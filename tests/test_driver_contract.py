@@ -8,8 +8,11 @@ array/map/struct column in any result therefore crashes the driver
 local oracle checker passes — so "no complex types in a query result
 schema" is a hard product invariant, not a style rule.
 
-Plan-build only (df.schema is resolved without executing the job), so
-the whole registry is checked in seconds at sf0.001.
+Mostly plan-build only (df.schema resolves without executing the job);
+the exceptions are queries with plan-time driver actions by design —
+bounded stats collects (salt maps, IVF partials) and the iterative
+neardup_clusters fixpoint — which actually run at sf0.001 scale here,
+so the sweep is tens of seconds, not hours.
 """
 
 from __future__ import annotations
