@@ -491,6 +491,43 @@ def q_repetition(spark, sf):
     )
 
 
+def q_pii_scrub(spark, sf):
+    """PII/secret scrubbing gate (curation.scrub_pii +
+    curation.pii_profile): chained built-in regexp_replace over an
+    engine-portable regex subset (ASCII classes, no lookaround, no
+    \\d/\\w — identical meaning under Java regex and the oracle's
+    RE2). The documents table carries no PII, so the query salts
+    deterministic PII spans (email / IPv4 / phone / AWS-style key /
+    hex token, all derived from doc_id) into the text IN-PLAN and
+    scrubs them back out — scrubbed text and per-rule counts are
+    byte-compared against DuckDB running the same rules in the same
+    sequential order. Zero shuffle, whole-stage codegen."""
+    from parquetry_spark.curation import pii_profile, scrub_pii
+
+    df = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    salted = df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), d.cast("string"), F.lit("@example.com"),
+            F.lit(" host 10."), F.pmod(d, F.lit(256)).cast("string"),
+            F.lit(".0."), F.pmod(d * 7, F.lit(256)).cast("string"),
+            F.lit(" tel +1 415 555 "),
+            F.lpad(F.pmod(d, F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" key AKIA"), F.lpad(d.cast("string"), 16, "0"),
+            F.lit(" tok "),
+            F.rpad(F.lpad(d.cast("string"), 8, "0"), 32, "f"),
+        ).alias("txt"),
+    )
+    prof = pii_profile("txt")
+    return salted.select(
+        "doc_id",
+        scrub_pii("txt").alias("scrubbed"),
+        *[v.alias(f"n_{k}") for k, v in prof.items()],
+    )
+
+
 def q_sessionize(spark, sf):
     """Gap-based sessionization (sessions.session_stats): one shuffle
     on user_id shared by lag + running-sum + rollup; 12 h gap chosen
@@ -919,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
         "sessionize": q_sessionize,
         "pack_sequences": q_pack_sequences,
         "group_split": q_group_split,
@@ -1155,6 +1193,40 @@ def oracle_sql() -> dict[str, str]:
     """
 
     quality = quality_sql("documents")
+
+    # pii_scrub: chain the SAME ordered rules (curation.PII_RULES —
+    # single source of truth) as sequential CTE steps; counts taken on
+    # the input of each step, exactly like curation.pii_profile.
+    # DuckDB regexp_replace needs the explicit 'g' flag (Spark's
+    # replaces all matches by default).
+    from parquetry_spark.curation import PII_RULES
+
+    pii_salt = (
+        "SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com' || ' host 10.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.0.' "
+        "|| CAST((doc_id * 7) % 256 AS VARCHAR) "
+        "|| ' tel +1 415 555 ' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "|| ' key AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0') "
+        "|| ' tok ' || rpad(lpad(CAST(doc_id AS VARCHAR), 8, '0'), 32, 'f') "
+        "AS t0 FROM documents"
+    )
+    pii_steps, pii_counts = [], []
+    for i, (name, pat, tok) in enumerate(PII_RULES):
+        pii_steps.append(
+            f"s{i + 1} AS (SELECT doc_id, "
+            f"regexp_replace(t{i}, '{pat}', '{tok}', 'g') AS t{i + 1}, "
+            f"len(regexp_extract_all(t{i}, '{pat}')) AS n_{name}"
+            + ("".join(f", n_{n}" for n, _, _ in PII_RULES[:i]) or "")
+            + f" FROM s{i})"
+        )
+        pii_counts.append(f"n_{name}")
+    pii_scrub = (
+        f"WITH s0 AS ({pii_salt}), " + ", ".join(pii_steps)
+        + f" SELECT doc_id, t{len(PII_RULES)} AS scrubbed, "
+        + ", ".join(pii_counts) + f" FROM s{len(PII_RULES)}"
+    )
 
     # shared CTE chain for the composed curation pipeline oracles:
     # train slice → exact dedup → quality gate → 4-gram
@@ -1397,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN wn USING (doc_id) "
             "LEFT JOIN gt USING (doc_id) LEFT JOIN ld USING (doc_id)"
         ),
+        "pii_scrub": pii_scrub,
         "sessionize": (
             # same total order (ts, event_id) and integer-micro break
             # rule as sessions.sessionize; 12 h = 43_200_000_000 us

@@ -185,15 +185,21 @@ def main(argv: list[str] | None = None) -> int:
         "curate",
         help="training-data curation pipeline over a documents table "
         "(columns: doc_id, text, ...): stages compose in the fixed "
-        "order dedup → quality → decontaminate → split/resample → "
-        "pack, each enabled by its flag; ONE Catalyst plan, written "
-        "distributed to --out",
+        "order dedup → scrub-pii → quality → decontaminate → "
+        "split/resample → pack, each enabled by its flag; ONE "
+        "Catalyst plan, written distributed to --out",
     )
     p.add_argument("--in", dest="inp", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--dedup", action="store_true", help="exact dedup (first id wins)")
+    p.add_argument(
+        "--scrub-pii", action="store_true",
+        help="replace emails / key-shaped secrets / long hex tokens / "
+        "IPv4 / phone-shaped digit runs with typed placeholders "
+        "(runs after dedup so redaction can't split exact-dup groups)",
+    )
     p.add_argument(
         "--quality-min", type=float, default=None,
         help="drop docs with quality score below this [0,1] threshold",
@@ -362,6 +368,10 @@ def main(argv: list[str] | None = None) -> int:
             }
             if args.dedup:
                 df = exact_dedup_docs(df, args.text_col, args.id_col)
+            if args.scrub_pii:
+                from .curation import scrub_pii
+
+                df = df.withColumn(args.text_col, scrub_pii(args.text_col))
             if args.quality_min is not None:
                 df = df.filter(
                     quality_score_micros(F.col(args.text_col))

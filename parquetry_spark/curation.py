@@ -361,3 +361,56 @@ def resample_domains(
         F.sequence(F.lit(1).cast("long"), n_copies),
     ).otherwise(F.array().cast("array<long>"))
     return out.withColumn("copy", F.explode(copies)).drop("w_q")
+
+
+# ---------------------------------------------------------------------------
+# PII / secret scrubbing
+# ---------------------------------------------------------------------------
+
+# Ordered rules: (name, regex, replacement token). Order matters and is
+# part of the contract — each rule counts + replaces on the OUTPUT of
+# the previous rule, so an address consumed by the email rule can't be
+# re-counted by the phone rule. The dialect subset is deliberate:
+# ASCII classes only (no \d/\w — Java regex makes them Unicode-aware,
+# RE2 keeps them ASCII), no lookaround (RE2 has none), non-capturing
+# groups — every pattern means the same thing to Spark (Java regex)
+# and the DuckDB oracle (RE2), which is what makes the scrubbed text
+# byte-comparable across engines.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("key", r"AKIA[0-9A-Z]{16}", "<KEY>"),  # AWS-style access key id
+    ("hex", r"[0-9a-fA-F]{32,}", "<HEX>"),  # long hex = token/secret/hash
+    ("ipv4", r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\. -]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Replace emails, key-shaped secrets, long hex tokens, IPv4
+    addresses and phone-shaped digit runs with typed placeholders —
+    the standard pre-training redaction gate. Pure chained
+    `regexp_replace` (whole-stage codegen, zero shuffle, no UDF).
+
+    Deliberately conservative: a date like `2026-08-19` is
+    phone-shaped and WILL be redacted — for training data an
+    over-redacted span costs one token, a leaked phone number costs a
+    lawsuit. Idempotent: placeholders contain no digits or `@`, so a
+    second pass is a no-op (tested).
+    """
+    cur = F.col(col) if isinstance(col, str) else col
+    for _, pat, tok in PII_RULES:
+        cur = F.regexp_replace(cur, pat, tok)
+    return cur
+
+
+def pii_profile(col: str | Column) -> dict[str, Column]:
+    """Per-rule match counts under the same sequential semantics as
+    `scrub_pii` (rule N counts on text already scrubbed by rules
+    <N). Keys = rule names; values = int Columns. Null text → null
+    counts (Spark and SQL agree)."""
+    cur = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    for name, pat, tok in PII_RULES:
+        out[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, tok)
+    return out
