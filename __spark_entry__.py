@@ -528,6 +528,50 @@ def q_pii_scrub(spark, sf):
     )
 
 
+def q_url_dedup(spark, sf):
+    """URL canonicalization + url-key dedup grouping (urls.py): the
+    documents table has no URL column, so the query synthesizes
+    deterministic crawl-style URL variants from doc_id IN-PLAN on both
+    sides — scheme/host case, a default :80 port, tracking params,
+    param order and fragments all varying WITHIN each same-page group
+    (ids congruent mod 200) — then canonicalizes and counts per
+    canonical key. The oracle replicates the entire canonicalization
+    pipeline (not the closed form) in DuckDB's RE2/list dialect, so
+    the regex subset and list-sort parity are what's actually checked.
+    One shuffle on the short canonical key; bodies never enter it."""
+    from parquetry_spark.urls import url_dedup_key
+
+    df = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = F.concat(
+        F.when(F.pmod(d, F.lit(7)) < 3, F.lit("HTTP://")).otherwise(F.lit("http://")),
+        F.when(
+            F.pmod(d, F.lit(2)) == 0,
+            F.concat(F.lit("Site"), s(F.pmod(d, F.lit(40))), F.lit(".Example.COM")),
+        ).otherwise(
+            F.concat(F.lit("site"), s(F.pmod(d, F.lit(40))), F.lit(".example.com"))
+        ),
+        F.when(F.pmod(d, F.lit(4)) == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/doc/"), s(F.pmod(d, F.lit(100))),
+        F.when(
+            F.pmod(d, F.lit(3)) == 0,
+            F.concat(F.lit("?utm_source=tw&b="), s(F.pmod(d, F.lit(100))), F.lit("&a=1")),
+        ).when(
+            F.pmod(d, F.lit(3)) == 1,
+            F.concat(F.lit("?b="), s(F.pmod(d, F.lit(100))), F.lit("&a=1")),
+        ).otherwise(
+            F.concat(F.lit("?a=1&b="), s(F.pmod(d, F.lit(100))))
+        ),
+        F.when(
+            F.pmod(d, F.lit(6)) == 0,
+            F.concat(F.lit("#sec"), s(F.pmod(d, F.lit(9)))),
+        ).otherwise(F.lit("")),
+    )
+    synth = df.select("doc_id", raw.alias("url"))
+    return url_dedup_key(synth).select("doc_id", "url", "canon_url", "url_group_n")
+
+
 def q_sessionize(spark, sf):
     """Gap-based sessionization (sessions.session_stats): one shuffle
     on user_id shared by lag + running-sum + rollup; 12 h gap chosen
@@ -957,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
+        "url_dedup": q_url_dedup,
         "sessionize": q_sessionize,
         "pack_sequences": q_pack_sequences,
         "group_split": q_group_split,
@@ -1228,6 +1273,58 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(pii_counts) + f" FROM s{len(PII_RULES)}"
     )
 
+    # url_dedup: the raw-URL synthesis mirrors q_url_dedup arithmetic;
+    # the canonicalization CTE chain replicates urls.canonical_url
+    # step-for-step (fragment → lower scheme+host → default port →
+    # path default → tracking filter + param sort) sharing
+    # TRACKING_PARAM_RE, then counts per canonical key.
+    from parquetry_spark.urls import TRACKING_PARAM_RE
+
+    _upre = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    url_dedup = f"""
+      WITH raw AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 7 < 3 THEN 'HTTP://' ELSE 'http://' END)
+          || (CASE WHEN doc_id % 2 = 0
+                THEN 'Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+                ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' END)
+          || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+          || '/doc/' || CAST(doc_id % 100 AS VARCHAR)
+          || (CASE WHEN doc_id % 3 = 0
+                THEN '?utm_source=tw&b=' || CAST(doc_id % 100 AS VARCHAR) || '&a=1'
+              WHEN doc_id % 3 = 1
+                THEN '?b=' || CAST(doc_id % 100 AS VARCHAR) || '&a=1'
+              ELSE '?a=1&b=' || CAST(doc_id % 100 AS VARCHAR) END)
+          || (CASE WHEN doc_id % 6 = 0
+                THEN '#sec' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END) AS url
+        FROM documents),
+      nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw),
+      px AS (SELECT *, lower(regexp_extract(u, '{_upre}')) AS head0,
+                    length(regexp_extract(u, '{_upre}')) AS plen FROM nf),
+      hd AS (SELECT *, CASE
+                WHEN regexp_extract(head0, '^([a-z][a-z0-9+.-]*)://', 1) = 'http'
+                  THEN regexp_replace(head0, ':80$', '')
+                WHEN regexp_extract(head0, '^([a-z][a-z0-9+.-]*)://', 1) = 'https'
+                  THEN regexp_replace(head0, ':443$', '')
+                ELSE head0 END AS head,
+              substr(u, plen + 1) AS rest FROM px),
+      pq AS (SELECT *, CASE WHEN regexp_extract(rest, '^[^?]*') = '' THEN '/'
+                            ELSE regexp_extract(rest, '^[^?]*') END AS path,
+              CASE WHEN regexp_matches(rest, '[?]')
+                   THEN regexp_replace(rest, '^[^?]*[?]', '') ELSE '' END AS qstr
+             FROM hd),
+      cq AS (SELECT *, array_to_string(list_sort(list_filter(
+                string_split(qstr, '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))),
+                '&') AS canon_q FROM pq),
+      cu AS (SELECT doc_id, url, CASE WHEN plen > 0
+                THEN head || path
+                     || (CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END)
+                ELSE u END AS canon_url FROM cq)
+      SELECT doc_id, url, canon_url,
+             count(*) OVER (PARTITION BY canon_url) AS url_group_n FROM cu
+    """
+
     # shared CTE chain for the composed curation pipeline oracles:
     # train slice → exact dedup → quality gate → 4-gram
     # decontamination vs the doc_id % 23 eval slice → `clean`
@@ -1470,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN gt USING (doc_id) LEFT JOIN ld USING (doc_id)"
         ),
         "pii_scrub": pii_scrub,
+        "url_dedup": url_dedup,
         "sessionize": (
             # same total order (ts, event_id) and integer-micro break
             # rule as sessions.sessionize; 12 h = 43_200_000_000 us

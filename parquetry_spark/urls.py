@@ -1,0 +1,90 @@
+"""URL canonicalization for web-crawl dedup keys.
+
+Two crawls of the same page rarely present the same URL string:
+scheme/host case, default ports, fragments, tracking parameters and
+query-parameter order all vary run to run, so exact text-dedup on raw
+`url` silently misses most same-page duplicates. `canonical_url`
+folds those differences into one canonical spelling; `url_dedup_key`
+groups a crawl by it.
+
+Everything is built-in Column expressions (whole-stage codegen, zero
+shuffle, no UDF) in the same engine-portable dialect discipline as
+`curation.PII_RULES`: ASCII regex classes, no lookaround, no
+backreference replacements — so the DuckDB driver oracle can replicate
+the transform value-for-value (Spark spells replacement groups `$1`,
+RE2 spells them `\\1`; avoiding backrefs entirely sidesteps the
+dialect split).
+
+Canonicalization rules (each deliberately conservative — a canonical
+key that over-merges destroys distinct documents, one that
+under-merges just keeps a duplicate):
+
+1. fragment dropped (`#...` never reaches the server);
+2. scheme and host lowercased (RFC 3986 §6.2.2.1 — path/query stay
+   case-sensitive);
+3. default port stripped (`:80` for http, `:443` for https);
+4. tracking query parameters dropped (`utm_*`, `fbclid`, `gclid`,
+   `msclkid`, `ref`) — they vary per referral, not per document;
+5. remaining query parameters sorted (binary order) — parameter order
+   is not semantic for the overwhelming majority of endpoints;
+6. empty path normalized to `/` (`http://a.com` ≡ `http://a.com/`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters that identify the REFERRAL, not the document.
+# Kept as one alternation so the oracle SQL can reuse the spelling.
+TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+_PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"  # scheme://host[:port]
+
+
+def canonical_url(col: str | Column) -> Column:
+    """Canonical spelling of an absolute http(s)-style URL (see module
+    docstring for the rule list). Non-URL strings (no scheme://host
+    prefix) pass through with only the fragment stripped — garbage in,
+    recognizable garbage out, never a crash."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, "#.*$", "")  # 1. fragment
+
+    head = F.lower(F.regexp_extract(u, _PREFIX_RE, 0))  # 2. case
+    scheme = F.regexp_extract(head, "^([a-z][a-z0-9+.-]*)://", 1)
+    # 3. default port: strip the suffix matching the scheme
+    head = F.when(
+        (scheme == "http"), F.regexp_replace(head, ":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(head, ":443$", "")
+    ).otherwise(head)
+
+    rest = F.substring(u, F.length(F.regexp_extract(u, _PREFIX_RE, 0)) + 1, 2**30)
+    path = F.regexp_extract(rest, "^[^?]*", 0)
+    path = F.when(path == "", F.lit("/")).otherwise(path)  # 6. empty path
+    # split the query string (text after the first '?') into params,
+    # drop tracking + empties, sort, rejoin
+    qstr = F.when(rest.rlike("[?]"), F.regexp_replace(rest, "^[^?]*[?]", "")).otherwise(
+        F.lit("")
+    )
+    params = F.filter(
+        F.split(qstr, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),  # 4. tracking
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")  # 5. sort
+
+    with_q = F.concat(head, path, F.lit("?"), canon_q)
+    without_q = F.concat(head, path)
+    out = F.when(canon_q != "", with_q).otherwise(without_q)
+    # non-URL input: no scheme://host prefix → only rule 1 applies
+    return F.when(F.length(F.regexp_extract(u, _PREFIX_RE, 0)) > 0, out).otherwise(u)
+
+
+def url_dedup_key(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds `canon_url` plus `url_group_n` (how many rows share the
+    canonical key) — the grouping step before "keep one per page".
+    One shuffle on the canonical key; the key is a short string, the
+    document body never enters the exchange."""
+    keyed = df.withColumn("canon_url", canonical_url(url_col))
+    counts = keyed.groupBy("canon_url").agg(F.count("*").alias("url_group_n"))
+    return keyed.join(counts, on="canon_url")

@@ -1,0 +1,75 @@
+"""Contract tests for parquetry_spark.urls — URL canonicalization and
+the url-key dedup grouping (the web-crawl twin of exact text dedup;
+driver query `url_dedup` checks the full pipeline against a DuckDB
+oracle, these pin the rule matrix and the plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquetry_spark.urls import canonical_url, url_dedup_key
+
+
+CASES = [
+    # (raw, canonical) — one per documented rule, plus interactions
+    ("HTTP://Example.COM:80/Path/To?b=2&utm_source=tw&a=1#frag",
+     "http://example.com/Path/To?a=1&b=2"),
+    ("http://example.com/Path/To?a=1&b=2",
+     "http://example.com/Path/To?a=1&b=2"),
+    ("https://Example.com:443", "https://example.com/"),
+    ("https://example.com/", "https://example.com/"),
+    # non-default port survives
+    ("http://example.com:8080/x?fbclid=abc", "http://example.com:8080/x"),
+    # ftp is not http: :21 is not a known default, stays
+    ("ftp://Host.Com:21/file", "ftp://host.com:21/file"),
+    # every param is tracking → query goes away entirely
+    ("http://a.com/p?ref=x&utm_campaign=", "http://a.com/p"),
+    # bare '?' goes away
+    ("http://a.com/p?", "http://a.com/p"),
+    # path/query case is PRESERVED (RFC 3986: only scheme+host fold)
+    ("http://a.com/CaseSensitive?Q=UPPER", "http://a.com/CaseSensitive?Q=UPPER"),
+    # non-URL text: only the fragment rule applies, never a crash
+    ("not a url #tail", "not a url "),
+    (None, None),
+]
+
+
+def test_canonical_url_rule_matrix(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "id long, u string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url("u").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_canonical_url_idempotent_and_jvm_side(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES) if raw], "id long, u string"
+    )
+    once = df.select("id", canonical_url("u").alias("c"))
+    twice = once.select("id", canonical_url("c").alias("c"))
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+    plan = once._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_url_dedup_key_groups_variants(spark):
+    """Three spellings of one page + one distinct page: the canonical
+    key merges the three, the count lands on every member row, and the
+    exchange carries only (key, count) — never a body column."""
+    rows = [
+        (1, "http://x.com/a?id=1", "body1"),
+        (2, "HTTP://X.COM:80/a?utm_source=t&id=1", "body2"),
+        (3, "http://x.com/a?id=1#s", "body3"),
+        (4, "http://x.com/b", "body4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = url_dedup_key(df).select("doc_id", "canon_url", "url_group_n").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["canon_url"] == by_id[2]["canon_url"] == by_id[3]["canon_url"]
+    assert [by_id[i]["url_group_n"] for i in (1, 2, 3, 4)] == [3, 3, 3, 1]
