@@ -528,6 +528,33 @@ def q_pii_scrub(spark, sf):
     )
 
 
+def q_boilerplate(spark, sf):
+    """Corpus-level boilerplate line removal (C4-style frequent-line
+    gate, curation.remove_boilerplate_lines): documents text is
+    single-line, so the query appends deterministic multi-line
+    structure in-plan on both sides — a footer shared by ALL docs
+    (removed), a 'group tag' line shared by 2 docs (kept: below
+    min_docs=3), a 'promo' line shared by 5 docs (removed), a blank
+    line (never counted, preserved), and a doc-unique body line
+    (kept). The oracle replicates the whole pass — md5(regex-trimmed
+    line) keys, distinct-doc counting, threshold, ordered reassembly —
+    in SQL. Frequency pass shuffles fixed-width keys only."""
+    from parquetry_spark.curation import remove_boilerplate_lines
+
+    df = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    synth = df.select(
+        "doc_id",
+        F.concat(
+            F.lit("body "), d.cast("string"), F.lit(": "), F.col("text"),
+            F.lit("\nsubscribe to our newsletter"),
+            F.lit("\ngroup tag "), F.pmod(d, F.lit(250)).cast("string"),
+            F.lit("\n\npromo "), F.pmod(d, F.lit(100)).cast("string"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(synth, min_docs=3).select("doc_id", "text")
+
+
 def q_url_dedup(spark, sf):
     """URL canonicalization + url-key dedup grouping (urls.py): the
     documents table has no URL column, so the query synthesizes
@@ -1002,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
         "url_dedup": q_url_dedup,
+        "boilerplate": q_boilerplate,
         "sessionize": q_sessionize,
         "pack_sequences": q_pack_sequences,
         "group_split": q_group_split,
@@ -1272,6 +1300,40 @@ def oracle_sql() -> dict[str, str]:
         + f" SELECT doc_id, t{len(PII_RULES)} AS scrubbed, "
         + ", ".join(pii_counts) + f" FROM s{len(PII_RULES)}"
     )
+
+    # boilerplate: same synthetic multi-line structure as
+    # q_boilerplate, then the whole frequent-line pass in SQL —
+    # md5(regex whitespace-trim) keys, distinct-doc counts, min_docs=3
+    # threshold, ordered string_agg reassembly, ''-for-emptied /
+    # null-for-null.
+    boilerplate = """
+      WITH synth AS (
+        SELECT doc_id,
+          'body ' || CAST(doc_id AS VARCHAR) || ': ' || text
+          || chr(10) || 'subscribe to our newsletter'
+          || chr(10) || 'group tag ' || CAST(doc_id % 250 AS VARCHAR)
+          || chr(10) || chr(10) || 'promo ' || CAST(doc_id % 100 AS VARCHAR)
+          AS text
+        FROM documents),
+      l AS (SELECT doc_id,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                   unnest(string_split(text, chr(10))) AS line FROM synth),
+      f AS (SELECT k FROM (
+              SELECT DISTINCT
+                md5(regexp_replace(line, '^\\s+|\\s+$', '', 'g')) AS k,
+                doc_id
+              FROM l
+              WHERE regexp_replace(line, '^\\s+|\\s+$', '', 'g') <> '')
+            GROUP BY k HAVING count(*) >= 3),
+      kept AS (SELECT doc_id, pos, line FROM l
+               WHERE md5(regexp_replace(line, '^\\s+|\\s+$', '', 'g'))
+                     NOT IN (SELECT k FROM f)),
+      o AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+            FROM kept GROUP BY doc_id)
+      SELECT s.doc_id,
+             CASE WHEN s.text IS NOT NULL THEN coalesce(o.t, '') END AS text
+      FROM synth s LEFT JOIN o USING (doc_id)
+    """
 
     # url_dedup: the raw-URL synthesis mirrors q_url_dedup arithmetic;
     # the canonicalization CTE chain replicates urls.canonical_url
@@ -1568,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_scrub": pii_scrub,
         "url_dedup": url_dedup,
+        "boilerplate": boilerplate,
         "sessionize": (
             # same total order (ts, event_id) and integer-micro break
             # rule as sessions.sessionize; 12 h = 43_200_000_000 us

@@ -414,3 +414,80 @@ def pii_profile(col: str | Column) -> dict[str, Column]:
         out[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
         cur = F.regexp_replace(cur, pat, tok)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate line removal (the C4 "frequent line" gate)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove lines that recur across the corpus — cookie banners,
+    nav menus, copyright footers — the C4-style corpus-level cleanup
+    that row-local quality signals cannot see.
+
+    A line is boilerplate when its whitespace-TRIMMED text (regex
+    ``^\\s+|\\s+$`` strip — tabs fold too, unlike SQL TRIM) is
+    non-blank and appears in >= `min_docs` DISTINCT documents (a
+    document repeating its own line doesn't self-incriminate). Kept
+    lines stay in
+    original order with original (untrimmed) bytes; blank lines are
+    never counted but are preserved; a document whose every line is
+    boilerplate becomes '' (still present); null text stays null.
+
+    Scale shape: the frequency pass shuffles (line_key, doc_id) where
+    line_key = md5(trimmed line) — a fixed-width key, never the line
+    bytes (md5 because the DuckDB oracle must compute the identical
+    key; a production corpus could swap xxhash64 for cheaper hashing
+    at the cost of oracle parity). The filter pass is a LEFT ANTI
+    join of exploded lines against the (small) frequent-key set —
+    boilerplate is by construction a tiny distinct set, even at
+    10^12 docs. Reassembly sorts each doc's surviving (pos, line)
+    pairs inside one array — no per-doc window function.
+    """
+    trimmed = F.regexp_replace(F.col("line"), r"^\s+|\s+$", "")
+    key = F.md5(trimmed)
+    lines = df.select(
+        F.col(id_col).alias("_bp_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    frequent = (
+        lines.filter(trimmed != "")
+        .select(key.alias("k"), "_bp_id")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= F.lit(min_docs))
+        .select("k")
+    )
+    kept = lines.join(
+        frequent.withColumnRenamed("k", "_fk"),
+        key == F.col("_fk"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("_bp_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("_bp_text")
+    )
+    out = (
+        df.join(rebuilt, df[id_col] == rebuilt["_bp_id"], "left")
+        .withColumn(
+            text_col,
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.coalesce(F.col("_bp_text"), F.lit("")),
+            ),
+        )
+        .drop("_bp_id", "_bp_text")
+    )
+    return out

@@ -588,3 +588,53 @@ def test_cli_curate_scrub_pii_stage(spark, tmp_path, monkeypatch):
     out = {r["doc_id"]: r["text"] for r in spark.read.parquet(outp).collect()}
     assert out[1] == "reach <EMAIL> at <IP>"
     assert out[2] == "plain safe words"
+
+
+def test_remove_boilerplate_lines(spark):
+    """Frequent non-blank lines vanish, rare lines and blanks stay in
+    order, per-doc repetition doesn't self-incriminate, all-boiler
+    docs become '', null text stays null."""
+    from parquetry_spark.curation import remove_boilerplate_lines
+
+    footer = "(c) 2026 example corp all rights reserved"
+    rows = [
+        (1, f"unique alpha\n{footer}\nunique beta"),
+        (2, f"{footer}\n\nmiddle text"),
+        (3, f"intro words\n{footer}"),
+        # doc 4 repeats ITS OWN line 3 times — distinct-doc count is 1
+        (4, "self chant\nself chant\nself chant"),
+        (5, footer),           # all-boilerplate → ''
+        (6, None),             # null text stays null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1] == "unique alpha\nunique beta"
+    assert out[2] == "\nmiddle text"          # blank line preserved
+    assert out[3] == "intro words"
+    assert out[4] == "self chant\nself chant\nself chant"
+    assert out[5] == ""
+    assert out[6] is None
+
+
+def test_remove_boilerplate_whitespace_variants_fold(spark):
+    """Counting is on TRIMMED text ('  footer ' == 'footer'), but the
+    kept lines keep their original untrimmed bytes."""
+    from parquetry_spark.curation import remove_boilerplate_lines
+
+    rows = [
+        (1, "  shared line \nkeep me 1"),
+        (2, "shared line\nkeep me 2"),
+        (3, "\tshared line\nkeep me 3"),
+        (4, "  indented keeper\nkeep me 4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1] == "keep me 1" and out[2] == "keep me 2"
+    assert out[3] == "keep me 3"
+    assert out[4] == "  indented keeper\nkeep me 4"  # untrimmed bytes kept
