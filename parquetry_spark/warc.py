@@ -1,0 +1,438 @@
+"""WARC (ISO 28500) source — Common-Crawl-style web-archive ingestion.
+
+The engine's input table (url, warc_ts, html, ...) is what a crawl
+pipeline produces AFTER ingesting WARC files; this module is the
+ingest itself: ``read_warc(spark, path)`` → DataFrame(url, warc_ts,
+html, record_type, content_type) parsed DISTRIBUTED from .warc /
+.warc.gz files.
+
+Scale design — the Common-Crawl split trick
+-------------------------------------------
+A CC crawl is ~90k WARC files × ~1 GB each. Reading a whole file per
+task (Spark's binaryFile source) caps parallelism at file count and
+holds 1 GB rows in memory. Instead the driver emits (file, byte-range)
+SPLITS of ``split_size`` (Hadoop-InputSplit-style) and each task:
+
+  1. seeks to its range start,
+  2. scans FORWARD to the first record boundary at-or-after it
+     (plain WARC: the exact bytes ``\\r\\n\\r\\nWARC/`` between
+     records, or offset 0; gzipped WARC: the next gzip member magic
+     ``1f 8b 08`` — Common Crawl compresses each record as its own
+     gzip member precisely so archives are splittable),
+  3. parses every record that STARTS inside [start, end), reading
+     past `end` to finish the last record it owns.
+
+Every byte is owned by exactly one split (the standard
+TextInputFormat contract), so records never duplicate or vanish at
+split edges. Driver work is one listing + one size stat per file —
+no content ever touches the driver.
+
+Boundary scan false positives: plain-WARC resync requires the full
+``\\r\\n\\r\\nWARC/1.`` sequence, which cannot occur inside a
+conforming record body because Content-Length framing means a scan
+from a TRUE boundary never inspects body bytes — the forward scan
+from an arbitrary offset may land inside a body that embeds the
+marker (a WARC-in-WARC), which mis-frames only that split's first
+record; gzip resync verifies the member actually inflates. CC-style
+per-member gzip is the robust path (and the one real crawls use).
+
+Parsing per record: version line, CRLF-folded headers, then
+``Content-Length`` bytes of block. For ``response`` records the block
+is an HTTP/1.1 message — status line + headers + body; the body (the
+html) is returned raw, with the HTTP Content-Type surfaced. ``warc_ts``
+is WARC-Date (ISO-8601, UTC per spec).
+
+Writer twin ``write_warc_file`` emits conforming single-file WARC
+(optionally per-record-gzip-member) so round-trips are testable with
+no external data — and is itself the distributed sink's kernel.
+
+Reference anchor: the reference tool ingests parquet only
+(/root/reference/main.go); WARC ingest is part of this engine's
+web-scale remit (BASELINE.json north_star: "reads ... Common-Crawl-
+style web pages"), built from the public ISO 28500 / WARC 1.1 spec.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import io
+import os
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, "
+    "record_type string, content_type string"
+)
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+_PLAIN_MARK = b"\r\n\r\nWARC/1."
+
+
+# ---------------------------------------------------------------------------
+# record-level parse (pure functions of bytes — no Spark)
+# ---------------------------------------------------------------------------
+
+
+def _parse_warc_headers(buf: bytes) -> tuple[dict[str, str], int]:
+    """Parse the version line + header block ending at CRLFCRLF.
+
+    Returns (headers lower-cased, offset of first block byte).
+    Raises ValueError when `buf` doesn't start a WARC record.
+    """
+    if not buf.startswith(b"WARC/"):
+        raise ValueError("not at a WARC record boundary")
+    end = buf.find(b"\r\n\r\n")
+    if end < 0:
+        raise ValueError("truncated WARC header")
+    lines = buf[:end].split(b"\r\n")
+    headers: dict[str, str] = {}
+    last = None
+    for ln in lines[1:]:
+        if ln[:1] in (b" ", b"\t") and last:  # RFC-style folded value
+            headers[last] += " " + ln.strip().decode("utf-8", "replace")
+            continue
+        k, _, v = ln.partition(b":")
+        last = k.strip().lower().decode("ascii", "replace")
+        headers[last] = v.strip().decode("utf-8", "replace")
+    return headers, end + 4
+
+
+def _split_http_response(block: bytes) -> tuple[bytes, str | None]:
+    """HTTP response message → (body bytes, Content-Type or None)."""
+    if not block.startswith(b"HTTP/"):
+        return block, None
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return b"", None
+    ctype = None
+    for ln in block[:sep].split(b"\r\n")[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("utf-8", "replace")
+    return block[sep + 4 :], ctype
+
+
+def _warc_date(s: str) -> datetime | None:
+    """WARC-Date (ISO-8601 Zulu, second or sub-second) → naive-UTC."""
+    try:
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    return dt.astimezone(timezone.utc).replace(tzinfo=None)
+
+
+def parse_record(buf: bytes) -> tuple[dict | None, int]:
+    """One record starting at buf[0] → (row dict or None, bytes consumed).
+
+    None rows are non-response records (warcinfo, request, metadata) —
+    consumed (their length matters for framing) but not emitted unless
+    the caller asks for all types.
+    """
+    headers, block_off = _parse_warc_headers(buf)
+    clen = int(headers.get("content-length", "0"))
+    end = block_off + clen
+    block = buf[block_off:end]
+    # records are terminated by CRLFCRLF after the block (WARC 1.1 §4)
+    consumed = end + (4 if buf[end : end + 4] == b"\r\n\r\n" else 0)
+    rtype = headers.get("warc-type", "")
+    if rtype == "response":
+        body, ctype = _split_http_response(block)
+    elif rtype == "resource":
+        body, ctype = block, headers.get("content-type")
+    else:
+        body, ctype = block, headers.get("content-type")
+    row = {
+        "url": headers.get("warc-target-uri"),
+        "warc_ts": _warc_date(headers.get("warc-date", "")),
+        "html": body,
+        "record_type": rtype,
+        "content_type": ctype,
+    }
+    return row, consumed
+
+
+# ---------------------------------------------------------------------------
+# split-local readers
+# ---------------------------------------------------------------------------
+
+
+def _read_span(path: str, start: int, length: int) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(start)
+        return f.read(length)
+
+
+_SCAN_CHUNK = 4 << 20
+
+
+def _find_plain_boundary(path: str, start: int, end: int, fsize: int) -> int:
+    """First plain-WARC record start in [start, end), or -1.
+
+    A record start is offset 0 or the byte after an inter-record
+    ``\\r\\n\\r\\n`` followed by ``WARC/1.`` — the marker cannot occur
+    at a record boundary scan position inside a conforming archive's
+    framing region, and a body that embeds it (warc-in-warc) only
+    mis-frames this one split's resync, never a from-0 scan.
+    """
+    if start == 0:
+        return 0
+    scan = max(0, start - 4)  # marker ends 4 bytes before the boundary
+    while scan < fsize:
+        chunk = _read_span(path, scan, _SCAN_CHUNK + len(_PLAIN_MARK))
+        if not chunk:
+            return -1
+        off = 0
+        while True:
+            hit = chunk.find(_PLAIN_MARK, off)
+            if hit < 0:
+                break
+            bpos = scan + hit + 4
+            if bpos >= end:
+                return -1
+            if bpos >= start:
+                return bpos
+            off = hit + 1
+        if scan + len(chunk) >= fsize:
+            return -1
+        scan += _SCAN_CHUNK
+        if scan >= end:  # no boundary can begin in [start, end) anymore
+            return -1
+    return -1
+
+
+def _scan_plain_split(path: str, start: int, end: int, fsize: int) -> list[dict]:
+    """Parse plain-WARC records starting in [start, end)."""
+    rows: list[dict] = []
+    pos = _find_plain_boundary(path, start, end, fsize)
+    if pos < 0:
+        return rows
+    buf = b""  # always starts at `pos`; memory ~ one record + one chunk
+    while pos < end:
+        if len(buf) < (1 << 16):
+            buf += _read_span(path, pos + len(buf), _SCAN_CHUNK)
+        if not buf:
+            break
+        try:
+            headers, block_off = _parse_warc_headers(buf[: 1 << 16])
+        except ValueError:
+            break
+        clen = int(headers.get("content-length", "0"))
+        total = block_off + clen + 4
+        while len(buf) < total and pos + len(buf) < fsize:
+            buf += _read_span(path, pos + len(buf), max(total - len(buf), _SCAN_CHUNK))
+        try:
+            row, consumed = parse_record(bytes(buf))
+        except ValueError:
+            break
+        if row is not None:
+            rows.append(row)
+        if consumed <= 0:
+            break
+        pos += consumed
+        buf = buf[consumed:]
+    return rows
+
+
+def _gzip_member_at(f, pos: int) -> tuple[bytes, int]:
+    """Inflate the gzip member at byte `pos` → (payload, compressed
+    length). Raises zlib.error / ValueError when `pos` is not a real
+    member start (resync false positive)."""
+    f.seek(pos)
+    d = zlib.decompressobj(wbits=31)
+    raw = bytearray()
+    comp_used = 0
+    while not d.eof:
+        chunk = f.read(_SCAN_CHUNK)
+        if not chunk:
+            raise ValueError("truncated gzip member")
+        raw += d.decompress(chunk)
+        comp_used += len(chunk) - len(d.unused_data)
+    return bytes(raw), comp_used
+
+
+def _scan_gzip_split(path: str, start: int, end: int, fsize: int) -> list[dict]:
+    """Parse per-record-gzip-member WARC (the Common-Crawl layout):
+    inflate each member whose compressed bytes START in [start, end).
+    Resync candidates (gzip magic) are VERIFIED by inflating to a
+    ``WARC/`` prefix — the magic bytes can occur inside deflate
+    streams, so a match alone is not a boundary."""
+    rows: list[dict] = []
+    with open(path, "rb") as f:
+        pos = start
+        if start != 0:
+            pos = -1
+            scan = start
+            while scan < min(end, fsize) and pos < 0:
+                chunk = _read_span(path, scan, _SCAN_CHUNK + len(_GZ_MAGIC))
+                off = 0
+                while True:
+                    hit = chunk.find(_GZ_MAGIC, off)
+                    if hit < 0 or scan + hit >= end:
+                        break
+                    try:
+                        raw, _ = _gzip_member_at(f, scan + hit)
+                        if raw.startswith(b"WARC/"):
+                            pos = scan + hit
+                            break
+                    except (zlib.error, ValueError):
+                        pass
+                    off = hit + 1
+                if pos >= 0:
+                    break
+                if scan + len(chunk) >= min(end + len(_GZ_MAGIC), fsize):
+                    return rows
+                scan += _SCAN_CHUNK
+            if pos < 0:
+                return rows
+        while 0 <= pos < end and pos < fsize:
+            try:
+                raw, comp_used = _gzip_member_at(f, pos)
+                row, _ = parse_record(raw)
+            except (zlib.error, ValueError):
+                break
+            if row is not None:
+                rows.append(row)
+            if comp_used <= 0:
+                break
+            pos += comp_used
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# the distributed source
+# ---------------------------------------------------------------------------
+
+
+def _list_warc_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        out = [
+            p
+            for p in sorted(glob.glob(os.path.join(path, "**", "*"), recursive=True))
+            if p.endswith((".warc", ".warc.gz"))
+        ]
+        return out
+    return sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    split_size: int = 128 << 20,
+    responses_only: bool = True,
+) -> DataFrame:
+    """Distributed WARC scan → DataFrame(url, warc_ts, html,
+    record_type, content_type).
+
+    `path` is a file, directory, or glob of .warc / .warc.gz files.
+    The driver stats sizes and emits (file, start, end) splits; all
+    parsing happens in executors (mapInPandas over the split plan —
+    one Arrow batch out per split, memory bounded by split_size plus
+    one record).
+    """
+    files = _list_warc_files(path)
+    if not files:
+        raise FileNotFoundError(f"no .warc/.warc.gz files under {path!r}")
+    splits: list[tuple[str, int, int, int]] = []
+    for p in files:
+        fsize = os.path.getsize(p)
+        step = max(split_size, 1)
+        for s in range(0, max(fsize, 1), step):
+            splits.append((p, s, min(s + step, fsize), fsize))
+    plan = spark.createDataFrame(
+        splits, "path string, start long, end long, fsize long"
+    ).repartition(len(splits), "path", "start")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                fn = _scan_gzip_split if t.path.endswith(".gz") else _scan_plain_split
+                rows = fn(t.path, int(t.start), int(t.end), int(t.fsize))
+                if responses_only:
+                    rows = [r for r in rows if r["record_type"] == "response"]
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return plan.mapInPandas(scan, WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# writer twin (tests + sink)
+# ---------------------------------------------------------------------------
+
+
+def _record_bytes(
+    url: str, ts: datetime, body: bytes, content_type: str = "text/html"
+) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: "
+        + content_type.encode()
+        + b"\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+    )
+    hdr = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ").encode() + b"\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+    )
+    return hdr + http + b"\r\n\r\n"
+
+
+def write_warc_file(
+    pdf: pd.DataFrame, path: str, gzip_members: bool | None = None
+) -> None:
+    """pages-shaped pandas frame (url, warc_ts, html) → one WARC file.
+
+    gzip_members defaults from the extension (.gz → per-record gzip
+    members, the Common-Crawl layout)."""
+    if gzip_members is None:
+        gzip_members = path.endswith(".gz")
+    with open(path, "wb") as f:
+        for t in pdf.itertuples(index=False):
+            ts = t.warc_ts.to_pydatetime() if hasattr(t.warc_ts, "to_pydatetime") else t.warc_ts
+            rec = _record_bytes(t.url, ts, bytes(t.html))
+            if gzip_members:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(rec)
+                f.write(buf.getvalue())
+            else:
+                f.write(rec)
+
+
+def write_warc(df: DataFrame, out_dir: str, gzip_members: bool = True) -> int:
+    """Distributed WARC sink: each partition writes one part-NNNNN
+    .warc(.gz) file under out_dir. Returns file count."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        wrote = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            name = f"part-{pid:05d}-{len(wrote):04d}{ext}"
+            write_warc_file(pdf, os.path.join(out_dir, name), gzip_members)
+            wrote.append(name)
+        if wrote:
+            yield pd.DataFrame({"file": wrote})
+
+    return (
+        df.select("url", "warc_ts", "html")
+        .mapInPandas(sink, "file string")
+        .count()
+    )

@@ -1,0 +1,134 @@
+"""WARC source/sink: round-trip fidelity and split-boundary ownership.
+
+The scale claim under test is the Common-Crawl split contract: a
+(file, byte-range) plan must yield every record EXACTLY once no
+matter where the split edges fall — including edges inside record
+bodies, inside headers, and exactly on boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from parquetry_spark.generator import gen_pages_pdf
+from parquetry_spark.warc import (
+    _scan_gzip_split,
+    _scan_plain_split,
+    parse_record,
+    read_warc,
+    write_warc,
+    write_warc_file,
+    _record_bytes,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return gen_pages_pdf(120, seed=7, n_hosts=12)
+
+
+def _roundtrip_check(got: pd.DataFrame, want: pd.DataFrame):
+    got = got.sort_values("url").reset_index(drop=True)
+    want = want.sort_values("url").reset_index(drop=True)
+    assert list(got.url) == list(want.url)
+    assert [bytes(b) for b in got.html] == [bytes(b) for b in want.html]
+    # WARC-Date keeps µs precision
+    assert list(pd.to_datetime(got.warc_ts)) == list(pd.to_datetime(want.warc_ts))
+
+
+def test_parse_record_roundtrip(pages_pdf):
+    r = pages_pdf.iloc[0]
+    rec = _record_bytes(r.url, r.warc_ts.to_pydatetime(), bytes(r.html))
+    row, consumed = parse_record(rec)
+    assert consumed == len(rec)
+    assert row["url"] == r.url
+    assert row["html"] == bytes(r.html)
+    assert row["record_type"] == "response"
+    assert row["content_type"] == "text/html"
+    assert row["warc_ts"] == r.warc_ts.to_pydatetime()
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_read_warc_roundtrip(spark, pages_pdf, tmp_path, gz):
+    p = str(tmp_path / ("a.warc.gz" if gz else "a.warc"))
+    write_warc_file(pages_pdf, p)
+    got = read_warc(spark, p).toPandas()
+    _roundtrip_check(got, pages_pdf[["url", "warc_ts", "html"]])
+
+
+def test_split_ownership_every_offset(pages_pdf, tmp_path):
+    """Chop one plain WARC at MANY split points: the union of splits
+    must equal the whole file's records with no dupes — the
+    TextInputFormat ownership contract."""
+    p = str(tmp_path / "a.warc")
+    small = pages_pdf.head(25)
+    write_warc_file(small, p)
+    fsize = os.path.getsize(p)
+    whole = _scan_plain_split(p, 0, fsize, fsize)
+    assert len(whole) == 25
+    # split points striding through header/body/boundary positions
+    for cut in range(1, fsize, max(fsize // 97, 1)):
+        a = _scan_plain_split(p, 0, cut, fsize)
+        b = _scan_plain_split(p, cut, fsize, fsize)
+        assert len(a) + len(b) == 25, f"cut={cut}: {len(a)}+{len(b)}"
+        assert [r["url"] for r in a + b] == [r["url"] for r in whole]
+
+
+def test_split_ownership_gzip(pages_pdf, tmp_path):
+    p = str(tmp_path / "a.warc.gz")
+    small = pages_pdf.head(25)
+    write_warc_file(small, p)
+    fsize = os.path.getsize(p)
+    whole = _scan_gzip_split(p, 0, fsize, fsize)
+    assert len(whole) == 25
+    for cut in range(1, fsize, max(fsize // 61, 1)):
+        a = _scan_gzip_split(p, 0, cut, fsize)
+        b = _scan_gzip_split(p, cut, fsize, fsize)
+        assert len(a) + len(b) == 25, f"cut={cut}: {len(a)}+{len(b)}"
+        assert [r["url"] for r in a + b] == [r["url"] for r in whole]
+
+
+def test_read_warc_multifile_small_splits(spark, pages_pdf, tmp_path):
+    """Directory of .warc.gz files read with a split_size far smaller
+    than the files — fan-out exceeds file count, records still exact."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc_file(pages_pdf.iloc[:60], str(d / "p0.warc.gz"))
+    write_warc_file(pages_pdf.iloc[60:], str(d / "p1.warc.gz"))
+    df = read_warc(spark, str(d), split_size=4096)
+    assert df.rdd.getNumPartitions() > 2  # genuinely sub-file splits
+    _roundtrip_check(df.toPandas(), pages_pdf[["url", "warc_ts", "html"]])
+
+
+def test_distributed_warc_sink_roundtrip(spark, pages_pdf, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(pages_pdf[["url", "warc_ts", "html"]]).repartition(4)
+    n = write_warc(df, out, gzip_members=True)
+    assert n >= 1
+    got = read_warc(spark, out).toPandas()
+    _roundtrip_check(got, pages_pdf[["url", "warc_ts", "html"]])
+
+
+def test_non_response_records_skipped(spark, tmp_path):
+    """warcinfo/request records are framed over (their bytes count)
+    but not emitted when responses_only."""
+    p = str(tmp_path / "m.warc")
+    info = (
+        b"WARC/1.1\r\nWARC-Type: warcinfo\r\n"
+        b"WARC-Date: 2023-07-22T05:46:40Z\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 19\r\n\r\nsoftware: graft/1\r\n\r\n\r\n"
+    )
+    resp = _record_bytes(
+        "https://x.example/a", pd.Timestamp("2023-07-22 06:00:00").to_pydatetime(),
+        b"<html>hi</html>",
+    )
+    with open(p, "wb") as f:
+        f.write(info + resp)
+    got = read_warc(spark, p).toPandas()
+    assert list(got.url) == ["https://x.example/a"]
+    allrec = read_warc(spark, p, responses_only=False).toPandas()
+    assert sorted(allrec.record_type) == ["response", "warcinfo"]
