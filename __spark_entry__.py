@@ -528,6 +528,37 @@ def q_pii_scrub(spark, sf):
     )
 
 
+def q_html_extract(spark, sf):
+    """HTML → text extraction (html.extract_html_text): documents has
+    no html column, so the query wraps each text in deterministic
+    markup in-plan — doctype/head/style dropped whole, an HTML
+    comment, a script subtree whose body LOOKS like a paragraph tag,
+    block tags carrying the doc_id, double-encoded and numeric
+    entities — then runs the full extraction chain. The oracle
+    replays the IDENTICAL rule chain (html.HTML_TEXT_RULES via
+    html_text_rules_sql) over the same synthesized markup in DuckDB —
+    the Java-regex ∩ RE2 portability contract, byte-compared. Pure
+    whole-stage codegen, zero shuffle (plan-asserted in
+    tests/test_html.py)."""
+    from parquetry_spark.html import extract_html_text
+
+    df = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><head><title>t</title>"
+            "<style>p{color:red}</style></head><body><!-- c -->"
+            "<script>var x = 1 &amp;&amp; '<p>not text</p>';</script><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail &amp; more &#65;&#36;</div></body></html>"),
+    )
+    return df.select(
+        "doc_id", extract_html_text(html, binary=False).alias("text")
+    )
+
+
 def q_boilerplate(spark, sf):
     """Corpus-level boilerplate line removal (C4-style frequent-line
     gate, curation.remove_boilerplate_lines): documents text is
@@ -1029,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
         "url_dedup": q_url_dedup,
+        "html_extract": q_html_extract,
         "boilerplate": q_boilerplate,
         "sessionize": q_sessionize,
         "pack_sequences": q_pack_sequences,
@@ -1299,6 +1331,26 @@ def oracle_sql() -> dict[str, str]:
         f"WITH s0 AS ({pii_salt}), " + ", ".join(pii_steps)
         + f" SELECT doc_id, t{len(PII_RULES)} AS scrubbed, "
         + ", ".join(pii_counts) + f" FROM s{len(PII_RULES)}"
+    )
+
+    # html_extract: the same in-plan markup wrapping as
+    # q_html_extract, then the IDENTICAL extraction rule chain
+    # (html.HTML_TEXT_RULES) rendered as nested DuckDB
+    # regexp_replace — generated from the one shared rules table, so
+    # the two engines can't drift.
+    from parquetry_spark.html import html_text_rules_sql
+
+    _html_synth = (
+        "'<!DOCTYPE html><html><head><title>t</title>"
+        "<style>p{color:red}</style></head><body><!-- c -->"
+        "<script>var x = 1 &amp;&amp; ''<p>not text</p>'';</script><h1>Doc '"
+        " || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+        "'</p><div>tail &amp; more &#65;&#36;</div></body></html>'"
+    )
+    html_extract = (
+        "SELECT doc_id, "
+        + html_text_rules_sql(_html_synth)
+        + " AS text FROM documents"
     )
 
     # boilerplate: same synthetic multi-line structure as
@@ -1630,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_scrub": pii_scrub,
         "url_dedup": url_dedup,
+        "html_extract": html_extract,
         "boilerplate": boilerplate,
         "sessionize": (
             # same total order (ts, event_id) and integer-micro break

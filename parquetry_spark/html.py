@@ -1,0 +1,113 @@
+"""HTML → text extraction, pure JVM codegen.
+
+The north-rule input table carries BOTH `html:binary` and
+`text:string` because a crawl pipeline extracts the latter from the
+former; this module is that extraction as a Spark-native operator —
+a chained `regexp_replace` pipeline (whole-stage codegen, zero
+shuffle, no Python in the hot path), the same engine-portable-regex
+discipline as curation.PII_RULES: every pattern is in the
+Java-regex ∩ RE2 subset (inline ``(?is)`` flags, lazy ``.*?``, NO
+backreferences — RE2 has none, so block elements are spelled out
+per-tag), which is what lets the DuckDB oracle replay the identical
+chain and the results compare byte-for-byte. Replacements are stored
+RAW and escaped per engine (Java treats ``$``/``\\`` specially in
+replacements, RE2 treats ``\\``).
+
+Extraction spec (rule order IS the contract):
+  1. utf-8 decode of the binary payload;
+  2. strip HTML comments;
+  3. drop invisible-content elements whole (script, style, noscript,
+     template, head) — their text is never page text;
+  4. block-level tags (open or close) become ``\\n`` — paragraph /
+     list / table / heading structure survives as line structure
+     (the C4 convention: quality gates and boilerplate removal
+     operate on lines);
+  5. every remaining tag becomes a space;
+  6. entity decode: decimal ``&#NN;`` for printable ASCII, then the
+     named entities real pages actually use (`&nbsp; &lt; &gt;
+     &quot; &#39; &apos;`), with the two ``&``-producing rules
+     (`&#38; &amp;`) LAST so ``&amp;lt;`` decodes to the literal
+     ``&lt;`` exactly once — the standard order;
+  7. whitespace normalization: horizontal runs → one space, spaces
+     trimmed around newlines, newline runs → one newline, ends
+     trimmed.
+
+On the deterministic generator's pages (generator.py html wrapping)
+this inverts the wrapping exactly: `extract == text` byte-identical
+per url — the BASELINE.json per-row invariant, asserted in
+tests/test_html.py over every generated row and exposed as the
+`html_extract` driver query with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# invisible-content elements, dropped with their entire subtree.
+# Spelled per-tag (no backreferences: RE2-portable).
+_DROP_TAGS = ("script", "style", "noscript", "template", "head")
+
+# block-level elements whose tags become newlines
+_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|thead|tbody|"
+    "section|article|header|footer|blockquote|pre|hr|form|nav|aside|"
+    "figure|figcaption|dl|dt|dd"
+)
+
+
+def _rules() -> list[tuple[str, str]]:
+    rules: list[tuple[str, str]] = [(r"(?s)<!--.*?-->", " ")]
+    rules += [(rf"(?is)<{t}\b[^>]*>.*?</{t}\s*>", " ") for t in _DROP_TAGS]
+    rules += [
+        (rf"(?is)</?(?:{_BLOCK_TAGS})\b[^>]*>", "\n"),
+        (r"(?s)<[^>]*>", " "),
+    ]
+    # decimal numeric entities, printable ASCII, '&' deferred to last
+    rules += [(rf"&#{n};", chr(n)) for n in range(0x20, 0x7F) if chr(n) != "&"]
+    rules += [
+        (r"&nbsp;", " "),
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", '"'),
+        (r"&#39;|&apos;", "'"),
+        (r"&#38;|&amp;", "&"),  # LAST: '&amp;lt;' → '&lt;', decoded once
+        (r"[ \t\r\f\x0b]+", " "),
+        (r" ?\n ?", "\n"),
+        (r"\n+", "\n"),
+        (r"^\s+|\s+$", ""),
+    ]
+    return rules
+
+
+# (pattern, RAW replacement) chain — order is the contract (module doc)
+HTML_TEXT_RULES: list[tuple[str, str]] = _rules()
+
+
+def extract_html_text(col: str | Column, binary: bool = True) -> Column:
+    """html (binary or string) → extracted text Column.
+
+    One projection, whole-stage codegen; null html → null text.
+    """
+    cur = F.col(col) if isinstance(col, str) else col
+    if binary:
+        cur = F.decode(cur, "UTF-8")
+    for pat, rep in HTML_TEXT_RULES:
+        # Java replacement syntax: escape backrefs/escapes
+        cur = F.regexp_replace(cur, pat, rep.replace("\\", "\\\\").replace("$", "\\$"))
+    return cur
+
+
+def html_text_rules_sql(expr: str) -> str:
+    """The identical chain as nested DuckDB ``regexp_replace(..., 'g')``
+    over SQL expression `expr` — oracle twin of `extract_html_text`."""
+    out = expr
+    for pat, rep in HTML_TEXT_RULES:
+        p = pat.replace("'", "''")
+        r = (
+            rep.replace("\\", "\\\\")  # RE2 replacement escape
+            .replace("'", "''")
+            .replace("\n", "' || chr(10) || '")
+        )
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out

@@ -1,0 +1,103 @@
+"""HTML → text extraction: the north-rule per-row invariant
+(byte-identical extracted text per url) plus cross-engine regex
+parity (Spark/Java vs DuckDB/RE2 on the identical rule chain)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark.generator import gen_pages
+from parquetry_spark.html import (
+    HTML_TEXT_RULES,
+    extract_html_text,
+    html_text_rules_sql,
+)
+
+CASES = [
+    # generator wrapping
+    (
+        "<!DOCTYPE html><html><head><title>page</title></head>"
+        "<body><p>hello world</p></body></html>",
+        "hello world",
+    ),
+    # comments, script/style subtrees dropped whole
+    (
+        "<body><!-- hidden --><script>var a = '<p>not text</p>';</script>"
+        "<style>p{}</style><p>kept</p></body>",
+        "kept",
+    ),
+    # block structure → lines; inline tags → space
+    (
+        "<h1>Title</h1><p>one <b>two</b> three</p><ul><li>a</li><li>b</li></ul>",
+        "Title\none two three\na\nb",
+    ),
+    # entities, incl. double-encoded &amp;lt; decoding exactly once
+    (
+        "<p>a &lt;tag&gt; &quot;q&quot; it&#39;s x&nbsp;y &amp;lt; &#65;&#36; &#38; z</p>",
+        'a <tag> "q" it\'s x y &lt; A$ & z',
+    ),
+    # whitespace normalization: runs, tabs, CRLF, blank lines
+    ("<p>  a\t b </p>\r\n\r\n<p>c</p>", "a b\nc"),
+    # nested case-insensitive drop tags with attributes
+    ("<HEAD data-x='1'>skip<title>t</title></HEAD><P>ok</P>", "ok"),
+]
+
+
+def test_extract_cases(spark):
+    df = spark.createDataFrame([(h,) for h, _ in CASES], "html string")
+    got = [
+        r[0]
+        for r in df.select(extract_html_text("html", binary=False)).collect()
+    ]
+    assert got == [want for _, want in CASES]
+
+
+def test_duckdb_oracle_parity(spark):
+    """The same rule chain in DuckDB (RE2) must produce byte-identical
+    output — the portability contract the driver oracle relies on."""
+    df = spark.createDataFrame([(h,) for h, _ in CASES], "html string")
+    got_spark = [
+        r[0]
+        for r in df.select(extract_html_text("html", binary=False)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(h VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(h,) for h, _ in CASES])
+    got_duck = [
+        r[0] for r in con.execute(f"SELECT {html_text_rules_sql('h')} FROM t").fetchall()
+    ]
+    assert got_spark == got_duck == [want for _, want in CASES]
+
+
+def test_generator_invariant_byte_identical(spark):
+    """BASELINE.json per-row invariant: extracted text == text column,
+    byte-identical, for every generated page (distributed check)."""
+    pages = gen_pages(spark, 1500, seed=11, n_hosts=40)
+    bad = (
+        pages.withColumn("x", extract_html_text("html"))
+        .filter(~F.col("x").eqNullSafe(F.col("text")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_null_html_stays_null(spark):
+    df = spark.createDataFrame([(None,)], "html binary")
+    assert df.select(extract_html_text("html")).collect()[0][0] is None
+
+
+def test_extraction_stays_jvm_side(spark):
+    pages = gen_pages(spark, 10, seed=1, n_hosts=2)
+    plan = pages.select(extract_html_text("html"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rules_are_re2_portable():
+    """No backreferences, no lookaround — the RE2 subset gate."""
+    import re
+
+    for pat, _ in HTML_TEXT_RULES:
+        assert re.search(r"\\[1-9]", pat) is None, pat
+        assert "(?=" not in pat and "(?!" not in pat and "(?<" not in pat, pat
