@@ -149,6 +149,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--rows", type=int, required=True)
     p.add_argument("--seed", type=int, default=42)
+    p = sub.add_parser(
+        "ingest-warc",
+        help="distributed WARC/WARC.GZ ingest (Common-Crawl layout) → "
+        "parquet pages table (url, warc_ts, html[, text]); byte-range "
+        "splits fan a single archive across the cluster",
+    )
+    p.add_argument("--in", dest="inp", required=True, help="file, dir, or glob")
+    p.add_argument("--out", required=True)
+    p.add_argument("--split-size", type=int, default=128 << 20)
+    p.add_argument(
+        "--extract-text", action="store_true",
+        help="add a text column via the HTML extraction chain",
+    )
     p = sub.add_parser("encode")
     p.add_argument("--in", dest="inp", required=True)
     p.add_argument("--out", required=True)
@@ -280,6 +293,18 @@ def main(argv: list[str] | None = None) -> int:
             from .generator import write_pages
 
             write_pages(spark, args.out, args.rows, seed=args.seed)
+            return 0
+        if args.cmd == "ingest-warc":
+            from .warc import read_warc
+
+            df = read_warc(spark, args.inp, split_size=args.split_size)
+            if args.extract_text:
+                from .html import extract_html_text
+
+                df = df.withColumn("text", extract_html_text("html"))
+            df.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"rows": n, "out": args.out}))
             return 0
         if args.cmd == "encode":
             from .engine import run_encode

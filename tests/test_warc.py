@@ -132,3 +132,42 @@ def test_non_response_records_skipped(spark, tmp_path):
     assert list(got.url) == ["https://x.example/a"]
     allrec = read_warc(spark, p, responses_only=False).toPandas()
     assert sorted(allrec.record_type) == ["response", "warcinfo"]
+
+
+def test_cli_ingest_warc_extract_text(spark, pages_pdf, tmp_path, monkeypatch):
+    """End-to-end ingest: WARC dir → parquet pages with extracted
+    text; extraction inverts the generator's markup byte-identically
+    (the north-rule invariant through the CLI surface)."""
+    import contextlib
+    import io
+    import json
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc_file(pages_pdf, str(d / "c.warc.gz"))
+    out = str(tmp_path / "pages")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(
+            ["ingest-warc", "--in", str(d), "--out", out,
+             "--split-size", "8192", "--extract-text"]
+        )
+    assert rc == 0
+    assert json.loads(buf.getvalue())["rows"] == len(pages_pdf)
+    got = spark.read.parquet(out).toPandas().sort_values("url").reset_index(drop=True)
+    want = pages_pdf.sort_values("url").reset_index(drop=True)
+    assert list(got.text) == list(want.text)  # byte-identical extraction
