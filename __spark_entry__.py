@@ -528,6 +528,53 @@ def q_pii_scrub(spark, sf):
     )
 
 
+def q_warc_roundtrip(spark, sf):
+    """WARC source/sink correctness under the driver: synthesize a
+    deterministic crawl from documents (url and µs warc_ts derived
+    from doc_id, html wrapping text), WRITE it as per-record-gzip-
+    member WARC (the Common-Crawl layout), read it back with
+    byte-range splits far smaller than the file (every record crosses
+    or abuts a split edge), extract the text from the html — and
+    return (url, warc_ts, text). The oracle computes the same three
+    columns straight from documents: any framing, ownership,
+    compression, timestamp-precision, or extraction defect breaks the
+    hash. The scratch dir is fixed per sf (overwritten, not leaked).
+    """
+    import shutil
+    import tempfile
+
+    from parquetry_spark.html import extract_html_text
+    from parquetry_spark.warc import read_warc, write_warc
+
+    base_us = 1_690_000_000_000_000
+    d = F.col("doc_id").cast("long")
+    pages = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://w"),
+            F.pmod(d, F.lit(37)).cast("string"),
+            F.lit(".example/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        F.timestamp_micros(F.lit(base_us) + d * F.lit(1_000_000)).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    tag = os.path.abspath(sf).strip(os.sep).replace(os.sep, "_")
+    out_dir = os.path.join(tempfile.gettempdir(), f"parquetry_warc_rt_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(pages.repartition(4), out_dir, gzip_members=True)
+    got = read_warc(spark, out_dir, split_size=16 << 10)
+    return got.select(
+        "url", "warc_ts", extract_html_text("html").alias("text")
+    )
+
+
 def q_html_extract(spark, sf):
     """HTML → text extraction (html.extract_html_text): documents has
     no html column, so the query wraps each text in deterministic
@@ -1060,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
         "url_dedup": q_url_dedup,
+        "warc_roundtrip": q_warc_roundtrip,
         "html_extract": q_html_extract,
         "boilerplate": q_boilerplate,
         "sessionize": q_sessionize,
@@ -1332,6 +1380,20 @@ def oracle_sql() -> dict[str, str]:
         + f" SELECT doc_id, t{len(PII_RULES)} AS scrubbed, "
         + ", ".join(pii_counts) + f" FROM s{len(PII_RULES)}"
     )
+
+    # warc_roundtrip: the WARC write→read→extract pipeline must hand
+    # back exactly what the synthesis put in, so the oracle is the
+    # synthesis itself — url/µs-timestamp arithmetic on doc_id and
+    # the text column untouched (the markup wrap is inverted by
+    # extraction; simple <p> wrapping, no entities, so the chain
+    # reduces to tag strip + trim).
+    warc_roundtrip = """
+      SELECT 'https://w' || CAST(doc_id % 37 AS VARCHAR)
+               || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+             make_timestamp(1690000000000000 + doc_id * 1000000) AS warc_ts,
+             text
+      FROM documents
+    """
 
     # html_extract: the same in-plan markup wrapping as
     # q_html_extract, then the IDENTICAL extraction rule chain
@@ -1682,6 +1744,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_scrub": pii_scrub,
         "url_dedup": url_dedup,
+        "warc_roundtrip": warc_roundtrip,
         "html_extract": html_extract,
         "boilerplate": boilerplate,
         "sessionize": (
