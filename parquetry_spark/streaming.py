@@ -304,3 +304,62 @@ def stream_curate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_warc(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    split_size: int = 128 << 20,
+    extract_text: bool = False,
+    checkpoint: str | None = None,
+):
+    """Streaming crawl ingest: WARC archives landing in `in_dir` are
+    parsed incrementally into parquet pages — streaming is
+    INCREMENTAL FILE DISCOVERY plus the batch byte-range scan, not a
+    second parser.
+
+    The binaryFile streaming source tracks which archives are new;
+    the plan selects only (path, length), so Spark's binaryFile
+    column pruning never materializes archive CONTENT into the
+    stream — each epoch's foreachBatch collects just the new file
+    list (bounded metadata: one short string per archive) and hands
+    it to `warc.read_warc`, which fans the archives out across the
+    cluster at byte-range granularity exactly like the batch path.
+    Epoch-deterministic output dirs (`epoch=N` overwrite) give the
+    same exactly-once-per-epoch discipline as `stream_encode`.
+    """
+    checkpoint = checkpoint or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .load(in_dir)
+        .select("path", "length")
+    )
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        from .warc import read_warc
+
+        files = [
+            r["path"].removeprefix("file:") for r in batch_df.select("path").collect()
+        ]
+        if not files:
+            return
+        pages = read_warc(batch_df.sparkSession, sorted(files), split_size=split_size)
+        if extract_text:
+            from .html import extract_html_text
+
+            pages = pages.withColumn("text", extract_html_text("html"))
+        pages.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "pages", f"epoch={epoch}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

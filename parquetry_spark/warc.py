@@ -322,20 +322,21 @@ def _list_warc_files(path: str) -> list[str]:
 
 def read_warc(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     split_size: int = 128 << 20,
     responses_only: bool = True,
 ) -> DataFrame:
     """Distributed WARC scan → DataFrame(url, warc_ts, html,
     record_type, content_type).
 
-    `path` is a file, directory, or glob of .warc / .warc.gz files.
-    The driver stats sizes and emits (file, start, end) splits; all
-    parsing happens in executors (mapInPandas over the split plan —
-    one Arrow batch out per split, memory bounded by split_size plus
-    one record).
+    `path` is a file, directory, or glob of .warc / .warc.gz files —
+    or an explicit file list (the streaming path hands in each
+    epoch's newly-discovered files). The driver stats sizes and emits
+    (file, start, end) splits; all parsing happens in executors
+    (mapInPandas over the split plan — one Arrow batch out per split,
+    memory bounded by split_size plus one record).
     """
-    files = _list_warc_files(path)
+    files = path if isinstance(path, list) else _list_warc_files(path)
     if not files:
         raise FileNotFoundError(f"no .warc/.warc.gz files under {path!r}")
     splits: list[tuple[str, int, int, int]] = []

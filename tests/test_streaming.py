@@ -192,3 +192,36 @@ def test_stream_sessions_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM sess_eq").collect()}
     assert len(batch) > 100  # non-trivial: many multi-event sessions
     assert got == batch
+
+
+def test_stream_ingest_warc_incremental(spark, tmp_path):
+    """Archives landing across two epochs end up exactly-once in the
+    pages output; extraction inverts the generator markup."""
+    from parquetry_spark.generator import gen_pages_pdf
+    from parquetry_spark.streaming import stream_ingest_warc
+    from parquetry_spark.warc import write_warc_file
+
+    pdf = gen_pages_pdf(80, seed=5, n_hosts=8)
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = str(tmp_path / "ingested")
+    write_warc_file(pdf.iloc[:50], str(land / "a.warc.gz"))
+    q = stream_ingest_warc(
+        spark, str(land), out, split_size=8192, extract_text=True
+    )
+    q.awaitTermination()
+    # second wave of archives → new epoch, availableNow restart
+    write_warc_file(pdf.iloc[50:], str(land / "b.warc.gz"))
+    q = stream_ingest_warc(
+        spark, str(land), out, split_size=8192, extract_text=True
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.parquet(out + "/pages")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values("url").reset_index(drop=True)
+    assert list(got.url) == list(want.url)  # exactly-once across epochs
+    assert list(got.text) == list(want.text)  # byte-identical extraction
