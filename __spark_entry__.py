@@ -1366,10 +1366,12 @@ def oracle_sql() -> dict[str, str]:
         "AS t0 FROM documents"
     )
     pii_steps, pii_counts = [], []
-    for i, (name, pat, tok) in enumerate(PII_RULES):
+    # NB: loop var must not be named `tok` — it would shadow the shared
+    # token-count SQL fragment used by oracles built below this loop
+    for i, (name, pat, ph) in enumerate(PII_RULES):
         pii_steps.append(
             f"s{i + 1} AS (SELECT doc_id, "
-            f"regexp_replace(t{i}, '{pat}', '{tok}', 'g') AS t{i + 1}, "
+            f"regexp_replace(t{i}, '{pat}', '{ph}', 'g') AS t{i + 1}, "
             f"len(regexp_extract_all(t{i}, '{pat}')) AS n_{name}"
             + ("".join(f", n_{n}" for n, _, _ in PII_RULES[:i]) or "")
             + f" FROM s{i})"
