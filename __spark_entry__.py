@@ -988,6 +988,56 @@ def q_media_decode(spark, sf):
     return decode_features(media)
 
 
+def q_media_dhash(spark, sf):
+    """Perceptual image dedup via difference hash: deterministic
+    18×16 RGB images are synthesized per doc_id — a 2×2-block column
+    gradient keyed by g = doc_id % 16 plus per-row noise keyed by the
+    FULL doc_id — so group members are byte-DIFFERENT images (and
+    alternate real containers: BMP for even ids, PPM for odd) that
+    are perceptually identical. The real decode → integer-luma →
+    area-pool → dHash kernel (multimodal.dhash_bytes) must therefore
+    collapse each group to ONE hash. Because the gradient step (64)
+    dominates the noise (≤2) and rows are noise-constant, the hash is
+    CLOSED-FORM in g: byte = Σ_x [bit_g(x+1) > bit_g(x)]·2^x repeated
+    8 rows — which is exactly what the DuckDB oracle computes, along
+    with the per-hash duplicate-group size. Zero shuffle until the
+    final count-by-hash (fixed-width keys only)."""
+    import numpy as np
+    import pandas as pd
+
+    from parquetry_spark.multimodal import dhash_features, encode_bmp, encode_ppm
+
+    docs = _t(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") < 300)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                X = np.arange(18)[None, :]
+                Y = np.arange(16)[:, None]
+                g = did % 16
+                v = (
+                    ((g >> ((X // 2) % 4)) & 1) * 64
+                    + 96
+                    + (did * 37 + Y // 2) % 3
+                ).astype(np.uint8)
+                px = np.repeat(v[:, :, None], 3, axis=2)
+                payloads.append(encode_bmp(px) if did % 2 == 0 else encode_ppm(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    from pyspark.sql.window import Window
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = dhash_features(media)
+    w = Window.partitionBy("dhash")
+    return feats.select(
+        "media_id", "dhash", F.count("*").over(w).alias("group_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — aggregation / window breadth (beyond the reference, §2.2)
 # ---------------------------------------------------------------------------
@@ -1129,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_batch": q_ivf_topk_batch,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "media_dhash": q_media_dhash,
         "temporal_render": q_temporal_render,
         "agg_pushdown": q_agg_pushdown,
         "topk_per_group": q_topk_per_group,
@@ -1807,6 +1858,27 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(SUM((media_id*31 + x*3 + y*5 + 7) % 256) AS BIGINT) AS sum_g,"
             "  CAST(SUM((media_id*31 + x*3 + y*5 + 14) % 256) AS BIGINT) AS sum_b"
             " FROM px GROUP BY media_id"
+        ),
+        "media_dhash": (
+            # closed-form dHash of q_media_dhash's synthetic gradient:
+            # noise (≤2) never crosses the gradient step (64) and rows
+            # are noise-constant, so bit x = [bit_g(x+1) > bit_g(x)]
+            # and all 8 row-bytes are equal; the Spark side must reach
+            # the same hash through REAL BMP/PPM bytes + decode +
+            # integer-luma + area pooling
+            "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,"
+            "    doc_id % 16 AS g FROM documents WHERE doc_id < 300),"
+            " b AS (SELECT media_id,"
+            "   CAST(SUM(CASE WHEN ((g >> ((x + 1) % 4)) & 1)"
+            "                    > ((g >> (x % 4)) & 1)"
+            "            THEN 1 << x ELSE 0 END) AS BIGINT) AS byte"
+            "   FROM d, LATERAL (SELECT unnest(generate_series(0, 7)) AS x) t"
+            "   GROUP BY media_id),"
+            " hx AS (SELECT media_id, repeat(printf('%02x', byte), 8) AS dhash"
+            "        FROM b)"
+            " SELECT media_id, dhash,"
+            "   CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_size"
+            " FROM hx"
         ),
         "ivf_topk": (
             # identical to ann_topk: probing every cell must be exact

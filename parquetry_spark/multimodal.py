@@ -301,3 +301,67 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(n_frames.cast("int") - 1, F.lit(0)))
         ).alias("frame_idx"),
     ).withColumn("ts_ms", F.col("frame_idx") * every_ms)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: difference hash (dHash)
+# ---------------------------------------------------------------------------
+
+
+def dhash_bytes(px: np.ndarray, rows: int = 8, cols: int = 9) -> bytes:
+    """Difference hash of a decoded image (the public dHash scheme:
+    grayscale → tiny downscale → adjacent-column comparisons).
+
+    Exact integer spec, so the hash is reproducible in ANY engine:
+      - grayscale = (299 R + 587 G + 114 B) // 1000 (Rec.601 integer);
+      - downscale to rows×cols by AREA MEAN over the floor grid
+        (block r,c spans [r·h/rows, (r+1)·h/rows) — cumsum
+        integral-image, exact integer sums), value = floor(mean);
+      - bit(r, c) = pooled[r][c+1] > pooled[r][c], packed LSB-first
+        per row → (cols−1)-bit byte per row, `rows` bytes out.
+
+    Identical visual content survives re-encoding (BMP vs PPM, noise
+    below the gradient step) with an IDENTICAL hash; exact-equality
+    grouping on the hash is hamming-0 perceptual dedup, and hamming≤k
+    composes with the same band-split machinery as dedup.simhash.
+    """
+    a = px.astype(np.int64)
+    luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000 if a.ndim == 3 else a
+    h, w = luma.shape
+    ry = (np.arange(rows + 1) * h) // rows
+    rx = (np.arange(cols + 1) * w) // cols
+    cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+    cs[1:, 1:] = luma.cumsum(0).cumsum(1)
+    sums = (
+        cs[ry[1:, None], rx[None, 1:]]
+        - cs[ry[:-1, None], rx[None, 1:]]
+        - cs[ry[1:, None], rx[None, :-1]]
+        + cs[ry[:-1, None], rx[None, :-1]]
+    )
+    counts = (ry[1:, None] - ry[:-1, None]) * (rx[None, 1:] - rx[None, :-1])
+    pooled = sums // counts
+    bits = pooled[:, 1:] > pooled[:, :-1]
+    weights = 1 << np.arange(cols - 1, dtype=np.int64)
+    return (bits * weights).sum(axis=1).astype(np.uint8).tobytes()
+
+
+DHASH_SCHEMA = "media_id long, dhash string"
+
+
+def dhash_features(df: DataFrame) -> DataFrame:
+    """(media_id, payload) → (media_id, dhash hex string) via REAL
+    decode (BMP/PPM) + the exact-integer dHash above. Same scale
+    shape as decode_features: zero shuffle, blobs never leave their
+    input partitions, numpy per blob inside Arrow batches."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                dhash_bytes(decode_image(bytes(b))["pixels"]).hex()
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": hashes}
+            )
+
+    return df.mapInPandas(kernel, DHASH_SCHEMA)

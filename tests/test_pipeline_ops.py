@@ -387,3 +387,104 @@ def test_ivf_cell_assignment_complete(vectors):
     ).first()
     assert stats["n"] == n
     assert 0 <= stats["lo"] and stats["hi"] <= 15
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup (dHash)
+# ---------------------------------------------------------------------------
+
+
+def _dhash_ref(px, rows=8, cols=9):
+    """Straightforward loop reference of the dHash spec."""
+    import numpy as np
+
+    a = px.astype(np.int64)
+    luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    h, w = luma.shape
+    pooled = [
+        [
+            int(
+                luma[
+                    (r * h) // rows : ((r + 1) * h) // rows,
+                    (c * w) // cols : ((c + 1) * w) // cols,
+                ].sum()
+                // (
+                    (((r + 1) * h) // rows - (r * h) // rows)
+                    * (((c + 1) * w) // cols - (c * w) // cols)
+                )
+            )
+            for c in range(cols)
+        ]
+        for r in range(rows)
+    ]
+    out = []
+    for r in range(rows):
+        b = 0
+        for c in range(cols - 1):
+            if pooled[r][c + 1] > pooled[r][c]:
+                b |= 1 << c
+        out.append(b)
+    return bytes(out)
+
+
+def test_dhash_matches_loop_reference_nondivisible():
+    import numpy as np
+
+    from parquetry_spark.multimodal import dhash_bytes
+
+    rng = np.random.default_rng(3)
+    for h, w in [(16, 18), (10, 13), (8, 9), (23, 41)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert dhash_bytes(px) == _dhash_ref(px), (h, w)
+
+
+def test_dhash_perceptual_invariance_across_containers():
+    """Same visual content: re-encoded (BMP vs PPM) and perturbed by
+    sub-gradient noise → identical hash, different bytes."""
+    import numpy as np
+
+    from parquetry_spark.multimodal import (
+        decode_image,
+        dhash_bytes,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    def synth(doc_id, W=18, H=16):
+        X = np.arange(W)[None, :]
+        Y = np.arange(H)[:, None]
+        g = doc_id % 16
+        v = (
+            ((g >> ((X // 2) % 4)) & 1) * 64 + 96 + (doc_id * 37 + Y // 2) % 3
+        ).astype(np.uint8)
+        return np.repeat(v[:, :, None], 3, axis=2)
+
+    a, b = synth(3), synth(19)  # same group g=3, different noise
+    assert a.tobytes() != b.tobytes()
+    ha = dhash_bytes(decode_image(encode_bmp(a))["pixels"])
+    hb = dhash_bytes(decode_image(encode_ppm(b))["pixels"])
+    assert ha == hb  # perceptually identical despite container + noise
+    hc = dhash_bytes(synth(5))  # g=5: different gradient pattern
+    assert hc != ha
+
+
+def test_dhash_features_distributed(spark):
+    import numpy as np
+    import pandas as pd
+
+    from parquetry_spark.multimodal import dhash_features, encode_bmp
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, (16, 18, 3)).astype(np.uint8)
+        rows.append((i, encode_bmp(px), _dhash_ref(px).hex()))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload", "want"])
+    )
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_features(df.select("media_id", "payload")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want
