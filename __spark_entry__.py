@@ -988,6 +988,30 @@ def q_media_decode(spark, sf):
     return decode_features(media)
 
 
+def q_lm_coverage(spark, sf):
+    """Reference-LM quality scoring (lm.train_ngram_counts +
+    lm_score — the CCNet-shaped filter): the model is the bigram
+    counts of a deterministic reference slice (doc_id % 5 == 0,
+    standing in for the trusted corpus), truncated top-k with the
+    (count DESC, gram ASC) tie-break, broadcast, and every document
+    is scored against it. The query returns the EXACT-integer
+    signals (gram count, model hits, coverage micros) — the float
+    perplexity channel is pytest-verified against numpy instead of
+    hash-compared. Oracle replays the identical normalization
+    (shared with the repetition oracle), model truncation, and
+    floor-micros arithmetic in SQL. Corpus never shuffles: model
+    joins are broadcast (plan-asserted in tests/test_lm.py)."""
+    from parquetry_spark.lm import lm_score, train_ngram_counts
+
+    docs = _t(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    bi = train_ngram_counts(ref, n=2, top_k=50_000)
+    uni = train_ngram_counts(ref, n=1, top_k=50_000)
+    return lm_score(docs, bi, uni).select(
+        "doc_id", "n_grams", "n_seen", "coverage_micros"
+    )
+
+
 def q_media_dhash(spark, sf):
     """Perceptual image dedup via difference hash: deterministic
     18×16 RGB images are synthesized per doc_id — a 2×2-block column
@@ -1180,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "media_dhash": q_media_dhash,
+        "lm_coverage": q_lm_coverage,
         "temporal_render": q_temporal_render,
         "agg_pushdown": q_agg_pushdown,
         "topk_per_group": q_topk_per_group,
@@ -1858,6 +1883,25 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(SUM((media_id*31 + x*3 + y*5 + 7) % 256) AS BIGINT) AS sum_g,"
             "  CAST(SUM((media_id*31 + x*3 + y*5 + 14) % 256) AS BIGINT) AS sum_b"
             " FROM px GROUP BY media_id"
+        ),
+        "lm_coverage": (
+            # identical normalization as the repetition oracle (shared
+            # textops.norm_words spelling), identical deterministic
+            # model truncation (count DESC, gram ASC LIMIT k), and the
+            # same floor-micros double division both engines share
+            r"WITH w AS (SELECT doc_id, string_split(trim("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')"
+            r"), ' ') AS w FROM documents), "
+            "g AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] "
+            "for i in range(1, len(w))]) AS gram "
+            "FROM w WHERE len(w) >= 2 AND w[1] <> ''), "
+            "m AS (SELECT gram, count(*) AS c FROM g WHERE doc_id % 5 = 0 "
+            "GROUP BY gram ORDER BY c DESC, gram LIMIT 50000), "
+            "per AS (SELECT g.doc_id, count(*) AS n_grams, count(m.c) AS n_seen "
+            "FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id) "
+            "SELECT d.doc_id, per.n_grams, per.n_seen, "
+            "CAST(floor(per.n_seen * 1000000 / per.n_grams) AS BIGINT) "
+            "AS coverage_micros FROM documents d LEFT JOIN per USING (doc_id)"
         ),
         "media_dhash": (
             # closed-form dHash of q_media_dhash's synthetic gradient:

@@ -1,0 +1,111 @@
+"""Reference-LM quality filtering (the CCNet / LLaMA-data recipe).
+
+CCNet-style curation scores each document under a language model
+trained on a trusted reference corpus (Wikipedia in the paper) and
+drops the high-perplexity tail. This module is that filter with the
+LM scaled to what a Spark pipeline can train and apply exactly:
+
+  - `train_ngram_counts`: word n-gram counts of the reference corpus
+    (shared `textops.norm_words` normalization — the same expression
+    every gram-based operator in this engine uses), truncated to the
+    top_k most frequent grams with a DETERMINISTIC (count DESC, gram
+    ASC) tie-break so any engine — and the DuckDB oracle — selects
+    the identical model. The truncation is what bounds the broadcast:
+    top 100k bigrams is a few MB regardless of corpus size.
+
+  - `lm_score`: per-document scoring against the broadcast model:
+      * `n_grams`     — the document's bigram count;
+      * `n_seen`      — how many hit the reference model;
+      * `coverage_micros` — floor(1e6 · n_seen / n_grams), an
+        EXACT-integer familiarity signal (oracle-checkable);
+      * `avg_logp` / `ppl` — add-one-smoothed bigram log-probability
+        and perplexity exp(−avg_logp), the CCNet-shaped float signal
+        (floats are pytest-verified against a numpy reference, not
+        hash-compared across engines).
+
+Scale shape: the reference aggregation is one gram-count shuffle of
+the (small, trusted) reference corpus; scoring is explode →
+BROADCAST joins (the corpus never shuffles) → partial-aggregated
+groupBy(doc) whose exchange carries one (id, three numbers) row per
+document per partition. Vocabulary size V enters as a plan literal
+(one bounded driver scalar, like the salt maps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import word_gram_array
+
+
+def train_ngram_counts(
+    ref: DataFrame, text_col: str = "text", n: int = 2, top_k: int = 100_000
+) -> DataFrame:
+    """(gram, c) counts of the reference corpus's word n-grams,
+    deterministically truncated to top_k by (c DESC, gram ASC).
+
+    `orderBy(...).limit(top_k)` compiles to TakeOrderedAndProject —
+    distributed partial top-k, no global sort materialization."""
+    return (
+        ref.select(F.explode(word_gram_array(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.col("gram"))
+        .limit(top_k)
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against the reference model (module doc).
+
+    `bigrams` / `unigrams` are `train_ngram_counts(ref, n=2)` /
+    `(ref, n=1)` outputs. Documents with < 2 normalized words (or
+    null text) get null scores — no grams means no evidence, which a
+    quality gate must treat differently from "unfamiliar".
+    """
+    v = unigrams.count()  # plan literal: vocabulary size for add-one
+    g = df.select(
+        F.col(id_col).alias("_lm_id"),
+        F.explode_outer(word_gram_array(F.col(text_col), 2)).alias("gram"),
+    ).withColumn("w1", F.substring_index("gram", " ", 1))
+    j = (
+        g.join(F.broadcast(bigrams.withColumnRenamed("c", "cb")), "gram", "left")
+        .join(
+            F.broadcast(
+                unigrams.withColumnRenamed("gram", "w1").withColumnRenamed("c", "cu")
+            ),
+            "w1",
+            "left",
+        )
+    )
+    logp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(float(v)))
+    )
+    per = j.groupBy("_lm_id").agg(
+        F.count("gram").alias("n_grams"),
+        F.count("cb").alias("n_seen"),
+        F.sum(F.when(F.col("gram").isNotNull(), logp)).alias("_slogp"),
+    )
+    has = F.col("n_grams") > 0
+    return (
+        df.join(per, F.col(id_col) == F.col("_lm_id"), "left")
+        .withColumn(
+            "coverage_micros",
+            F.when(
+                has, F.floor(F.col("n_seen") * F.lit(1_000_000) / F.col("n_grams"))
+            ),
+        )
+        .withColumn("avg_logp", F.when(has, F.col("_slogp") / F.col("n_grams")))
+        .withColumn("ppl", F.when(has, F.exp(-F.col("avg_logp"))))
+        .withColumn("n_grams", F.when(has, F.col("n_grams")))
+        .withColumn("n_seen", F.when(has, F.col("n_seen")))
+        .drop("_lm_id", "_slogp")
+    )

@@ -1,0 +1,119 @@
+"""Reference-LM quality scoring: exact counts, smoothed-perplexity
+parity with a numpy reference, and the degenerate-document contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from parquetry_spark.lm import lm_score, train_ngram_counts
+
+REF = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the rug"),
+    (2, "a cat and a dog"),
+]
+DOCS = [
+    (10, "the cat sat"),          # fully in-model
+    (11, "the zebra sat"),        # "the zebra"/"zebra sat" unseen
+    (12, "one"),                  # single word → no bigrams → nulls
+    (13, ""),                     # empty → nulls
+    (14, None),                   # null → nulls
+    (15, "Quantum flux capacitors!!!"),  # fully out-of-model
+]
+
+
+def _py_model(texts, n):
+    import re
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        w = re.sub(r"[^\w]+", " ", t.lower()).split()
+        for i in range(len(w) - n + 1):
+            c[" ".join(w[i : i + n])] += 1
+    return c
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    return (
+        train_ngram_counts(ref, n=2).cache(),
+        train_ngram_counts(ref, n=1).cache(),
+    )
+
+
+def test_train_counts_exact(spark, model):
+    bi, uni = model
+    got = {r["gram"]: r["c"] for r in bi.collect()}
+    assert got == dict(_py_model([t for _, t in REF], 2))
+    gotu = {r["gram"]: r["c"] for r in uni.collect()}
+    assert gotu == dict(_py_model([t for _, t in REF], 1))
+
+
+def test_train_truncation_deterministic(spark):
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    top = train_ngram_counts(ref, n=1, top_k=3).collect()
+    # count DESC, gram ASC: 'the'(4), then ties at 2 → 'a' before 'cat'/'dog'/'on'/'sat'
+    assert [(r["gram"], r["c"]) for r in top] == [("the", 4), ("a", 2), ("cat", 2)]
+
+
+def test_lm_score_vs_numpy_reference(spark, model):
+    bi, uni = model
+    bic, unic = _py_model([t for _, t in REF], 2), _py_model([t for _, t in REF], 1)
+    v = len(unic)
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_score(docs, bi, uni).collect()}
+
+    import re
+
+    for did, text in DOCS:
+        r = got[did]
+        w = re.sub(r"[^\w]+", " ", (text or "").lower()).split()
+        grams = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        if not grams:
+            assert r["n_grams"] is None and r["coverage_micros"] is None
+            assert r["avg_logp"] is None and r["ppl"] is None
+            continue
+        assert r["n_grams"] == len(grams)
+        seen = sum(1 for g in grams if g in bic)
+        assert r["n_seen"] == seen
+        assert r["coverage_micros"] == math.floor(1e6 * seen / len(grams))
+        want_logp = sum(
+            math.log((bic.get(g, 0) + 1) / (unic.get(g.split()[0], 0) + v))
+            for g in grams
+        ) / len(grams)
+        assert r["avg_logp"] == pytest.approx(want_logp, rel=1e-12)
+        assert r["ppl"] == pytest.approx(math.exp(-want_logp), rel=1e-12)
+
+
+def test_in_model_scores_better_than_out_of_model(spark, model):
+    bi, uni = model
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_score(docs, bi, uni).collect()}
+    # in-model beats both out-of-model docs; the two out-of-model docs
+    # don't order strictly under add-one smoothing (an unseen bigram
+    # after a FREQUENT context word is penalized harder than a fully
+    # unknown word — ln(1/(cu+V)) vs ln(1/V))
+    assert got[10]["ppl"] < got[11]["ppl"]
+    assert got[10]["ppl"] < got[15]["ppl"]
+    assert got[10]["coverage_micros"] == 1_000_000
+    assert got[15]["coverage_micros"] == 0
+
+
+def test_scoring_joins_are_broadcast(spark, model):
+    """The corpus side must never shuffle for the model joins."""
+    bi, uni = model
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        lm_score(docs, bi, uni)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both model joins broadcast; the only sort-merge allowed is the
+    # per-doc score join-back on the id (both sides corpus-sized)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin [gram" not in plan and "SortMergeJoin [w1" not in plan
