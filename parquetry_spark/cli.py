@@ -233,6 +233,13 @@ def main(argv: list[str] | None = None) -> int:
         "duplicated non-blank lines",
     )
     p.add_argument(
+        "--lm-ref", dest="lm_ref", default=None, metavar="PARQUET",
+        help="trusted reference corpus: drop docs whose reference-LM "
+        "bigram coverage falls below --min-lm-coverage (CCNet-style)",
+    )
+    p.add_argument("--min-lm-coverage", type=float, default=0.5)
+    p.add_argument("--lm-top-k", type=int, default=100_000)
+    p.add_argument(
         "--eval", dest="eval_path", default=None,
         help="parquet of eval/benchmark docs: flag+drop training docs "
         "sharing any word --ngram with it",
@@ -424,6 +431,25 @@ def main(argv: list[str] | None = None) -> int:
                 df = df.filter(
                     dup_line_char_frac_micros(F.col(args.text_col))
                     <= F.lit(round(args.max_dup_line_frac * 1_000_000))
+                )
+            if args.lm_ref:
+                # CCNet-style gate: keep docs whose reference-LM
+                # coverage clears the floor (docs with no grams pass —
+                # the gate filters unfamiliar text, not short text;
+                # pair with --quality-min for length-ish gates)
+                from .lm import lm_score, train_ngram_counts
+
+                ref = spark.read.parquet(args.lm_ref)
+                bi = train_ngram_counts(ref, args.text_col, 2, args.lm_top_k)
+                uni = train_ngram_counts(ref, args.text_col, 1, args.lm_top_k)
+                floor_micros = round(args.min_lm_coverage * 1_000_000)
+                df = (
+                    lm_score(df, bi, uni, id_col=args.id_col, text_col=args.text_col)
+                    .filter(
+                        F.col("coverage_micros").isNull()
+                        | (F.col("coverage_micros") >= F.lit(floor_micros))
+                    )
+                    .drop("n_grams", "n_seen", "coverage_micros", "avg_logp", "ppl")
                 )
             if args.eval_path:
                 ev = spark.read.parquet(args.eval_path)

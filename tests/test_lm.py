@@ -117,3 +117,40 @@ def test_scoring_joins_are_broadcast(spark, model):
     # per-doc score join-back on the id (both sides corpus-sized)
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin [gram" not in plan and "SortMergeJoin [w1" not in plan
+
+
+def test_cli_curate_lm_gate(spark, tmp_path, monkeypatch):
+    """--lm-ref drops out-of-model docs, keeps in-model and
+    no-evidence docs; stage composes into the one-plan pipeline."""
+    import contextlib
+    import io
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+    refp = str(tmp_path / "ref")
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    spark.createDataFrame(REF, "doc_id long, text string").write.parquet(refp)
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(inp)
+    with contextlib.redirect_stdout(io.StringIO()):
+        rc = cli_main(
+            ["curate", "--in", inp, "--out", outp,
+             "--lm-ref", refp, "--min-lm-coverage", "0.9"]
+        )
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(outp).collect())
+    # 10 fully in-model (coverage 1.0); 12/13/14 no grams (pass);
+    # 11 and 15 below 0.9 coverage → dropped
+    assert kept == [10, 12, 13, 14]
