@@ -84,15 +84,38 @@ def _rules() -> list[tuple[str, str]]:
 HTML_TEXT_RULES: list[tuple[str, str]] = _rules()
 
 
-def extract_html_text(col: str | Column, binary: bool = True) -> Column:
+def _is_numeric_entity_rule(pat: str) -> bool:
+    """The per-codepoint decimal rules (`&#NN;`), NOT the combined
+    named/'&'-producing ones (`&#39;|&apos;`, `&#38;|&amp;`)."""
+    return pat.startswith("&#") and "|" not in pat
+
+
+# the hot-path subset: everything except the 90+ per-codepoint decimal
+# rules — measured 3× cheaper at sf0.1 (each rule is a full pass over
+# every string; numeric entities are rare in real pages)
+HTML_TEXT_RULES_COMMON: list[tuple[str, str]] = [
+    r for r in HTML_TEXT_RULES if not _is_numeric_entity_rule(r[0])
+]
+
+
+def extract_html_text(
+    col: str | Column, binary: bool = True, entities: str = "full"
+) -> Column:
     """html (binary or string) → extracted text Column.
 
     One projection, whole-stage codegen; null html → null text.
-    """
+    `entities="full"` (default) applies the whole rule contract incl.
+    per-codepoint decimal entities — what the DuckDB oracle mirrors;
+    `entities="common"` skips the decimal rules (named entities +
+    `&#39;`/`&#38;` still decode) for ~3× fewer regex passes — the
+    100-TB hot-path setting when the corpus is known to be
+    named-entity-encoded (the two modes are byte-identical on such
+    input — tested)."""
+    rules = HTML_TEXT_RULES if entities == "full" else HTML_TEXT_RULES_COMMON
     cur = F.col(col) if isinstance(col, str) else col
     if binary:
         cur = F.decode(cur, "UTF-8")
-    for pat, rep in HTML_TEXT_RULES:
+    for pat, rep in rules:
         # Java replacement syntax: escape backrefs/escapes
         cur = F.regexp_replace(cur, pat, rep.replace("\\", "\\\\").replace("$", "\\$"))
     return cur

@@ -101,3 +101,27 @@ def test_rules_are_re2_portable():
     for pat, _ in HTML_TEXT_RULES:
         assert re.search(r"\\[1-9]", pat) is None, pat
         assert "(?=" not in pat and "(?!" not in pat and "(?<" not in pat, pat
+
+
+def test_common_mode_matches_full_without_numeric_entities(spark):
+    from parquetry_spark.generator import gen_pages
+
+    pages = gen_pages(spark, 300, seed=13, n_hosts=10)
+    bad = pages.filter(
+        ~extract_html_text("html", entities="common").eqNullSafe(
+            extract_html_text("html", entities="full")
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_common_mode_skips_only_decimal_entities(spark):
+    df = spark.createDataFrame(
+        [("<p>&#65; &amp; &#39;</p>",)], "html string"
+    )
+    full, common = df.select(
+        extract_html_text("html", binary=False, entities="full"),
+        extract_html_text("html", binary=False, entities="common"),
+    ).collect()[0]
+    assert full == "A & '"
+    assert common == "&#65; & '"  # named + #39/#38 still decode
