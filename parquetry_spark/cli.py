@@ -162,6 +162,18 @@ def main(argv: list[str] | None = None) -> int:
         "--extract-text", action="store_true",
         help="add a text column via the HTML extraction chain",
     )
+    p.add_argument(
+        "--max-html-bytes", type=int, default=2 << 20, metavar="N",
+        help="drop pages whose html payload exceeds N bytes (0 = keep "
+        "all): oversized pages are both a curation signal (C4 drops "
+        "them) and a regex-cost hazard in the extraction chain",
+    )
+    p.add_argument(
+        "--entities", choices=("full", "common"), default="common",
+        help="extraction entity mode: 'common' (default ingest hot "
+        "path, ~3x fewer regex passes) or 'full' (per-codepoint "
+        "decimal entities too)",
+    )
     p = sub.add_parser("encode")
     p.add_argument("--in", dest="inp", required=True)
     p.add_argument("--out", required=True)
@@ -304,11 +316,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "ingest-warc":
             from .warc import read_warc
 
+            from pyspark.sql import functions as F
+
             df = read_warc(spark, args.inp, split_size=args.split_size)
+            if args.max_html_bytes:
+                df = df.filter(
+                    F.octet_length("html") <= F.lit(args.max_html_bytes)
+                )
             if args.extract_text:
                 from .html import extract_html_text
 
-                df = df.withColumn("text", extract_html_text("html"))
+                df = df.withColumn(
+                    "text", extract_html_text("html", entities=args.entities)
+                )
             df.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(json.dumps({"rows": n, "out": args.out}))

@@ -171,3 +171,42 @@ def test_cli_ingest_warc_extract_text(spark, pages_pdf, tmp_path, monkeypatch):
     got = spark.read.parquet(out).toPandas().sort_values("url").reset_index(drop=True)
     want = pages_pdf.sort_values("url").reset_index(drop=True)
     assert list(got.text) == list(want.text)  # byte-identical extraction
+
+
+def test_cli_ingest_warc_max_html_bytes(spark, pages_pdf, tmp_path, monkeypatch):
+    """Oversized pages are dropped before extraction."""
+    import contextlib
+    import io
+    import json
+
+    import pandas as pd
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+    pdf = pages_pdf.head(10).copy()
+    big = pdf.iloc[0].html + b"x" * 5000
+    pdf.loc[pdf.index[0], "html"] = big
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc_file(pdf, str(d / "c.warc"))
+    out = str(tmp_path / "pages")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(
+            ["ingest-warc", "--in", str(d), "--out", out,
+             "--max-html-bytes", "4000", "--extract-text"]
+        )
+    assert rc == 0
+    assert json.loads(buf.getvalue())["rows"] == 9  # big page dropped
