@@ -867,6 +867,22 @@ def q_neardup_clusters(spark, sf):
     return connected_components(pairs, nodes=df.select("doc_id"))
 
 
+def q_near_dedup(spark, sf):
+    """The full near-dup dedup DECISION (dedup.near_dedup_docs): the
+    same capped-jaccard pair set as `neardup_clusters`, components to
+    a fixpoint, then keep the min-id representative per cluster and
+    drop the rest. Oracle = the recursive-CTE component labeling
+    restricted to rows where comp == doc_id. Deterministic keep
+    choice (min id) — rerun-stable, the property resume depends on."""
+    from parquetry_spark.dedup import near_dedup_docs
+
+    df = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        df, n=3, threshold=0.5, max_gram_df=NGRAM_MAX_DF
+    ).select("id_a", "id_b")
+    return near_dedup_docs(df, pairs=pairs).select("doc_id", "lang", "source")
+
+
 def q_minhash_pairs(spark, sf):
     """MinHash+LSH banding + exact hashed-shingle Jaccard, md5 base
     hash — the full banding pipeline is replicated in DuckDB SQL."""
@@ -1195,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
+        "near_dedup": q_near_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -1853,6 +1870,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _ngram_oracle(),
         "neardup_clusters": _clusters_oracle(),
+        "near_dedup": (
+            # the component labeling restricted to representatives
+            "WITH comp AS (" + _clusters_oracle() + ") "
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "JOIN comp USING (doc_id) WHERE comp.comp = d.doc_id"
+        ),
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "embedding_neardup": _embedding_oracle(),

@@ -220,6 +220,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--dedup", action="store_true", help="exact dedup (first id wins)")
     p.add_argument(
+        "--near-dedup", action="store_true",
+        help="near-duplicate dedup: MinHash+LSH pairs → connected "
+        "components → keep the min-id representative per cluster",
+    )
+    p.add_argument(
+        "--near-jaccard", type=float, default=0.7, metavar="J",
+        help="Jaccard threshold for --near-dedup pair verification",
+    )
+    p.add_argument(
         "--scrub-pii", action="store_true",
         help="replace emails / key-shaped secrets / long hex tokens / "
         "IPv4 / phone-shaped digit runs with typed placeholders "
@@ -420,6 +429,13 @@ def main(argv: list[str] | None = None) -> int:
             }
             if args.dedup:
                 df = exact_dedup_docs(df, args.text_col, args.id_col)
+            if args.near_dedup:
+                from .dedup import near_dedup_docs
+
+                df = near_dedup_docs(
+                    df, args.text_col, args.id_col,
+                    jaccard_threshold=args.near_jaccard,
+                )
             if args.scrub_pii:
                 from .curation import scrub_pii
 

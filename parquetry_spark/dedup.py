@@ -601,3 +601,37 @@ def connected_components(
         )
     finally:
         e.unpersist()
+
+
+def near_dedup_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-duplicate dedup END-TO-END: pair detection → cluster
+    formation → keep ONE representative (the minimum id) per cluster,
+    dropping the rest — the decision step the pair/cluster operators
+    exist to feed.
+
+    `pairs` lets callers plug any of this module's pair detectors
+    (jaccard / simhash / embedding LSH) or a precomputed edge list;
+    default is MinHash+LSH (`minhash_lsh_pairs(**lsh_kwargs)`), the
+    standard web-corpus configuration. The representative choice
+    (min id per connected component) is deterministic under
+    repartition and reruns — a dedup that keeps a DIFFERENT copy on
+    each run breaks resume and reproducibility.
+
+    Scale shape: inherits the pair detector's id-only shuffles, the
+    component loop's edge-list-only rounds, and finishes with one
+    LEFT SEMI join of the corpus against the (cluster-count-sized)
+    representative set — the corpus body crosses no new exchange.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    comps = connected_components(
+        pairs.select("id_a", "id_b"), nodes=df.select(id_col), id_col=id_col
+    )
+    keep = comps.filter(F.col(id_col) == F.col("comp")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -49,3 +49,67 @@ def test_cycle_converges(spark):
     out = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 1)]))
     got = {r["doc_id"]: r["comp"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_near_dedup_docs_keeps_min_id_per_cluster(spark):
+    """End-to-end decision: designed near-dups collapse to the min-id
+    representative; unique docs survive; rerun-deterministic."""
+    from parquetry_spark.dedup import near_dedup_docs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " ok"),            # near-dup of 1
+        (3, base.replace("dog", "cat") + " extra"),  # near-dup of 1/2
+        (10, "completely different text about spark and parquet files here"),
+        (11, None),
+        (12, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = sorted(
+        r["doc_id"]
+        for r in near_dedup_docs(df, jaccard_threshold=0.5, n_words=3).collect()
+    )
+    assert 1 in out1 and 2 not in out1
+    assert 10 in out1 and 11 in out1 and 12 in out1
+    out2 = sorted(
+        r["doc_id"]
+        for r in near_dedup_docs(
+            df.repartition(5), jaccard_threshold=0.5, n_words=3
+        ).collect()
+    )
+    assert out1 == out2  # representative choice survives repartition
+
+
+def test_cli_curate_near_dedup(spark, tmp_path, monkeypatch):
+    import contextlib
+    import io
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, base), (2, base + " ok"), (9, "unrelated corpus text entirely")],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    with contextlib.redirect_stdout(io.StringIO()):
+        rc = cli_main(
+            ["curate", "--in", inp, "--out", outp,
+             "--near-dedup", "--near-jaccard", "0.5"]
+        )
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(outp).collect())
+    assert kept == [1, 9]
