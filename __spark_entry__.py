@@ -883,6 +883,35 @@ def q_near_dedup(spark, sf):
     return near_dedup_docs(df, pairs=pairs).select("doc_id", "lang", "source")
 
 
+def q_host_rank(spark, sf):
+    """Web-graph pipeline (graph.py): anchor-href link extraction out
+    of in-plan html (real regexp chain over markup with relative /
+    mailto / fragment distractors), host-graph folding, then TWO
+    rounds of exact-integer-micros PageRank. The oracle computes the
+    same edge set closed-form from doc_id arithmetic and unrolls the
+    identical integer recurrence (rank div deg, 85·s div 100) —
+    float PageRank could never hash-match across engines; the
+    integer spec does, bit-for-bit."""
+    from parquetry_spark.graph import extract_links, host_graph, pagerank_hosts
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"), F.lit(".example/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="/rel">r</a><a href="#x">a</a>'),
+            F.lit('<a href="https://h'), ((d * 3) % 7).cast("string"),
+            F.lit('.example/x">1</a><A HREF=\'https://h'),
+            ((d + 1) % 5).cast("string"),
+            F.lit(".example/y'>2</A><a href=\"mailto:a@b.c\">m</a></body></html>"),
+        ).alias("html"),
+    )
+    edges = host_graph(extract_links(pages, binary=False))
+    return pagerank_hosts(edges, iters=2)
+
+
 def q_minhash_pairs(spark, sf):
     """MinHash+LSH banding + exact hashed-shingle Jaccard, md5 base
     hash — the full banding pipeline is replicated in DuckDB SQL."""
@@ -1212,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "near_dedup": q_near_dedup,
+        "host_rank": q_host_rank,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -1870,6 +1900,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _ngram_oracle(),
         "neardup_clusters": _clusters_oracle(),
+        "host_rank": (
+            # closed-form edge set + the integer PageRank recurrence
+            # unrolled (generated; see q_host_rank docstring)
+            """WITH raw AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS s,
+         'h' || CAST((doc_id * 3) % 7 AS VARCHAR) || '.example' AS t
+  FROM documents
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+         'h' || CAST((doc_id + 1) % 5 AS VARCHAR) || '.example'
+  FROM documents),
+ e AS (SELECT DISTINCT s, t FROM raw WHERE s <> t),
+ nodes AS (SELECT s AS host FROM e UNION SELECT t FROM e),
+ deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+ r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM nodes)
+, c1 AS (SELECT e.t AS host, SUM(r0.rank // deg.deg) AS sm FROM e JOIN r0 ON r0.host = e.s JOIN deg ON deg.s = e.s GROUP BY e.t)
+, r1 AS (SELECT n.host, CAST(150000 + (85 * coalesce(c1.sm, 0)) // 100 AS BIGINT) AS rank FROM nodes n LEFT JOIN c1 USING (host))
+, c2 AS (SELECT e.t AS host, SUM(r1.rank // deg.deg) AS sm FROM e JOIN r1 ON r1.host = e.s JOIN deg ON deg.s = e.s GROUP BY e.t)
+, r2 AS (SELECT n.host, CAST(150000 + (85 * coalesce(c2.sm, 0)) // 100 AS BIGINT) AS rank FROM nodes n LEFT JOIN c2 USING (host))
+ SELECT host, rank AS rank_micros FROM r2"""
+        ),
         "near_dedup": (
             # the component labeling restricted to representatives
             "WITH comp AS (" + _clusters_oracle() + ") "

@@ -1,0 +1,135 @@
+"""Web-graph analytics over crawled pages: link extraction, the host
+graph, and an exact-integer PageRank.
+
+A crawl corpus is also a graph, and the graph feeds curation — host
+authority ranks weight domain resampling, spam-farm hosts show up as
+rank sinks, and link extraction itself is the seed of the next crawl
+frontier. All three operators keep the engine's contracts:
+
+  - `extract_links`: `<a href="...">` targets out of the html column
+    — one regexp_extract_all projection (whole-stage codegen, zero
+    shuffle, pattern in the Java∩RE2 subset so the DuckDB oracle can
+    replay it). Absolute http(s) targets only: relative-URL
+    resolution needs the base-tag/path semantics of a real browser
+    and silently-wrong edges poison the graph (documented scope).
+  - `host_graph`: edges folded to (src_host, dst_host, n_links) —
+    hosts lowercased, one aggregation shuffle of short host strings.
+  - `pagerank_hosts`: PageRank in EXACT INTEGER MICROS so any engine
+    reproduces it bit-for-bit (float summation order would diverge):
+    rank₀ = 1e6; each round every node sends floor(rank/out_degree)
+    along its out-edges and new_rank = 150000 + 85·Σincoming // 100
+    (d = 0.85 as the exact rational 85/100; dangling mass dropped —
+    the standard simplified formulation). Per round: ONE shuffle of
+    (host, int) contributions; the loop is driver-bounded like
+    dedup.connected_components, ranks never leave the cluster.
+
+Reference anchor: the reference tool has no graph surface
+(/root/reference — SURVEY.md §2.2); this extends the web-scale remit
+like dedup/similarity do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# href extraction: group 1 = the target. Java∩RE2 subset (inline
+# flags, no backrefs/lookaround) — the oracle replays it verbatim.
+HREF_RE = "(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"'#]+)"
+
+_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def url_host(col: str | Column) -> Column:
+    """Lowercased host of an absolute URL ('' for non-URLs)."""
+    u = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.regexp_extract(u, _HOST_RE, 1)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    binary: bool = True,
+) -> DataFrame:
+    """(src_url, dst_url) edges from anchor hrefs (module doc).
+
+    Fragments are excluded by the pattern itself (`#` stops the
+    capture — same-page anchors are not edges); only absolute
+    http(s) targets survive the filter.
+    """
+    h = F.col(html_col)
+    if binary:
+        h = F.decode(h, "UTF-8")
+    return (
+        df.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(F.regexp_extract_all(h, F.lit(HREF_RE), F.lit(1))).alias(
+                "dst_url"
+            ),
+        )
+        .filter(F.lower(F.col("dst_url")).rlike("^https?://"))
+    )
+
+
+def host_graph(edges: DataFrame) -> DataFrame:
+    """Link edges → weighted host graph (src_host, dst_host, n_links);
+    self-links (intra-host navigation) dropped."""
+    g = edges.select(
+        url_host("src_url").alias("src_host"),
+        url_host("dst_url").alias("dst_host"),
+    ).filter(
+        (F.col("src_host") != "")
+        & (F.col("dst_host") != "")
+        & (F.col("src_host") != F.col("dst_host"))
+    )
+    return g.groupBy("src_host", "dst_host").agg(F.count("*").alias("n_links"))
+
+
+def pagerank_hosts(
+    hosts_edges: DataFrame, iters: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Exact-integer-micros PageRank over the host graph (module doc).
+
+    Returns (host, rank_micros) for every host appearing as source OR
+    target. `damping_pct` is the damping factor as an integer percent
+    — the arithmetic stays rational so DuckDB replays it exactly.
+    Edge weights (n_links) are deliberately ignored: classic PageRank
+    is over the link RELATION; a weighted variant would just replace
+    out_degree with the weight sum.
+    """
+    e = hosts_edges.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base_micros = (100 - damping_pct) * 10_000  # (1-d) · 1e6, exact
+    ranks = nodes.select("host", F.lit(1_000_000).cast("long").alias("rank"))
+    e = e.persist()
+    deg = deg.persist()
+    for _ in range(iters):
+        # `div` = TRUE integer division on longs in both Spark SQL and
+        # DuckDB (`//`) — a double `/` then cast could round up across
+        # the truncation boundary and diverge between engines
+        contribs = (
+            e.join(ranks.withColumnRenamed("host", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("host"), F.expr("rank div deg").alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "host", "left").select(
+            "host",
+            F.expr(
+                f"CAST({base_micros} + ({damping_pct} * coalesce(s, 0)) div 100"
+                " AS LONG)"
+            ).alias("rank"),
+        )
+    out = ranks.withColumnRenamed("rank", "rank_micros")
+    e.unpersist()
+    deg.unpersist()
+    return out

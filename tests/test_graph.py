@@ -1,0 +1,112 @@
+"""Web-graph operators: link extraction fidelity, host folding, and
+the exact-integer PageRank (hand-computed fixture + invariances)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark.graph import (
+    extract_links,
+    host_graph,
+    pagerank_hosts,
+    url_host,
+)
+
+
+def test_extract_links_cases(spark):
+    html = (
+        '<a href="https://b.com/x">t</a>'
+        "<A HREF='http://c.com/y?q=1'>u</A>"          # case + single quotes
+        '<a class="z" href="https://d.com/p#frag">v</a>'  # fragment cut
+        '<a href="/relative/path">w</a>'               # relative: excluded
+        '<a href="mailto:x@y.z">m</a>'                 # non-http: excluded
+        '<a href="#top">anchor</a>'                    # pure fragment: excluded
+    )
+    df = spark.createDataFrame([("https://a.com/", html)], "url string, html string")
+    got = sorted(
+        r["dst_url"] for r in extract_links(df, binary=False).collect()
+    )
+    assert got == ["http://c.com/y?q=1", "https://b.com/x", "https://d.com/p"]
+
+
+def test_extract_links_stays_jvm_side(spark):
+    df = spark.createDataFrame([("u", "<a href='https://x.com'>x</a>")],
+                               "url string, html string")
+    plan = (
+        extract_links(df, binary=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_host_graph_folds_and_drops_self_links(spark):
+    edges = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://B.com/x"),
+            ("https://a.com/2", "https://b.com/y"),
+            ("https://a.com/3", "https://a.com/other"),  # self-link
+            ("nonsense", "https://b.com/z"),             # unparseable src
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in host_graph(edges).collect()}
+    assert got == {("a.com", "b.com"): 2}
+
+
+def _pr_ref(edges, iters, damping_pct=85):
+    """Pure-python replica of the integer-micros spec."""
+    nodes = sorted({h for e in edges for h in e})
+    deg = {}
+    for s, _ in set(edges):
+        deg[s] = deg.get(s, 0) + 1
+    rank = {h: 1_000_000 for h in nodes}
+    for _ in range(iters):
+        s = {h: 0 for h in nodes}
+        for a, b in set(edges):
+            s[b] += rank[a] // deg[a]
+        rank = {
+            h: (100 - damping_pct) * 10_000 + (damping_pct * s[h]) // 100
+            for h in nodes
+        }
+    return rank
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_matches_integer_reference(spark, iters):
+    edges = [
+        ("a.com", "b.com"),
+        ("a.com", "c.com"),
+        ("b.com", "c.com"),
+        ("c.com", "a.com"),
+        ("d.com", "c.com"),  # d is dangling-in only
+    ]
+    df = spark.createDataFrame(
+        [(s, d, 1) for s, d in edges], "src_host string, dst_host string, n_links long"
+    )
+    got = {r["host"]: r["rank_micros"] for r in pagerank_hosts(df, iters=iters).collect()}
+    assert got == _pr_ref(edges, iters)
+    # the hub c.com must outrank the leaf d.com
+    assert got["c.com"] > got["d.com"]
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    edges = [(f"h{i}.com", f"h{(i * 3) % 7}.com") for i in range(20) if i % 7 != (i * 3) % 7]
+    df = spark.createDataFrame(
+        [(s, d, 1) for s, d in edges], "src_host string, dst_host string, n_links long"
+    )
+    a = {r["host"]: r["rank_micros"] for r in pagerank_hosts(df, iters=3).collect()}
+    b = {
+        r["host"]: r["rank_micros"]
+        for r in pagerank_hosts(df.repartition(7), iters=3).collect()
+    }
+    assert a == b  # integer arithmetic: no summation-order drift
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Site.COM:443/x",), ("not a url",)], "u string"
+    )
+    got = [r[0] for r in df.select(url_host("u")).collect()]
+    assert got == ["www.site.com", ""]  # port excluded from host identity
