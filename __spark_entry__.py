@@ -491,6 +491,29 @@ def q_repetition(spark, sf):
     )
 
 
+def q_gopher_quality(spark, sf):
+    """Gopher/MassiveText document-SHAPE rules
+    (textops.gopher_quality_profile) — the complement of the
+    repetition signals: word count, mean word length, alpha-word
+    ratio, #/ellipsis symbol ratio, bullet/ellipsis line ratios,
+    fixed-8 stopword hits. All integer micros over row-local
+    codegen (shared norm_words split + a line split): zero shuffle,
+    map-side projection at any scale."""
+    from parquetry_spark.textops import gopher_quality_profile
+
+    df = _t(spark, sf, "documents")
+    return gopher_quality_profile(df).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_micros",
+        "alpha_word_micros",
+        "symbol_word_micros",
+        "bullet_line_micros",
+        "ellipsis_line_micros",
+        "stop_hits",
+    )
+
+
 def q_pii_scrub(spark, sf):
     """PII/secret scrubbing gate (curation.scrub_pii +
     curation.pii_profile): chained built-in regexp_replace over an
@@ -1224,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
+        "gopher_quality": q_gopher_quality,
         "pii_scrub": q_pii_scrub,
         "url_dedup": q_url_dedup,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1866,6 +1890,54 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_line_char_frac_u "
             "FROM documents d LEFT JOIN wn USING (doc_id) "
             "LEFT JOIN gt USING (doc_id) LEFT JOIN ld USING (doc_id)"
+        ),
+        "gopher_quality": (
+            # document-shape half of the Gopher rules; same norm_words
+            # split as `repetition`, same floor-over-shared-IEEE-division
+            # micros; '#'/'...' counts via non-overlapping replace (the
+            # Spark side's literal regexp_replace scans the same way)
+            r"WITH w AS (SELECT doc_id, text, string_split(trim("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')"
+            r"), ' ') AS w FROM documents), "
+            "wn AS (SELECT doc_id, text, w, "
+            "CASE WHEN w[1] = '' THEN 0 ELSE len(w) END AS n, "
+            "CASE WHEN w[1] = '' THEN 0 ELSE "
+            "list_sum(list_transform(w, x -> length(x))) END AS chars, "
+            "CASE WHEN w[1] = '' THEN 0 ELSE "
+            r"len(list_filter(w, x -> regexp_matches(x, '\p{L}'))) END "
+            "AS alpha, "
+            "length(text) - length(replace(text, '#', '')) + "
+            "floor((length(text) - length(replace(text, '...', ''))) / 3) "
+            "AS sym FROM w), "
+            "lb AS (SELECT doc_id, lines, len(lines) AS n_lines, "
+            "len(list_filter(lines, x -> "
+            "regexp_matches(trim(x), '^[-*•]'))) AS bullet, "
+            "len(list_filter(lines, x -> "
+            r"regexp_matches(rtrim(x), '(\.\.\.|…)$'))) AS ellipsis "
+            "FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), "
+            "x -> trim(x) <> '') AS lines FROM documents)) "
+            "SELECT wn.doc_id, CAST(wn.n AS BIGINT) AS n_words, "
+            "CAST(CASE WHEN wn.n > 0 THEN floor(1000000 * wn.chars / wn.n) "
+            "ELSE 0 END AS BIGINT) AS mean_word_len_micros, "
+            "CAST(CASE WHEN wn.n > 0 THEN floor(1000000 * wn.alpha / wn.n) "
+            "ELSE 0 END AS BIGINT) AS alpha_word_micros, "
+            "CAST(CASE WHEN wn.n > 0 THEN floor(1000000 * wn.sym / wn.n) "
+            "ELSE 0 END AS BIGINT) AS symbol_word_micros, "
+            "CAST(CASE WHEN lb.n_lines > 0 THEN "
+            "floor(1000000 * lb.bullet / lb.n_lines) ELSE 0 END AS BIGINT) "
+            "AS bullet_line_micros, "
+            "CAST(CASE WHEN lb.n_lines > 0 THEN "
+            "floor(1000000 * lb.ellipsis / lb.n_lines) ELSE 0 END AS BIGINT) "
+            "AS ellipsis_line_micros, "
+            "CAST(("
+            + " + ".join(
+                "CASE WHEN list_contains(wn.w, '{}') THEN 1 ELSE 0 END".format(s)
+                for s in [
+                    "the", "be", "to", "of", "and", "that", "have", "with",
+                ]
+            )
+            + ") AS BIGINT) AS stop_hits "
+            "FROM wn JOIN lb USING (doc_id)"
         ),
         "pii_scrub": pii_scrub,
         "url_dedup": url_dedup,

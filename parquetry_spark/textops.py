@@ -300,3 +300,83 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (the non-repetition half)
+# ---------------------------------------------------------------------------
+
+# fixed stop set from the Gopher paper's rule ("must contain >= 2 of
+# the, be, to, of, and, that, have, with"); frozen so the oracle SQL
+# and any reimplementation select identically
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher/MassiveText DOCUMENT-shape rules that complement the
+    repetition signals (`repetition_profile`): per document —
+
+      n_words              normalized word count
+      mean_word_len_micros floor(1e6 · Σ|word| / n_words)
+      alpha_word_micros    floor(1e6 · words containing a letter / n)
+      symbol_word_micros   floor(1e6 · ('#' + '...' occurrences) / n)
+      bullet_line_micros   floor(1e6 · lines starting with -,*,• / lines)
+      ellipsis_line_micros floor(1e6 · lines ending with ... or … / lines)
+      stop_hits            how many of the fixed 8 Gopher stopwords occur
+
+    All integer micros (same _frac_micros discipline as the rest of
+    the module — floor over the one IEEE division both engines share).
+    Everything is row-local codegen over the shared `norm_words`
+    split and a line split: zero shuffle, so the whole profile is a
+    map-side projection at any scale. Lines are counted non-blank
+    (a trailing newline is not a line). Null text → null profile.
+    Paper thresholds (for reference, not enforced here — gates belong
+    to the caller): 50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, ≥80% alpha
+    words, ≤0.1 symbol ratio, ≤90% bullet lines, ≤30% ellipsis
+    lines, ≥2 stopwords."""
+    t = F.col(text_col)
+    words = norm_words(t)
+    ok = F.element_at(words, 1) != F.lit("")
+    n = F.when(ok, F.size(words)).otherwise(F.lit(0)).cast("long")
+    total_chars = F.when(ok, F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )).otherwise(F.lit(0))
+    alpha = F.when(ok, F.size(
+        F.filter(words, lambda w: w.rlike("\\p{L}"))
+    )).otherwise(F.lit(0)).cast("long")
+    hashes = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    dots = F.floor(
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+    )
+    lines = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
+    ).cast("long")
+    ellipsis = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    ).cast("long")
+    stop_hits = F.when(
+        t.isNotNull(),
+        sum(
+            F.when(F.array_contains(words, F.lit(s)), 1).otherwise(0)
+            for s in GOPHER_STOPS
+        ).cast("long"),
+    )
+    return df.withColumns(
+        {
+            "n_words": F.when(t.isNotNull(), n),
+            "mean_word_len_micros": F.when(t.isNotNull(), _frac_micros(total_chars, n)),
+            "alpha_word_micros": F.when(t.isNotNull(), _frac_micros(alpha, n)),
+            "symbol_word_micros": F.when(
+                t.isNotNull(), _frac_micros(hashes + dots, n)
+            ),
+            "bullet_line_micros": F.when(
+                t.isNotNull(), _frac_micros(bullet, n_lines)
+            ),
+            "ellipsis_line_micros": F.when(
+                t.isNotNull(), _frac_micros(ellipsis, n_lines)
+            ),
+            "stop_hits": stop_hits,
+        }
+    )

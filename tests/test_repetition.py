@@ -96,3 +96,47 @@ def test_stays_jvm_side_zero_shuffle(spark):
     plan = repetition_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-shape rules (gopher_quality_profile)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_profile_hand_computed(spark):
+    from parquetry_spark.textops import gopher_quality_profile
+
+    rows = [
+        (1, "The quick brown fox and that dog have fun with it to be sure of it."),
+        (2, "- item one\n- item two\nplain line..."),
+        (3, "#### ### x"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_profile(df).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 16 and r1["stop_hits"] == 8
+    assert r1["mean_word_len_micros"] == 3_187_500  # 51 chars / 16 words
+    assert r1["alpha_word_micros"] == 1_000_000
+    r2 = got[2]
+    assert r2["bullet_line_micros"] == 666_666   # 2 of 3 lines
+    assert r2["ellipsis_line_micros"] == 333_333  # 1 of 3 lines
+    assert r2["symbol_word_micros"] == 166_666    # one '...' / 6 words
+    r3 = got[3]
+    assert r3["symbol_word_micros"] == 7_000_000  # 7 '#' / 1 word
+    assert got[4]["n_words"] == 0 and got[4]["stop_hits"] == 0
+    assert all(v is None for k, v in got[5].asDict().items()
+               if k not in ("doc_id", "text"))
+
+
+def test_gopher_profile_zero_shuffle(spark):
+    from parquetry_spark.textops import gopher_quality_profile
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        gopher_quality_profile(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
