@@ -935,6 +935,32 @@ def q_host_rank(spark, sf):
     return pagerank_hosts(edges, iters=2)
 
 
+def q_host_cap(spark, sf):
+    """Per-group document quota (curation.cap_per_group): keep at
+    most `cap` docs per source, selected by uniform (md5(id), id)
+    order — C4/Gopher's "no host dominates" gate. The Spark side
+    runs the two-phase salted plan (no task ever sorts more than a
+    salt share of one Zipf-head host); the oracle runs the plain
+    single-window SQL — the phases provably select the identical
+    set, which is the point of the test."""
+    from parquetry_spark.curation import cap_per_group
+
+    df = _t(spark, sf, "documents")
+    return cap_per_group(df, "source", cap=10).select("doc_id", "source")
+
+
+def q_paragraph_dedup(spark, sf):
+    """Corpus-wide paragraph dedup (curation.dedup_paragraphs):
+    first occurrence by (doc_id, pos) survives, later copies are cut
+    out of their documents, blank lines stay. Line text never
+    crosses a shuffle — decisions travel as (id, pos, md5) and come
+    back as one int array per doc; the rebuild is row-local."""
+    from parquetry_spark.curation import dedup_paragraphs
+
+    df = _t(spark, sf, "documents")
+    return dedup_paragraphs(df).select("doc_id", "text", "n_lines_dropped")
+
+
 def q_minhash_pairs(spark, sf):
     """MinHash+LSH banding + exact hashed-shingle Jaccard, md5 base
     hash — the full banding pipeline is replicated in DuckDB SQL."""
@@ -1266,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "near_dedup": q_near_dedup,
         "host_rank": q_host_rank,
+        "host_cap": q_host_cap,
+        "paragraph_dedup": q_paragraph_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -1998,6 +2026,40 @@ def oracle_sql() -> dict[str, str]:
             "WITH comp AS (" + _clusters_oracle() + ") "
             "SELECT d.doc_id, d.lang, d.source FROM documents d "
             "JOIN comp USING (doc_id) WHERE comp.comp = d.doc_id"
+        ),
+        "host_cap": (
+            # plain single-window form; the Spark side's salted
+            # two-phase plan must select the IDENTICAL set (every
+            # global top-cap element is in its salt bucket's top-cap)
+            "WITH r AS (SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) "
+            "SELECT doc_id, source FROM r WHERE rn <= 10"
+        ),
+        "paragraph_dedup": (
+            # first occurrence by (doc_id, pos) survives; blank lines
+            # are structure (never dropped, never dedup keys);
+            # string_agg over the anti-joined line set rebuilds in pos
+            # order; a fully-deduped doc collapses to ''
+            "WITH l AS (SELECT doc_id, generate_subscripts(ln, 1) - 1 "
+            "AS pos, unnest(ln) AS line FROM (SELECT doc_id, "
+            "string_split(text, chr(10)) AS ln FROM documents)), "
+            "nb AS (SELECT doc_id, pos, md5(line) AS h FROM l "
+            "WHERE trim(line) <> ''), "
+            "k AS (SELECT doc_id, pos, doc_id = first_value(doc_id) "
+            "OVER w AND pos = first_value(pos) OVER w AS keep FROM nb "
+            "WINDOW w AS (PARTITION BY h ORDER BY doc_id, pos)), "
+            "dr AS (SELECT doc_id, pos FROM k WHERE NOT keep), "
+            "agg AS (SELECT l.doc_id, string_agg(l.line, chr(10) "
+            "ORDER BY l.pos) AS txt FROM l LEFT JOIN dr ON "
+            "dr.doc_id = l.doc_id AND dr.pos = l.pos "
+            "WHERE dr.doc_id IS NULL GROUP BY l.doc_id), "
+            "nd AS (SELECT doc_id, count(*) AS n FROM dr GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.txt, '') AS text, "
+            "CAST(coalesce(nd.n, 0) AS BIGINT) AS n_lines_dropped "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) "
+            "LEFT JOIN nd USING (doc_id)"
         ),
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),

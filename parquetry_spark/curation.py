@@ -491,3 +491,130 @@ def remove_boilerplate_lines(
         .drop("_bp_id", "_bp_text")
     )
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salts: int = 16,
+) -> DataFrame:
+    """Per-group document quota: keep at most `cap` rows per group
+    (host / source / domain), selected by a uniform deterministic
+    hash order — the standard "no single domain dominates the
+    corpus" curation gate (C4 and Gopher both cap per-host page
+    counts).
+
+    Selection key is (md5(id), id) ascending: a uniform hash order
+    is an unbiased sample, reproducible at any partitioning, and
+    portable to the SQL oracle (md5 hex agrees byte-for-byte across
+    engines).
+
+    SKEW: a crawl's host histogram is Zipfian — one host can hold
+    10^9 pages, and a single `row_number() OVER (PARTITION BY
+    group)` sorts that host in ONE task. This runs two phases:
+    phase 1 ranks within (group, salt) — `salts` bounded sub-sorts
+    per group — and keeps `cap` per sub-group; phase 2 ranks the
+    ≤ cap·salts survivors per group. Every element of the true
+    global top-`cap` is in the top-`cap` of its own salt bucket, so
+    the result is EXACTLY the single-window answer (the oracle runs
+    the plain window) while no task ever sorts more than its salt
+    share of one group. Only (id, group, 32-byte key) rows cross
+    either exchange — text stays in the source rows (callers
+    semi-join the survivors back).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    key = F.md5(F.col(id_col).cast("string"))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+    slim = df.select(
+        F.col(id_col), F.col(group_col), key.alias("_cap_k"), salt.alias("_cap_s")
+    )
+    w1 = Window.partitionBy(group_col, "_cap_s").orderBy("_cap_k", id_col)
+    phase1 = (
+        slim.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1", "_cap_s")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_cap_k", id_col)
+    survivors = (
+        phase1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= cap)
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide paragraph (line) dedup, CCNet-style: every
+    non-blank line that already occurred earlier in the corpus —
+    first occurrence = smallest (id, line-position) — is removed
+    from later documents; blank lines are document structure and
+    always kept. Adds `n_lines_dropped`; a doc whose every non-blank
+    line was seen before collapses to the empty string (callers
+    typically drop those next).
+
+    Differs from `remove_boilerplate_lines` (frequency-threshold
+    removal from ALL docs): here the FIRST copy survives, so corpus
+    content is preserved exactly once — the dedup semantics, not the
+    boilerplate semantics.
+
+    SCALE: line TEXT never crosses a shuffle. Lines are reduced to
+    (id, pos, md5) before the first-occurrence window; the drop
+    decision comes back as one int array per affected doc and is
+    joined to the original rows, where the rebuild is a row-local
+    array expression over the doc's own text. Compare the rebuild in
+    `remove_boilerplate_lines`, which regroups every kept line's
+    text through an exchange — at web scale that ships the whole
+    corpus; this ships only positions.
+    """
+    parts = F.split(F.col(text_col), "\n")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("_pd_pos", "_pd_line"),
+    ).filter(F.trim("_pd_line") != "")
+    hashed = lines.select(
+        id_col, "_pd_pos", F.md5(F.col("_pd_line")).alias("_pd_h")
+    )
+    w = Window.partitionBy("_pd_h")
+    occ = F.struct(F.col(id_col), F.col("_pd_pos"))
+    flagged = hashed.withColumn("_pd_keep", occ == F.min(occ).over(w))
+    drops = (
+        flagged.filter(~F.col("_pd_keep"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_pd_pos")).alias("_pd_drops"))
+    )
+    indexed = F.zip_with(
+        parts,
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda ln, i: F.struct(ln.alias("ln"), i.alias("i")),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.filter(
+                indexed,
+                lambda s: ~F.array_contains(F.col("_pd_drops"), s["i"]),
+            ),
+            lambda s: s["ln"],
+        ),
+        "\n",
+    )
+    return (
+        df.join(drops, id_col, "left")
+        .withColumn(
+            "n_lines_dropped",
+            F.coalesce(F.size("_pd_drops"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("_pd_drops").isNull(), F.col(text_col)).otherwise(
+                rebuilt
+            ),
+        )
+        .drop("_pd_drops")
+    )

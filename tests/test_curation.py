@@ -638,3 +638,105 @@ def test_remove_boilerplate_whitespace_variants_fold(spark):
     assert out[1] == "keep me 1" and out[2] == "keep me 2"
     assert out[3] == "keep me 3"
     assert out[4] == "  indented keeper\nkeep me 4"  # untrimmed bytes kept
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group / dedup_paragraphs
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_group_matches_single_window(spark):
+    """The salted two-phase plan must select EXACTLY the plain
+    global-window answer (phase 1 can never evict a true top-cap
+    element from its own salt bucket)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.curation import cap_per_group
+
+    big = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('s', CAST(id % 3 AS STRING)) AS source"
+    )
+    got = cap_per_group(big, "source", cap=7, salts=4).select("doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ref = (
+        big.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 7)
+        .select("doc_id")
+    )
+    assert got.subtract(ref).count() == 0
+    assert ref.subtract(got).count() == 0
+    assert got.count() == 21
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    from parquetry_spark.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    assert cap_per_group(df, "source", cap=10).count() == 3
+
+
+def test_cap_per_group_rejects_bad_cap(spark):
+    import pytest as _pytest
+
+    from parquetry_spark.curation import cap_per_group
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        cap_per_group(df, "source", cap=0)
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from parquetry_spark.curation import dedup_paragraphs
+
+    rows = [
+        (1, "alpha\nbeta\n\ngamma"),
+        (2, "beta\ndelta"),
+        (3, "alpha\nbeta"),
+        (4, "unique only"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    # doc 1 is first for alpha/beta/gamma: untouched, blank kept
+    assert got[1]["text"] == "alpha\nbeta\n\ngamma"
+    assert got[1]["n_lines_dropped"] == 0
+    # doc 2 loses 'beta' (seen in doc 1), keeps 'delta'
+    assert got[2]["text"] == "delta" and got[2]["n_lines_dropped"] == 1
+    # doc 3 loses everything -> collapses to ''
+    assert got[3]["text"] == "" and got[3]["n_lines_dropped"] == 2
+    assert got[4]["text"] == "unique only"
+    assert got[5]["text"] is None and got[5]["n_lines_dropped"] == 0
+
+
+def test_dedup_paragraphs_blank_lines_not_keys(spark):
+    """Blank lines are structure: never dedup keys, never dropped."""
+    from parquetry_spark.curation import dedup_paragraphs
+
+    rows = [(1, "a\n\nb"), (2, "\n\nc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert got[1]["text"] == "a\n\nb"
+    assert got[2]["text"] == "\n\nc"  # two blanks survive untouched
+
+
+def test_dedup_paragraphs_no_text_in_shuffle(spark):
+    """The decision path must shuffle hashes, not line text: every
+    Exchange in the plan carries only id/pos/hash-width columns.
+    (The final rebuild joins the int arrays back to the source rows.)
+    """
+    from parquetry_spark.curation import dedup_paragraphs
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        dedup_paragraphs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_pd_line" not in m.group(1)
