@@ -935,6 +935,45 @@ def q_host_rank(spark, sf):
     return pagerank_hosts(edges, iters=2)
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus-wide top-100 vocabulary (textops.vocab_topk): explode →
+    count → top-k under a strict total order (cnt DESC, word ASC).
+    Partial hash agg collapses the Zipf head map-side; the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from parquetry_spark.textops import vocab_topk
+
+    df = _t(spark, sf, "documents")
+    return vocab_topk(df, k=100)
+
+
+def q_nfc_normalize(spark, sf):
+    """Unicode NFC normalization (textops.unicode_normalize) — the
+    one deliberate Arrow-batched Python stage in the text path. The
+    query salts the corpus with decomposed sequences (e +
+    U+0301, A + U+030A) so the normalization provably fires; the
+    oracle runs DuckDB's nfc_normalize over the same input — both
+    sides implement the same Unicode canonical composition, checked
+    value-for-value."""
+    from parquetry_spark.textops import unicode_normalize
+
+    df = _t(spark, sf, "documents")
+    seeded = df.select(
+        "doc_id",
+        F.concat(
+            # explicit escapes: DECOMPOSED e+U+0301 / A+U+030A (a
+            # precomposed source literal would make the test vacuous)
+            F.col("text"), F.lit(" cafe"), F.lit("e\u0301"),
+            F.lit(" A\u030a")
+        ).alias("text"),
+    )
+    out = unicode_normalize(seeded)
+    return out.select(
+        "doc_id",
+        "text_nfc",
+        F.length("text_nfc").cast("long").alias("n_cp"),
+    )
+
+
 def q_host_cap(spark, sf):
     """Per-group document quota (curation.cap_per_group): keep at
     most `cap` docs per source, selected by uniform (md5(id), id)
@@ -1292,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "near_dedup": q_near_dedup,
         "host_rank": q_host_rank,
+        "vocab_topk": q_vocab_topk,
+        "nfc_normalize": q_nfc_normalize,
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -2026,6 +2067,26 @@ def oracle_sql() -> dict[str, str]:
             "WITH comp AS (" + _clusters_oracle() + ") "
             "SELECT d.doc_id, d.lang, d.source FROM documents d "
             "JOIN comp USING (doc_id) WHERE comp.comp = d.doc_id"
+        ),
+        "vocab_topk": (
+            # same norm_words split; strict total order (cnt DESC,
+            # word ASC) makes the 100-set engine-independent
+            r"WITH w AS (SELECT unnest(string_split(trim("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')"
+            r"), ' ')) AS word FROM documents) "
+            "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w "
+            "WHERE word <> '' GROUP BY word "
+            "ORDER BY cnt DESC, word LIMIT 100"
+        ),
+        "nfc_normalize": (
+            # chr(769)=U+0301, chr(778)=U+030A — the same decomposed
+            # salt the Spark side appends; both engines run Unicode
+            # canonical composition (utf8proc vs Python unicodedata)
+            "SELECT doc_id, nfc_normalize(text || ' cafe' || 'e' || "
+            "chr(769) || ' A' || chr(778)) AS text_nfc, "
+            "CAST(length(nfc_normalize(text || ' cafe' || 'e' || "
+            "chr(769) || ' A' || chr(778))) AS BIGINT) AS n_cp "
+            "FROM documents"
         ),
         "host_cap": (
             # plain single-window form; the Spark side's salted

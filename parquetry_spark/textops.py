@@ -380,3 +380,68 @@ def gopher_quality_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stop_hits": stop_hits,
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary & Unicode normalization
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k vocabulary (Zipf-head report): explode
+    `norm_words`, count, rank by (count DESC, word ASC) — a strict
+    total order (word is unique per group), so the k-set is
+    deterministic at any parallelism.
+
+    SCALE: the explode produces one row per corpus token, but
+    Catalyst's partial hash aggregate combines per task BEFORE the
+    exchange — each task emits one row per distinct word it saw, so
+    the Zipf head (exactly the expensive keys) collapses map-side
+    and the shuffle is bounded by tasks × local-vocab, not corpus
+    tokens. The final top-k lowers to TakeOrderedAndProject (heap
+    per partition + driver merge of k·partitions rows), never a
+    global sort."""
+    words = (
+        df.select(F.explode(norm_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("word"))
+        .limit(k)
+    )
+
+
+def unicode_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str = "text_nfc",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonical
+    pre-dedup text cleanup (two byte-different spellings of 'é' must
+    hash identically or every dedup stage silently misses them).
+
+    Spark has no built-in normalizer, so this is the text path's one
+    deliberate Python stage: an Arrow-batched pandas_udf (vectorized
+    transfer, per-batch GIL, never per-row pickling). Row-local →
+    zero shuffle; upstream filters/pruning still push past it into
+    the scan. NFC here is the same Unicode algorithm DuckDB's
+    nfc_normalize implements, so the driver oracle checks values
+    bit-for-bit."""
+    import pandas as pd  # noqa: F401  (pandas_udf requires pandas)
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

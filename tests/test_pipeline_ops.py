@@ -488,3 +488,68 @@ def test_dhash_features_distributed(spark):
     }
     for i, _, want in rows:
         assert got[i] == want
+
+
+# ---------------------------------------------------------------------------
+# vocab_topk / unicode_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_topk_counts_and_order(spark):
+    from parquetry_spark.textops import vocab_topk
+
+    rows = [
+        (1, "the cat and the dog"),
+        (2, "THE cat."),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = vocab_topk(df, k=3).collect()
+    # 'the' x3, then ties at 2 broken alphabetically: 'cat' before others
+    assert [(r["word"], r["cnt"]) for r in got] == [
+        ("the", 3),
+        ("cat", 2),
+        ("and", 1),
+    ]
+
+
+def test_vocab_topk_partial_agg_before_exchange(spark):
+    """The shuffle must be preceded by a partial hash aggregate
+    (map-side combine) — otherwise the exchange carries one row per
+    corpus token and dies at scale."""
+    from parquetry_spark.textops import vocab_topk
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = vocab_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    ex = plan.index("Exchange")
+    assert "HashAggregate" in plan[ex:], "no partial agg found"
+    # TakeOrderedAndProject, not a global Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unicode_normalize_nfc(spark):
+    from parquetry_spark.textops import unicode_normalize
+
+    rows = [
+        (1, "cafee\u0301"),   # explicit DECOMPOSED e + combining acute
+        (2, "A\u030a"),       # A + combining ring above
+        (3, "plain ascii"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_nfc"] for r in unicode_normalize(df).collect()}
+    assert got[1] == "cafe\u00e9" and len(got[1]) == 5
+    assert got[2] == "\u00c5" and len(got[2]) == 1
+    assert got[3] == "plain ascii"
+    assert got[4] is None
+
+
+def test_unicode_normalize_rejects_bad_form(spark):
+    import pytest as _pytest
+
+    from parquetry_spark.textops import unicode_normalize
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        unicode_normalize(df, form="NFX")
