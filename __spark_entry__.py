@@ -1000,6 +1000,46 @@ def q_paragraph_dedup(spark, sf):
     return dedup_paragraphs(df).select("doc_id", "text", "n_lines_dropped")
 
 
+def q_dedup_incremental(spark, sf):
+    """Continuous-ingestion dedup (dedup.dedup_incremental): a
+    synthesized crawl epoch — exact copies (%11), near copies with
+    appended words (%13), fresh docs (reversed text, %17) — checked
+    against the full corpus as index. Exact layer = md5 join against
+    a (md5, min id) pre-aggregate; near layer = the minhash banding
+    machinery with the self-join replaced by batch x index. Text
+    never crosses a shuffle on either layer. The oracle replicates
+    the synthesis AND both layers in SQL."""
+    from parquetry_spark.dedup import dedup_incremental
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    batch = (
+        docs.filter(d % 11 == 0)
+        .select((d + 1000000).alias("doc_id"), "text")
+        .unionAll(
+            docs.filter(d % 13 == 0).select(
+                (d + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz1 zz2 zz3")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter(d % 17 == 0).select(
+                (d + 3000000).alias("doc_id"),
+                F.reverse(F.col("text")).alias("text"),
+            )
+        )
+    )
+    out = dedup_incremental(
+        docs,
+        batch,
+        n_hashes=MINHASH_N,
+        bands=MINHASH_BANDS,
+        jaccard_threshold=0.5,
+        base_hash="md5",
+    )
+    return out.select("doc_id", "exact_dup_of", "near_dup_of", "keep")
+
+
 def q_minhash_pairs(spark, sf):
     """MinHash+LSH banding + exact hashed-shingle Jaccard, md5 base
     hash — the full banding pipeline is replicated in DuckDB SQL."""
@@ -1335,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
+        "dedup_incremental": q_dedup_incremental,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -1426,6 +1467,67 @@ def _minhash_oracle() -> str:
                         JOIN h y ON y.doc_id = cand.id_b)
         SELECT id_a, id_b, i / u AS jaccard FROM j
         WHERE i / u >= 0.5 ORDER BY id_a, id_b
+    """
+
+
+def _dedup_incremental_oracle() -> str:
+    """Replicates q_dedup_incremental end-to-end: the batch synthesis
+    (exact %11 / near %13 / fresh-reversed %17), the (md5, min id)
+    exact layer, and the full minhash banding with the self-join
+    replaced by batch x index."""
+    consts = _affine_consts(MINHASH_N)
+    r = MINHASH_N // MINHASH_BANDS
+    sig_items = ", ".join(
+        f"list_min(list_transform(ha, x -> (x*{a}+{b})%4294967296))" for a, b in consts
+    )
+    band_keys = ", ".join(
+        f"concat_ws(',', '{b}', "
+        + ", ".join(f"sg[{b * r + i + 1}]" for i in range(r))
+        + ")"
+        for b in range(MINHASH_BANDS)
+    )
+    toks = (
+        "CASE WHEN trim(text) = '' THEN [''] "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    )
+    hex32 = _HEX32.format(s="s")
+    return f"""
+        WITH batch AS (
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 11 = 0
+          UNION ALL SELECT doc_id + 2000000, text || ' zz1 zz2 zz3'
+          FROM documents WHERE doc_id % 13 = 0
+          UNION ALL SELECT doc_id + 3000000, reverse(text)
+          FROM documents WHERE doc_id % 17 = 0),
+        ixe AS (SELECT md5(text) AS k, min(doc_id) AS e
+                FROM documents GROUP BY 1),
+        be AS (SELECT b.doc_id, ixe.e FROM batch b
+               LEFT JOIN ixe ON md5(b.text) = ixe.k),
+        ti AS (SELECT doc_id, {toks} AS t FROM documents),
+        tb AS (SELECT doc_id, {toks} AS t FROM batch),
+        shi AS (SELECT doc_id, {_word_grams_sql(5)} AS g FROM ti),
+        shb AS (SELECT doc_id, {_word_grams_sql(5)} AS g FROM tb),
+        hi AS (SELECT doc_id, list_distinct(list_transform(g,
+               s -> {hex32})) AS ha FROM shi),
+        hb AS (SELECT doc_id, list_distinct(list_transform(g,
+               s -> {hex32})) AS ha FROM shb),
+        sgi AS (SELECT doc_id, [{sig_items}] AS sg FROM hi),
+        sgb AS (SELECT doc_id, [{sig_items}] AS sg FROM hb),
+        bi AS (SELECT doc_id, unnest([{band_keys}]) AS key FROM sgi),
+        bb AS (SELECT doc_id, unnest([{band_keys}]) AS key FROM sgb),
+        cand AS (SELECT DISTINCT b.doc_id AS bid, a.doc_id AS iid
+                 FROM bb b JOIN bi a ON a.key = b.key),
+        jv AS (SELECT bid, iid, len(list_intersect(x.ha, y.ha)) AS i,
+                      greatest(len(list_distinct(x.ha || y.ha)), 1) AS u
+               FROM cand JOIN hb x ON x.doc_id = cand.bid
+                         JOIN hi y ON y.doc_id = cand.iid),
+        nr AS (SELECT bid, min(iid) AS n FROM jv
+               WHERE i / u >= 0.5 GROUP BY bid)
+        SELECT b.doc_id, be.e AS exact_dup_of, nr.n AS near_dup_of,
+               CAST(CASE WHEN be.e IS NULL AND nr.n IS NULL
+                    THEN 1 ELSE 0 END AS INT) AS keep
+        FROM batch b LEFT JOIN be ON be.doc_id = b.doc_id
+        LEFT JOIN nr ON nr.bid = b.doc_id
     """
 
 
@@ -2122,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "LEFT JOIN nd USING (doc_id)"
         ),
+        "dedup_incremental": _dedup_incremental_oracle(),
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "embedding_neardup": _embedding_oracle(),

@@ -635,3 +635,115 @@ def near_dedup_docs(
     )
     keep = comps.filter(F.col(id_col) == F.col("comp")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def dedup_incremental(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_words: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    base_hash: str = "xxhash",
+) -> DataFrame:
+    """Incremental dedup of a new crawl batch against the ALREADY-KEPT
+    corpus — the continuous-ingestion shape (a production crawl never
+    re-dedups 10^12 old docs; each epoch's batch is checked against
+    the index). A batch doc is flagged when it is
+
+      - an exact copy of an index doc (md5(text) equality), or
+      - a near-dup of one: shares a MinHash band key AND exact
+        hashed-shingle Jaccard >= threshold.
+
+    Returns the batch with `exact_dup_of` / `near_dup_of` (the
+    SMALLEST matching index id — deterministic at any partitioning —
+    or null) and `keep` (1 when neither fired). Batch-internal dups
+    are out of scope by design: run `near_dedup_docs` on the batch
+    first; the two compose into the epoch pipeline.
+
+    Scale shape: both sides reduce to (id, 16-byte md5) and (id,
+    band-key) rows before any join — text never crosses a shuffle.
+    The exact layer pre-aggregates the index to one (md5, min id)
+    row per distinct text. The near layer is the `minhash_lsh_pairs`
+    machinery with the self-join replaced by a batch×index key join
+    (no broadcast hint: both sides are unbounded; AQE picks the
+    strategy when one epoch is small). Verification joins int arrays
+    by id, then one groupBy(batch id) min — candidate-bounded, never
+    corpus-bounded. At cluster scale, persist the index's (id, md5,
+    signature) table once and pass THAT in as `index_df` staging —
+    recomputing signatures for 10^12 docs per epoch is the bug this
+    operator exists to avoid.
+    """
+    # ---- exact layer: (md5, min index id), one row per distinct text
+    ix_exact = (
+        index_df.select(F.md5(F.col(text_col)).alias("_k"), F.col(id_col))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias("_exact_of"))
+    )
+    b_exact = batch_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_k")
+    ).join(ix_exact, "_k", "left").select(id_col, "_exact_of")
+    # ---- near layer: banding across the two sides
+    rows_per_band = n_hashes // bands
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            shingle_hashes(F.col(text_col), n_words, base_hash).alias("harr"),
+        )
+
+    def banded(h: DataFrame) -> DataFrame:
+        sig = _sig_from_hashes(F.col("harr"), n_hashes)
+        keys = []
+        for b in range(bands):
+            sl = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            keys.append(
+                F.concat_ws(
+                    ",", F.lit(str(b)), *[s.cast("string") for s in sl]
+                )
+            )
+        return h.select(F.col(id_col), F.explode(F.array(*keys)).alias("key"))
+
+    h_ix = hashed(index_df).persist(StorageLevel.MEMORY_AND_DISK)
+    h_b = hashed(batch_df).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (
+        banded(h_b)
+        .join(
+            banded(h_ix).select(
+                F.col(id_col).alias("_ix_id"), F.col("key")
+            ),
+            "key",
+        )
+        .select(id_col, "_ix_id")
+        .dropDuplicates([id_col, "_ix_id"])
+    )
+    ver = (
+        cand.join(h_b.select(F.col(id_col), F.col("harr").alias("_hb")), id_col)
+        .join(
+            h_ix.select(F.col(id_col).alias("_ix_id"), F.col("harr").alias("_hi")),
+            "_ix_id",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("_hb"), F.col("_hi")))
+    union = F.greatest(F.size(F.array_union(F.col("_hb"), F.col("_hi"))), F.lit(1))
+    near = (
+        ver.filter((inter / union) >= F.lit(jaccard_threshold))
+        .groupBy(id_col)
+        .agg(F.min("_ix_id").alias("_near_of"))
+    )
+    out = (
+        batch_df.join(b_exact, id_col, "left")
+        .join(near, id_col, "left")
+        .withColumn("exact_dup_of", F.col("_exact_of"))
+        .withColumn("near_dup_of", F.col("_near_of"))
+        .withColumn(
+            "keep",
+            (F.col("_exact_of").isNull() & F.col("_near_of").isNull()).cast(
+                "int"
+            ),
+        )
+        .drop("_exact_of", "_near_of", "_k")
+    )
+    return out

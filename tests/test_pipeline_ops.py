@@ -553,3 +553,83 @@ def test_unicode_normalize_rejects_bad_form(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         unicode_normalize(df, form="NFX")
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental
+# ---------------------------------------------------------------------------
+
+
+def _inc_fixture(spark):
+    long = " ".join(f"w{i}" for i in range(40))
+    index = spark.createDataFrame(
+        [
+            (1, long),
+            (2, "completely different content about other topics entirely"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, long),                        # exact copy of 1
+            (102, long + " extra tail words"),  # near dup of 1
+            (103, "fresh new text sharing nothing with any index doc"),
+            (104, "short doc"),                 # exact copy of 3
+        ],
+        "doc_id long, text string",
+    )
+    return index, batch
+
+
+def test_dedup_incremental_layers(spark):
+    from parquetry_spark.dedup import dedup_incremental
+
+    index, batch = _inc_fixture(spark)
+    out = {
+        r["doc_id"]: r
+        for r in dedup_incremental(
+            index, batch, jaccard_threshold=0.5, n_hashes=16, bands=4,
+            base_hash="md5",
+        ).collect()
+    }
+    assert out[101]["exact_dup_of"] == 1 and out[101]["keep"] == 0
+    assert out[102]["exact_dup_of"] is None
+    assert out[102]["near_dup_of"] == 1 and out[102]["keep"] == 0
+    assert out[103]["exact_dup_of"] is None
+    assert out[103]["near_dup_of"] is None and out[103]["keep"] == 1
+    assert out[104]["exact_dup_of"] == 3 and out[104]["keep"] == 0
+
+
+def test_dedup_incremental_deterministic_under_repartition(spark):
+    """min-id tie-break must be stable at any partitioning — an
+    incremental dedup that attributes a dup to a different index doc
+    per run breaks lineage audits."""
+    from parquetry_spark.dedup import dedup_incremental
+
+    index, batch = _inc_fixture(spark)
+    a = dedup_incremental(
+        index, batch, jaccard_threshold=0.5, n_hashes=16, bands=4,
+        base_hash="md5",
+    ).collect()
+    b = dedup_incremental(
+        index.repartition(7), batch.repartition(5),
+        jaccard_threshold=0.5, n_hashes=16, bands=4, base_hash="md5",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dedup_incremental_no_text_in_shuffle(spark):
+    """Both layers must reduce text to fixed-width keys / int arrays
+    before any exchange."""
+    import re
+
+    from parquetry_spark.dedup import dedup_incremental
+
+    index, batch = _inc_fixture(spark)
+    plan = (
+        dedup_incremental(index, batch, n_hashes=16, bands=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
