@@ -1000,6 +1000,44 @@ def q_paragraph_dedup(spark, sf):
     return dedup_paragraphs(df).select("doc_id", "text", "n_lines_dropped")
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic per-stratum downsampling
+    (curation.stratified_sample): hash32(id) < floor(rate·2^32),
+    pure integer compare (no float boundary drift), zero shuffle —
+    a scan-side corpus-mixing gate. Oracle inlines the identical
+    integer thresholds."""
+    from parquetry_spark.curation import stratified_sample
+
+    df = _t(spark, sf, "documents")
+    return stratified_sample(
+        df, "lang", {"en": 0.5, "zh": 0.1, "de": 0.9}
+    ).select("doc_id", "lang")
+
+
+def q_url_blocklist(spark, sf):
+    """Domain-blocklist gate (urls.filter_blocked_hosts): hosts
+    synthesized from doc_id, blocklist blocks one subdomain subtree
+    (sub1.example) and one exact host (h3.sub2.example). The engine
+    side explodes each host into its ≤labels dot-suffixes and
+    LEFT-ANTI hash-joins — linear, blocklist-sized join side; the
+    oracle states the same semantics as suffix predicates."""
+    from parquetry_spark.urls import filter_blocked_hosts
+
+    d = F.col("doc_id")
+    hosts = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (d % 7).cast("string"),
+            F.lit(".sub"), (d % 3).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("sub1.example",), ("h3.sub2.example",)], "blocked_suffix string"
+    )
+    return filter_blocked_hosts(hosts, bl, "host").select("doc_id", "host")
+
+
 def q_dedup_incremental(spark, sf):
     """Continuous-ingestion dedup (dedup.dedup_incremental): a
     synthesized crawl epoch — exact copies (%11), near copies with
@@ -1375,6 +1413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
+        "stratified_sample": q_stratified_sample,
+        "url_blocklist": q_url_blocklist,
         "dedup_incremental": q_dedup_incremental,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -2223,6 +2263,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(nd.n, 0) AS BIGINT) AS n_lines_dropped "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "LEFT JOIN nd USING (doc_id)"
+        ),
+        "stratified_sample": (
+            # identical integer thresholds, computed by the same
+            # int(rate * 2^32) truncation the Spark side applies
+            "SELECT doc_id, lang FROM documents "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) < CASE lang "
+            f"WHEN 'de' THEN {int(0.9 * 4294967296)} "
+            f"WHEN 'en' THEN {int(0.5 * 4294967296)} "
+            f"WHEN 'zh' THEN {int(0.1 * 4294967296)} "
+            f"ELSE {int(1.0 * 4294967296)} END"
+        ),
+        "url_blocklist": (
+            # suffix semantics stated directly: blocked iff host =
+            # entry or host ends with '.' || entry — the engine's
+            # suffix-chain explode + anti-join must select identically
+            "WITH h AS (SELECT doc_id, 'h' || CAST(doc_id % 7 AS "
+            "VARCHAR) || '.sub' || CAST(doc_id % 3 AS VARCHAR) || "
+            "'.example' AS host FROM documents) "
+            "SELECT doc_id, host FROM h WHERE NOT ("
+            "host = 'sub1.example' OR host LIKE '%.sub1.example' OR "
+            "host = 'h3.sub2.example' OR host LIKE '%.h3.sub2.example')"
         ),
         "dedup_incremental": _dedup_incremental_oracle(),
         "minhash_pairs": _minhash_oracle(),

@@ -618,3 +618,36 @@ def dedup_paragraphs(
         )
         .drop("_pd_drops")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing
+    gate ("keep 50% of English, 10% of the over-crawled lang, all of
+    the rest"). A row survives iff hash32(id) < floor(rate(group) ·
+    2^32), where hash32 = first 8 hex digits of md5(id): a uniform
+    32-bit draw that is reproducible at any partitioning and engine
+    (same row set on every run — `df.sample` is neither), and the
+    comparison is pure INTEGER, so no float-boundary drift between
+    engines. Zero shuffle: one row-local projection + filter; at
+    100 TB this is a scan-side gate that never touches an exchange.
+
+    Unlisted groups (and NULL) get `default_rate`. Rates outside
+    [0, 1] are rejected."""
+    for g, r in list(rates.items()) + [("<default>", default_rate)]:
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
+    threshold = F.lit(int(default_rate * 4294967296))
+    for g, r in sorted(rates.items()):
+        threshold = F.when(
+            F.col(group_col) == F.lit(g), F.lit(int(r * 4294967296))
+        ).otherwise(threshold)
+    draw = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.filter(draw < threshold)

@@ -740,3 +740,51 @@ def test_dedup_paragraphs_no_text_in_shuffle(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "_pd_line" not in m.group(1)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from parquetry_spark.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "zh", "de"][i % 3]) for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, "lang", {"en": 0.5, "zh": 0.1})
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["de"] == 1000            # default rate 1.0 keeps all
+    assert 400 <= counts["en"] <= 600      # ~0.5 of 1000
+    assert 50 <= counts["zh"] <= 150       # ~0.1 of 1000
+    # determinism under repartition (df.sample is NOT)
+    again = stratified_sample(df.repartition(13), "lang", {"en": 0.5, "zh": 0.1})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_stratified_sample_null_group_gets_default(spark):
+    from parquetry_spark.curation import stratified_sample
+
+    df = spark.createDataFrame([(1, None), (2, "en")], "doc_id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 1.0}, default_rate=1.0)
+    assert out.count() == 2
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    import pytest as _pytest
+
+    from parquetry_spark.curation import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 1.5})
+
+
+def test_stratified_sample_zero_shuffle(spark):
+    from parquetry_spark.curation import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = (
+        stratified_sample(df, "lang", {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -73,3 +73,42 @@ def test_url_dedup_key_groups_variants(spark):
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[1]["canon_url"] == by_id[2]["canon_url"] == by_id[3]["canon_url"]
     assert [by_id[i]["url_group_n"] for i in (1, 2, 3, 4)] == [3, 3, 3, 1]
+
+
+# ---------------------------------------------------------------------------
+# host_suffixes / filter_blocked_hosts
+# ---------------------------------------------------------------------------
+
+
+def test_host_suffixes_chain(spark):
+    from parquetry_spark.urls import host_suffixes
+
+    df = spark.createDataFrame([("a.b.example",)], "host string")
+    assert df.select(host_suffixes("host")).first()[0] == [
+        "a.b.example", "b.example", "example",
+    ]
+    one = spark.createDataFrame([("localhost",)], "host string")
+    assert one.select(host_suffixes("host")).first()[0] == ["localhost"]
+
+
+def test_filter_blocked_hosts_subtree_and_case(spark):
+    from parquetry_spark.urls import filter_blocked_hosts
+
+    hosts = spark.createDataFrame(
+        [
+            (1, "A.B.Example"),   # subdomain of b.example (case-folded)
+            (2, "x.b.example"),   # subdomain
+            (3, "safe.org"),      # untouched
+            (4, "b.example"),     # exact entry
+            (5, "notb.example"),  # NOT a subdomain (label boundary)
+        ],
+        "id long, host string",
+    )
+    bl = spark.createDataFrame([("b.example",)], "blocked_suffix string")
+    kept = sorted(r["id"] for r in filter_blocked_hosts(hosts, bl, "host").collect())
+    assert kept == [3, 5]
+    blocked = sorted(
+        r["id"]
+        for r in filter_blocked_hosts(hosts, bl, "host", invert=True).collect()
+    )
+    assert blocked == [1, 2, 4]
