@@ -1000,6 +1000,17 @@ def q_paragraph_dedup(spark, sf):
     return dedup_paragraphs(df).select("doc_id", "text", "n_lines_dropped")
 
 
+def q_corpus_stats(spark, sf):
+    """Per-language corpus dashboard (textops.corpus_stats): count,
+    sum/min/max and EXACT integer p50/p90 order statistics of
+    n_chars (k = floor((n+1)/2) / ceil(0.9n) over the (value, id)
+    total order — approx sketches and float interpolation both break
+    engine parity)."""
+    from parquetry_spark.textops import corpus_stats
+
+    return corpus_stats(_t(spark, sf, "documents"))
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic per-stratum downsampling
     (curation.stratified_sample): hash32(id) < floor(rate·2^32),
@@ -1413,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
+        "corpus_stats": q_corpus_stats,
         "stratified_sample": q_stratified_sample,
         "url_blocklist": q_url_blocklist,
         "dedup_incremental": q_dedup_incremental,
@@ -2263,6 +2275,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(nd.n, 0) AS BIGINT) AS n_lines_dropped "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "LEFT JOIN nd USING (doc_id)"
+        ),
+        "corpus_stats": (
+            # exact order statistics: integer // lands on the same k
+            # as Spark's floor-over-double below 2^52 rows/stratum
+            "WITH a AS (SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS v_sum, "
+            "CAST(min(n_chars) AS BIGINT) AS v_min, "
+            "CAST(max(n_chars) AS BIGINT) AS v_max "
+            "FROM documents GROUP BY lang), "
+            "r AS (SELECT lang, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars, doc_id) AS rk "
+            "FROM documents), "
+            "p AS (SELECT r.lang, "
+            "CAST(max(CASE WHEN r.rk = (a.n_docs + 1) // 2 "
+            "THEN r.n_chars END) AS BIGINT) AS p50, "
+            "CAST(max(CASE WHEN r.rk = (a.n_docs * 9 + 9) // 10 "
+            "THEN r.n_chars END) AS BIGINT) AS p90 "
+            "FROM r JOIN a USING (lang) GROUP BY r.lang) "
+            "SELECT a.lang, a.n_docs, a.v_sum, a.v_min, a.v_max, "
+            "p.p50, p.p90 FROM a JOIN p USING (lang)"
         ),
         "stratified_sample": (
             # identical integer thresholds, computed by the same

@@ -445,3 +445,56 @@ def unicode_normalize(
         )
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum corpus report: doc count, value sum/min/max, and
+    EXACT integer p50/p90 of `value_col` — the dashboard every
+    curation run is judged by ("how long are the docs we kept, per
+    language").
+
+    Percentiles are exact order statistics, not approx sketches:
+    index k = ceil(q·n) over the (value, id) order — integers, so
+    both engines pick the identical element (`percentile_approx`
+    differs run-to-run; float interpolation differs engine-to-engine
+    in the last ulp). Two exchanges: one partial-aggregated groupBy
+    and one window rank per group. SKEW note: the rank window sorts
+    each stratum in one task chain — language strata are few and fat,
+    which Spark range-partitions fine at this cardinality; for
+    billion-row strata swap the window for the bucketed-histogram
+    quantile (same contract, more stages) before copying this to a
+    100 TB run."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(v).cast("long").alias("v_sum"),
+        F.min(v).cast("long").alias("v_min"),
+        F.max(v).cast("long").alias("v_max"),
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(group_col, value_col, id_col).withColumn(
+        "_r", F.row_number().over(w)
+    )
+    j = ranked.join(agg.select(group_col, "n_docs"), group_col)
+    n = F.col("n_docs")
+    # lower median: k = floor((n+1)/2); p90: k = ceil(0.9n) =
+    # floor((9n+9)/10). floor-over-double is exact below 2^52 rows
+    # per stratum and the oracle's integer `//` lands on the same k.
+    picks = j.groupBy(group_col).agg(
+        F.max(F.when(F.col("_r") == F.floor((n + 1) / 2), v))
+        .cast("long")
+        .alias("p50"),
+        F.max(F.when(F.col("_r") == F.floor((n * 9 + 9) / 10), v))
+        .cast("long")
+        .alias("p90"),
+    )
+    return agg.join(picks, group_col).select(
+        group_col, "n_docs", "v_sum", "v_min", "v_max", "p50", "p90"
+    )

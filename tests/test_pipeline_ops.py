@@ -633,3 +633,20 @@ def test_dedup_incremental_no_text_in_shuffle(spark):
     )
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_corpus_stats_exact_percentiles(spark):
+    from parquetry_spark.textops import corpus_stats
+
+    rows = [(i, "en", v) for i, v in enumerate([10, 20, 30, 40, 50])] + [
+        (100 + i, "de", v) for i, v in enumerate([7, 9])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r["lang"]: r for r in corpus_stats(df).collect()}
+    en = got["en"]
+    # n=5: p50 idx floor(6/2)=3 -> 30; p90 idx floor(54/10)=5 -> 50
+    assert (en["n_docs"], en["v_sum"], en["v_min"], en["v_max"]) == (5, 150, 10, 50)
+    assert en["p50"] == 30 and en["p90"] == 50
+    de = got["de"]
+    # n=2: p50 idx floor(3/2)=1 -> 7; p90 idx floor(27/10)=2 -> 9
+    assert de["p50"] == 7 and de["p90"] == 9
