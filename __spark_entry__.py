@@ -1000,6 +1000,22 @@ def q_paragraph_dedup(spark, sf):
     return dedup_paragraphs(df).select("doc_id", "text", "n_lines_dropped")
 
 
+def q_chunk_documents(spark, sf):
+    """Sliding-window chunking (curation.chunk_documents): 512-char
+    windows, 64 overlap — the training-window prep between curation
+    and tokenization. Row-local sequence + posexplode, zero
+    shuffle; the only growth is the overlap fraction."""
+    from parquetry_spark.curation import chunk_documents
+
+    out = chunk_documents(_t(spark, sf, "documents"), size=512, overlap=64)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk",
+        "n_chunks",
+    )
+
+
 def q_corpus_stats(spark, sf):
     """Per-language corpus dashboard (textops.corpus_stats): count,
     sum/min/max and EXACT integer p50/p90 order statistics of
@@ -1424,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
+        "chunk_documents": q_chunk_documents,
         "corpus_stats": q_corpus_stats,
         "stratified_sample": q_stratified_sample,
         "url_blocklist": q_url_blocklist,
@@ -2275,6 +2292,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(nd.n, 0) AS BIGINT) AS n_lines_dropped "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "LEFT JOIN nd USING (doc_id)"
+        ),
+        "chunk_documents": (
+            # size=512, overlap=64, step=448; same integer chunk-count
+            # formula; generate_series is end-inclusive
+            "WITH c AS (SELECT doc_id, text, greatest((length(text) "
+            "- 64 + 447) // 448, 1) AS n FROM documents "
+            "WHERE text IS NOT NULL), "
+            "e AS (SELECT doc_id, text, n, unnest(generate_series(0, "
+            "n - 1)) AS chunk_id FROM c) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "substr(text, CAST(chunk_id * 448 + 1 AS BIGINT), 512) AS chunk, "
+            "CAST(n AS BIGINT) AS n_chunks FROM e"
         ),
         "corpus_stats": (
             # exact order statistics: integer // lands on the same k

@@ -651,3 +651,56 @@ def stratified_sample(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
     return df.filter(draw < threshold)
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 2048,
+    overlap: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split each doc into `size`-char
+    windows advancing by `size − overlap` — the training-window prep
+    step between curation and tokenization (long docs must be cut,
+    and the overlap keeps boundary sentences learnable in both
+    windows). Emits (id, chunk_id, chunk, n_chunks); a doc shorter
+    than `size` yields itself as its only chunk; null text yields no
+    rows.
+
+    Chunk count per doc: max(ceil((len − overlap) / step), 1) —
+    integer arithmetic shared with the SQL oracle. Row-local
+    sequence + posexplode: the only data growth is the overlap
+    fraction (~12% at defaults), there is NO shuffle — chunking
+    composes into the scan-side projection at any corpus size."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not (0 <= overlap < size):
+        raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    step = size - overlap
+    L = F.length(F.col(text_col))
+    n = F.greatest(
+        F.floor((L - F.lit(overlap) + F.lit(step - 1)) / F.lit(step)),
+        F.lit(1),
+    ).cast("int")
+    # guard: greatest() IGNORES nulls, so a null text would otherwise
+    # coerce n to 1 and emit a phantom (id, 0, null) chunk — the
+    # posexplode of a null array is how "null doc → no rows" happens
+    starts = F.when(
+        F.col(text_col).isNotNull(),
+        F.transform(F.sequence(F.lit(0), n - 1), lambda i: i * F.lit(step)),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chunks"),
+        F.col(text_col).alias("_chunk_src"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.substring(F.col("_chunk_src"), F.col("_start") + 1, size).alias(
+            "chunk"
+        ),
+        "n_chunks",
+    )

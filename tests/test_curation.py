@@ -788,3 +788,43 @@ def test_stratified_sample_zero_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_windows(spark):
+    from parquetry_spark.curation import chunk_documents
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(23))  # 23 chars
+    df = spark.createDataFrame(
+        [(1, text), (2, "hi"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, size=10, overlap=2)  # step 8
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk"], r["n_chunks"]) for r in out.collect())
+    )
+    # doc1: n = ceil(21/8) = 3 chunks at starts 0, 8, 16
+    assert rows[0] == (1, 0, text[0:10], 3)
+    assert rows[1] == (1, 1, text[8:18], 3)
+    assert rows[2] == (1, 2, text[16:23], 3)
+    # short doc -> itself; empty doc -> one empty chunk; null -> no rows
+    assert rows[3] == (2, 0, "hi", 1)
+    assert rows[4] == (3, 0, "", 1)
+    assert len(rows) == 5
+    # overlap invariant: consecutive chunks share exactly `overlap` chars
+    assert rows[0][2][-2:] == rows[1][2][:2]
+
+
+def test_chunk_documents_validation_and_zero_shuffle(spark):
+    import pytest as _pytest
+
+    from parquetry_spark.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=10, overlap=10)
+    plan = (
+        chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
