@@ -1000,6 +1000,64 @@ def q_paragraph_dedup(spark, sf):
     return dedup_paragraphs(df).select("doc_id", "text", "n_lines_dropped")
 
 
+ROBOTS_FIXTURE = [
+    # k=0: prefix disallow + longer allow carve-out + $-anchored wildcard
+    (
+        "h0.example",
+        "User-agent: *\nDisallow: /private/\n"
+        "Allow: /private/ok.html\nDisallow: /*.pdf$",
+    ),
+    # k=1: block everything for *
+    ("h1.example", "User-agent: *\nDisallow: /"),
+    # k=2: rules for another agent only -> * unaffected
+    ("h2.example", "User-agent: googlebot\nDisallow: /"),
+    # k=3: ORPHAN rule before any UA line (must be ignored — it would
+    # flip m0/m2 to 0 if wrongly attached) + longest-match precedence
+    (
+        "h3.example",
+        "Disallow: /private/\nUser-agent: *\n"
+        "Allow: /public/\nDisallow: /public/doc",
+    ),
+    # k=4: multi-UA group header includes *
+    (
+        "h4.example",
+        "User-agent: *\nUser-agent: bot\nDisallow: /open/\n\n"
+        "User-agent: other\nAllow: /open/",
+    ),
+]
+
+
+def q_robots_gate(spark, sf):
+    """robots.txt compliance gate (robots.parse_robots +
+    robots.robots_gate): RFC 9309 * -group parsing (orphan rules,
+    foreign-agent groups, multi-UA headers, comments), longest-match
+    precedence with Allow tie-win, $-anchored wildcards. The robots
+    corpus is a fixed 5-host fixture; urls derive from doc_id. The
+    oracle states the closed-form decision table — any parsing or
+    precedence defect flips a decision."""
+    from parquetry_spark.robots import parse_robots, robots_gate
+
+    robots = spark.createDataFrame(
+        ROBOTS_FIXTURE, "host string, robots_txt string"
+    )
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    urls = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.when(d % 4 == 0, F.concat(F.lit("/private/doc"), ds))
+        .when(d % 4 == 1, F.concat(F.lit("/public/doc"), ds, F.lit(".pdf")))
+        .when(d % 4 == 2, F.lit("/private/ok.html"))
+        .otherwise(F.concat(F.lit("/open/"), ds))
+        .alias("path"),
+    )
+    return robots_gate(urls, parse_robots(robots)).select(
+        "doc_id", "host", "path", "allowed"
+    )
+
+
 def q_chunk_documents(spark, sf):
     """Sliding-window chunking (curation.chunk_documents): 512-char
     windows, 64 overlap — the training-window prep between curation
@@ -1440,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
+        "robots_gate": q_robots_gate,
         "chunk_documents": q_chunk_documents,
         "corpus_stats": q_corpus_stats,
         "stratified_sample": q_stratified_sample,
@@ -2292,6 +2351,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(nd.n, 0) AS BIGINT) AS n_lines_dropped "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "LEFT JOIN nd USING (doc_id)"
+        ),
+        "robots_gate": (
+            # closed-form decision table for the fixed 5-host robots
+            # fixture: k=1 blocks all; k=0 blocks /private/ (except
+            # the longer ok.html Allow) and *.pdf$; k=3 blocks only
+            # /public/doc* (longest match beats Allow /public/; the
+            # orphan pre-UA Disallow /private/ must NOT fire);
+            # k=4 blocks /open/ via the multi-UA group header
+            "SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) || "
+            "'.example' AS host, "
+            "CASE doc_id % 4 "
+            "WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR) "
+            "WHEN 1 THEN '/public/doc' || CAST(doc_id AS VARCHAR) || '.pdf' "
+            "WHEN 2 THEN '/private/ok.html' "
+            "ELSE '/open/' || CAST(doc_id AS VARCHAR) END AS path, "
+            "CAST(CASE WHEN doc_id % 5 = 1 THEN 0 "
+            "WHEN doc_id % 5 = 0 AND doc_id % 4 IN (0, 1) THEN 0 "
+            "WHEN doc_id % 5 = 3 AND doc_id % 4 = 1 THEN 0 "
+            "WHEN doc_id % 5 = 4 AND doc_id % 4 = 3 THEN 0 "
+            "ELSE 1 END AS INT) AS allowed "
+            "FROM documents"
         ),
         "chunk_documents": (
             # size=512, overlap=64, step=448; same integer chunk-count

@@ -1,0 +1,155 @@
+"""robots.txt compliance gate — the crawl-side legality filter every
+Common-Crawl-style pipeline applies before a page may enter the
+corpus.
+
+Implements the RFC 9309 core for the wildcard user-agent `*`:
+
+- group parsing (consecutive `User-agent:` lines share one group; a
+  group's rules run until the next group starts), `#` comments,
+  case-insensitive directive names;
+- `Allow` / `Disallow` path rules with `*` wildcards and the `$`
+  end-anchor;
+- longest-match precedence: the matching rule with the LONGEST
+  pattern decides; on a tie, `Allow` wins; no matching rule → allowed
+  (and an empty `Disallow:` contributes no rule at all).
+
+Deliberately out of scope (documented, not silently wrong):
+per-product user-agent token matching (we evaluate the `*` groups
+only), `Crawl-delay`/`Sitemap` (ignored like any unknown directive),
+and percent-encoding normalization (callers canonicalize with
+`urls.canonical_url` first).
+
+Everything is built-in Column expressions — parsing is split/regexp
+projections plus ONE window over (host, line) to assign group ids;
+evaluation is a host hash-join and ONE window over (host, path) to
+pick the winning rule. Pattern→regex translation is a fixed chain of
+literal `replace` calls (no regex-on-regex), kept in `_ESCAPE_CHARS`
+so the DuckDB oracle replays the identical chain — the same
+shared-constant discipline as curation.PII_RULES.
+
+Reference parity note: the reference tool (mutility/parquetry) has no
+crawl stack — this module exists for the north rule's Common-Crawl
+ingestion story, not for reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# regex metacharacters escaped LITERALLY, in this order, before '*'
+# and the trailing '$' get their wildcard meaning back. Backslash
+# first (it is the escape char itself); '*' and '$' handled apart.
+_ESCAPE_CHARS = ["\\", ".", "[", "]", "{", "}", "(", ")", "+", "?", "^", "|"]
+
+_DIRECTIVE_RE = r"^[ \t]*([A-Za-z-]+)[ \t]*:[ \t]*(.*?)[ \t]*$"
+
+
+def pattern_to_regex(p: Column) -> Column:
+    """robots path pattern → anchored regex, via literal replaces:
+    escape metacharacters, then `*` → `.*`; a `$` that ended the
+    ORIGINAL pattern becomes the regex anchor, every other `$` is
+    literal. Returns '^' || translated (match is prefix-anchored)."""
+    ends_anchor = p.endswith("$")
+    body = F.when(ends_anchor, p.substr(F.lit(1), F.length(p) - 1)).otherwise(p)
+    for c in _ESCAPE_CHARS:
+        body = F.replace(body, F.lit(c), F.lit("\\" + c))
+    body = F.replace(body, F.lit("$"), F.lit("\\$"))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), body, F.when(ends_anchor, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def parse_robots(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) → one row per `*`-group Allow/Disallow rule:
+    (host, is_allow, pattern, pattern_len). Groups are RFC 9309
+    blocks: consecutive User-agent lines head a group; the group's
+    rules extend to the next User-agent line that FOLLOWS a non-UA
+    directive. Only groups naming agent `*` contribute. Empty-valued
+    rules are dropped (an empty Disallow allows everything by saying
+    nothing). Unknown directives are ignored but still terminate a
+    UA run, per the RFC's group grammar."""
+    lines = robots_df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("ln", "raw"),
+    )
+    # strip comments, pull (directive, value); non-directive lines drop
+    nocmt = F.regexp_replace(F.col("raw"), "#.*$", "")
+    d = lines.select(
+        "host",
+        "ln",
+        F.lower(F.regexp_extract(nocmt, _DIRECTIVE_RE, 1)).alias("dir"),
+        F.regexp_extract(nocmt, _DIRECTIVE_RE, 2).alias("val"),
+    ).filter(F.col("dir") != "")
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = F.col("dir") == "user-agent"
+    prev_ua = F.lag(is_ua.cast("int"), 1, 0).over(w)
+    starts = (is_ua.cast("int") == 1) & (prev_ua == 0)
+    g = d.withColumn(
+        "grp",
+        F.sum(starts.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    star_groups = (
+        g.filter(is_ua & (F.trim(F.col("val")) == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    rules = (
+        g.filter(F.col("dir").isin("allow", "disallow") & (F.col("val") != ""))
+        .join(star_groups, ["host", "grp"], "left_semi")
+        .select(
+            "host",
+            (F.col("dir") == "allow").cast("int").alias("is_allow"),
+            F.col("val").alias("pattern"),
+            F.length("val").cast("long").alias("pattern_len"),
+        )
+        .distinct()
+    )
+    return rules
+
+
+def robots_gate(
+    urls_df: DataFrame,
+    rules_df: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Annotate (host, path) rows with `allowed` (1/0) under the
+    parsed `*`-group rules: the longest matching pattern decides,
+    Allow wins length ties, no match → allowed.
+
+    Scale shape: one hash join on host (rules side is
+    robots-corpus-sized — millions of small rows, AQE decides; no
+    static broadcast hint) and one window over the CANDIDATE matches
+    per (host, path) — candidate counts are rules-per-host-bounded
+    (tens), never corpus-bounded. The regex match itself is
+    whole-stage codegen (`rlike` on the pre-translated pattern)."""
+    rx = pattern_to_regex(F.col("pattern")).alias("_rx")
+    r = rules_df.select("host", "is_allow", "pattern_len", rx)
+    cand = urls_df.select(host_col, path_col).join(
+        r, urls_df[host_col] == r["host"]
+    ).drop(r["host"])
+    matched = cand.filter(F.regexp_like(F.col(path_col), F.col("_rx")))
+    w = Window.partitionBy(host_col, path_col).orderBy(
+        F.desc("pattern_len"), F.desc("is_allow")
+    )
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(host_col, path_col, F.col("is_allow").alias("_best_allow"))
+    )
+    return (
+        urls_df.join(best, [host_col, path_col], "left")
+        .withColumn(
+            "allowed",
+            F.coalesce(F.col("_best_allow"), F.lit(1)).cast("int"),
+        )
+        .drop("_best_allow")
+    )

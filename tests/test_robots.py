@@ -1,0 +1,71 @@
+"""robots.txt gate (parquetry_spark.robots) — RFC 9309 * -group
+subset: group grammar, longest-match precedence, wildcard/$ patterns.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark.robots import parse_robots, pattern_to_regex, robots_gate
+
+
+def _rules(spark, body, host="h"):
+    df = spark.createDataFrame([(host, body)], "host string, robots_txt string")
+    return parse_robots(df)
+
+
+def test_parse_groups_orphans_and_foreign_agents(spark):
+    body = (
+        "Disallow: /orphan\n"           # before any UA: ignored
+        "User-agent: googlebot\nDisallow: /g\n\n"  # foreign agent
+        "User-agent: *\nUser-agent: bot\n"          # multi-UA header
+        "Allow: /a\nDisallow: /d\n"
+        "Disallow:\n"                   # empty value: no rule
+        "# Comment: /c\n"
+        "Crawl-delay: 10\n"             # unknown directive ignored
+    )
+    got = sorted(
+        (r["is_allow"], r["pattern"]) for r in _rules(spark, body).collect()
+    )
+    assert got == [(0, "/d"), (1, "/a")]
+
+
+def test_ua_after_rules_starts_new_group(spark):
+    body = "User-agent: x\nDisallow: /x\nUser-agent: *\nDisallow: /y"
+    got = [(r["is_allow"], r["pattern"]) for r in _rules(spark, body).collect()]
+    assert got == [(0, "/y")]
+
+
+def test_pattern_to_regex_translation(spark):
+    df = spark.createDataFrame(
+        [("/a.b/*/c$",), ("/plain",), ("/end$",), ("/do$lar",)],
+        "p string",
+    )
+    got = [r[0] for r in df.select(pattern_to_regex(F.col("p"))).collect()]
+    assert got[0] == r"^/a\.b/.*/c$"
+    assert got[1] == r"^/plain"
+    assert got[2] == "^/end$"
+    assert got[3] == r"^/do\$lar"   # inner $ is literal
+
+
+def test_gate_longest_match_and_tie(spark):
+    body = (
+        "User-agent: *\n"
+        "Disallow: /p/\n"
+        "Allow: /p/ok\n"        # longer -> wins inside /p/
+        "Allow: /t\nDisallow: /t\n"  # exact tie -> Allow wins
+    )
+    rules = _rules(spark, body)
+    urls = spark.createDataFrame(
+        [("h", "/p/x"), ("h", "/p/ok.html"), ("h", "/t/page"), ("h", "/z")],
+        "host string, path string",
+    )
+    got = {r["path"]: r["allowed"] for r in robots_gate(urls, rules).collect()}
+    assert got == {"/p/x": 0, "/p/ok.html": 1, "/t/page": 1, "/z": 1}
+
+
+def test_gate_no_rules_host_allowed(spark):
+    rules = _rules(spark, "User-agent: *\nDisallow: /x")
+    urls = spark.createDataFrame(
+        [("other.host", "/x")], "host string, path string"
+    )
+    assert robots_gate(urls, rules).first()["allowed"] == 1
