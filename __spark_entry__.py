@@ -1000,6 +1000,76 @@ def q_paragraph_dedup(spark, sf):
     return dedup_paragraphs(df).select("doc_id", "text", "n_lines_dropped")
 
 
+def q_pipeline_crawl(spark, sf):
+    """Crawl-curation capstone — FOUR gates composed into ONE Catalyst
+    plan: domain blocklist (suffix-chain anti-join) → per-host quota
+    cap (salted two-phase ranking) → deterministic stratified
+    sampling (integer hash thresholds) → sliding-window chunking.
+    Each stage is the production operator from urls/curation; the
+    oracle chains the four SQL fragments as CTEs, so the composition
+    (not just each stage) is value-checked."""
+    from parquetry_spark.curation import (
+        cap_per_group,
+        chunk_documents,
+        stratified_sample,
+    )
+    from parquetry_spark.urls import filter_blocked_hosts
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.concat(
+            F.lit("h"), (d % 7).cast("string"),
+            F.lit(".sub"), (d % 3).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("sub1.example",), ("h3.sub2.example",)], "blocked_suffix string"
+    )
+    gated = filter_blocked_hosts(docs, bl, "host")
+    capped = cap_per_group(gated, "host", cap=10)
+    sampled = stratified_sample(capped, "lang", {"en": 0.5, "zh": 0.1, "de": 0.9})
+    chunks = chunk_documents(sampled, size=512, overlap=64)
+    return chunks.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk"
+    )
+
+
+def q_snapshot_diff(spark, sf):
+    """Crawl-snapshot delta report (urls.snapshot_diff): old = the
+    full synthesized crawl; new drops every %3 page (removed),
+    rewrites the digest of every %5 page (changed), and adds a /new/
+    page per %4 doc (added). One full-outer join on url carrying only
+    (url, digest, host), then a partial-aggregated per-host rollup.
+    Oracle replicates the synthesis and the join in SQL."""
+    from parquetry_spark.urls import snapshot_diff
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), ds)
+    old = docs.select(
+        url.alias("url"), F.md5("text").alias("digest"), host.alias("host")
+    )
+    base = docs.filter(d % 3 != 0).select(
+        url.alias("url"),
+        F.when(
+            d % 5 == 0, F.md5(F.concat(F.col("text"), F.lit("x")))
+        ).otherwise(F.md5("text")).alias("digest"),
+        host.alias("host"),
+    )
+    added = docs.filter(d % 4 == 0).select(
+        F.concat(F.lit("https://"), host, F.lit("/new/"), ds).alias("url"),
+        F.md5(F.concat(F.lit("new"), ds)).alias("digest"),
+        host.alias("host"),
+    )
+    return snapshot_diff(old, base.unionAll(added))
+
+
 ROBOTS_FIXTURE = [
     # k=0: prefix disallow + longer allow carve-out + $-anchored wildcard
     (
@@ -1498,6 +1568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
+        "pipeline_crawl": q_pipeline_crawl,
+        "snapshot_diff": q_snapshot_diff,
         "robots_gate": q_robots_gate,
         "chunk_documents": q_chunk_documents,
         "corpus_stats": q_corpus_stats,
@@ -2351,6 +2423,70 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(nd.n, 0) AS BIGINT) AS n_lines_dropped "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "LEFT JOIN nd USING (doc_id)"
+        ),
+        "pipeline_crawl": (
+            # the four stage fragments chained as CTEs: blocklist
+            # predicates -> single-window quota (== the salted
+            # two-phase) -> integer hash thresholds -> chunk explode
+            "WITH h AS (SELECT doc_id, text, lang, "
+            "'h' || CAST(doc_id % 7 AS VARCHAR) || '.sub' || "
+            "CAST(doc_id % 3 AS VARCHAR) || '.example' AS host "
+            "FROM documents), "
+            "b AS (SELECT * FROM h WHERE NOT ("
+            "host = 'sub1.example' OR host LIKE '%.sub1.example' OR "
+            "host = 'h3.sub2.example' OR host LIKE '%.h3.sub2.example')), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY host "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM b), "
+            "c AS (SELECT doc_id, text, lang FROM r WHERE rn <= 10), "
+            "s AS (SELECT doc_id, text FROM c WHERE "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) < CASE lang "
+            f"WHEN 'de' THEN {int(0.9 * 4294967296)} "
+            f"WHEN 'en' THEN {int(0.5 * 4294967296)} "
+            f"WHEN 'zh' THEN {int(0.1 * 4294967296)} "
+            f"ELSE {int(1.0 * 4294967296)} END), "
+            "k AS (SELECT doc_id, text, greatest((length(text) - 64 "
+            "+ 447) // 448, 1) AS n FROM s WHERE text IS NOT NULL), "
+            "e AS (SELECT doc_id, text, unnest(generate_series(0, "
+            "n - 1)) AS chunk_id FROM k) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "substr(text, CAST(chunk_id * 448 + 1 AS BIGINT), 512) "
+            "AS chunk FROM e"
+        ),
+        "snapshot_diff": (
+            # same synthesis; FULL OUTER JOIN on url; status from
+            # digest null-ness/equality; per-host rollup
+            "WITH o AS (SELECT 'https://h' || CAST(doc_id % 7 AS "
+            "VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS "
+            "url, md5(text) AS dg, 'h' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.example' AS host FROM documents), "
+            "n AS (SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.example/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "CASE WHEN doc_id % 5 = 0 THEN md5(text || 'x') "
+            "ELSE md5(text) END AS dg, 'h' || CAST(doc_id % 7 AS "
+            "VARCHAR) || '.example' AS host FROM documents "
+            "WHERE doc_id % 3 <> 0 "
+            "UNION ALL SELECT 'https://h' || CAST(doc_id % 7 AS "
+            "VARCHAR) || '.example/new/' || CAST(doc_id AS VARCHAR), "
+            "md5('new' || CAST(doc_id AS VARCHAR)), "
+            "'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' "
+            "FROM documents WHERE doc_id % 4 = 0), "
+            "j AS (SELECT coalesce(n.host, o.host) AS host, "
+            "CASE WHEN o.dg IS NULL THEN 'added' "
+            "WHEN n.dg IS NULL THEN 'removed' "
+            "WHEN o.dg <> n.dg THEN 'changed' "
+            "ELSE 'unchanged' END AS st "
+            "FROM o FULL OUTER JOIN n USING (url)) "
+            "SELECT host, "
+            "CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_added, "
+            "CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_removed, "
+            "CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_changed, "
+            "CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_unchanged "
+            "FROM j GROUP BY host"
         ),
         "robots_gate": (
             # closed-form decision table for the fixed 5-host robots

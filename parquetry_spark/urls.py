@@ -138,3 +138,48 @@ def filter_blocked_hosts(
     ).select(host_col).distinct()
     how = "left_semi" if invert else "left_anti"
     return df.join(hits, host_col, how)
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "digest",
+    group_col: str = "host",
+) -> DataFrame:
+    """Crawl-snapshot delta report: per group (host), how many pages
+    were added / removed / changed / unchanged between two snapshots
+    — the incremental-processing planner's input (a host with 99%
+    unchanged pages can reuse last epoch's encoded blocks; see
+    `dedup.dedup_incremental` for the doc-level twin).
+
+    One full-outer hash join on the page key carrying only (key,
+    digest, group) narrow rows — bodies never enter — then one
+    partial-aggregated rollup. `group` is taken from whichever side
+    has the row (changed rows must agree; the join key is the url).
+    Output counts are longs; groups present in either snapshot
+    appear."""
+    o = old_df.select(
+        F.col(key_col).alias("_k"),
+        F.col(digest_col).alias("_od"),
+        F.col(group_col).alias("_og"),
+    )
+    n = new_df.select(
+        F.col(key_col).alias("_k"),
+        F.col(digest_col).alias("_nd"),
+        F.col(group_col).alias("_ng"),
+    )
+    j = o.join(n, "_k", "full_outer").select(
+        F.coalesce("_ng", "_og").alias(group_col),
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("_st"),
+    )
+    return j.groupBy(group_col).agg(
+        F.sum((F.col("_st") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("_st") == "removed").cast("long")).alias("n_removed"),
+        F.sum((F.col("_st") == "changed").cast("long")).alias("n_changed"),
+        F.sum((F.col("_st") == "unchanged").cast("long")).alias("n_unchanged"),
+    )

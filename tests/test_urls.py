@@ -112,3 +112,32 @@ def test_filter_blocked_hosts_subtree_and_case(spark):
         for r in filter_blocked_hosts(hosts, bl, "host", invert=True).collect()
     )
     assert blocked == [1, 2, 4]
+
+
+def test_snapshot_diff_statuses(spark):
+    from parquetry_spark.urls import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            ("u1", "d1", "a"),  # unchanged
+            ("u2", "d2", "a"),  # changed
+            ("u3", "d3", "b"),  # removed
+        ],
+        "url string, digest string, host string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", "d1", "a"),
+            ("u2", "D2", "a"),
+            ("u4", "d4", "b"),  # added
+        ],
+        "url string, digest string, host string",
+    )
+    got = {r["host"]: r for r in snapshot_diff(old, new).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["n_added"], a["n_removed"], a["n_changed"], a["n_unchanged"]) == (
+        0, 0, 1, 1,
+    )
+    assert (b["n_added"], b["n_removed"], b["n_changed"], b["n_unchanged"]) == (
+        1, 1, 0, 0,
+    )
