@@ -218,6 +218,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--block-suffixes", default=None, metavar="CSV",
+        help="comma list of blocked host suffixes (an entry blocks "
+        "itself and every subdomain of it); applied to --host-col "
+        "FIRST — the cheapest gate runs before any text work",
+    )
+    p.add_argument(
+        "--host-col", default="source",
+        help="group column for --block-suffixes / --host-cap",
+    )
     p.add_argument("--dedup", action="store_true", help="exact dedup (first id wins)")
     p.add_argument(
         "--near-dedup", action="store_true",
@@ -227,6 +237,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--near-jaccard", type=float, default=0.7, metavar="J",
         help="Jaccard threshold for --near-dedup pair verification",
+    )
+    p.add_argument(
+        "--paragraph-dedup", action="store_true",
+        help="corpus-wide first-occurrence paragraph dedup (later "
+        "copies of a non-blank line are cut from their docs)",
     )
     p.add_argument(
         "--scrub-pii", action="store_true",
@@ -275,6 +290,29 @@ def main(argv: list[str] | None = None) -> int:
         help="match on xxhash64(gram) — ~10x smaller eval broadcast",
     )
     p.add_argument(
+        "--host-cap", type=int, default=None, metavar="N",
+        help="keep at most N docs per --host-col group (uniform "
+        "hash-ordered; salted two-phase ranking); runs AFTER the "
+        "quality gates so junk doesn't consume a host's quota",
+    )
+    p.add_argument(
+        "--stratify", default=None, metavar="GROUP_COL",
+        help="deterministic per-stratum downsampling on GROUP_COL "
+        "(see --rate / --default-rate)",
+    )
+    p.add_argument(
+        "--rate", action="append", default=[], metavar="GROUP=R",
+        help="keep-rate for one stratum, e.g. --rate en=0.5 (repeatable)",
+    )
+    p.add_argument("--default-rate", type=float, default=1.0)
+    p.add_argument(
+        "--chunk", type=int, default=None, metavar="SIZE",
+        help="emit sliding-window chunks of SIZE chars as the final "
+        "stage (rows become (id, chunk_id, chunk, n_chunks)); "
+        "mutually exclusive with --pack",
+    )
+    p.add_argument("--chunk-overlap", type=int, default=0)
+    p.add_argument(
         "--split", default=None, metavar="GROUP_COL",
         help="add a group-atomic train/val split column on GROUP_COL",
     )
@@ -299,6 +337,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)
+
+    if (
+        args.cmd == "curate"
+        and args.chunk is not None
+        and args.pack
+    ):
+        # fail before the Spark session / any input scan
+        ap.error(
+            "--chunk and --pack are mutually exclusive "
+            "(different output granularities)"
+        )
 
     if args.cmd == "meta":
         from .parity.meta import parquet_meta
@@ -427,6 +476,18 @@ def main(argv: list[str] | None = None) -> int:
                     for p in list_parquet_files(args.inp)
                 )
             }
+            if args.block_suffixes:
+                from .urls import filter_blocked_hosts
+
+                bl = spark.createDataFrame(
+                    [
+                        (s.strip(),)
+                        for s in args.block_suffixes.split(",")
+                        if s.strip()
+                    ],
+                    "blocked_suffix string",
+                )
+                df = filter_blocked_hosts(df, bl, args.host_col)
             if args.dedup:
                 df = exact_dedup_docs(df, args.text_col, args.id_col)
             if args.near_dedup:
@@ -436,6 +497,12 @@ def main(argv: list[str] | None = None) -> int:
                     df, args.text_col, args.id_col,
                     jaccard_threshold=args.near_jaccard,
                 )
+            if args.paragraph_dedup:
+                from .curation import dedup_paragraphs
+
+                df = dedup_paragraphs(
+                    df, text_col=args.text_col, id_col=args.id_col
+                ).drop("n_lines_dropped")
             if args.scrub_pii:
                 from .curation import scrub_pii
 
@@ -494,6 +561,25 @@ def main(argv: list[str] | None = None) -> int:
                     text_col=args.text_col, id_col=args.id_col,
                     unit=args.unit, hash_grams=args.hash_grams,
                 ).filter(~F.col("contaminated")).drop("contaminated")
+            if args.host_cap is not None:
+                from .curation import cap_per_group
+
+                df = cap_per_group(
+                    df, args.host_col, cap=args.host_cap, id_col=args.id_col
+                )
+            if args.stratify:
+                from .curation import stratified_sample
+
+                rates = {}
+                for kv in args.rate:
+                    k, _, v = kv.partition("=")
+                    if not k or not v:
+                        ap.error(f"--rate expects GROUP=R, got {kv!r}")
+                    rates[k] = float(v)
+                df = stratified_sample(
+                    df, args.stratify, rates,
+                    default_rate=args.default_rate, id_col=args.id_col,
+                )
             if args.split:
                 df = group_split(df, args.split, val_pct=args.val_pct)
             if args.resample:
@@ -510,6 +596,13 @@ def main(argv: list[str] | None = None) -> int:
                     df, budget=args.budget, order_col=args.id_col,
                     group_cols=(args.pack,), n_shards=args.shards,
                     tie_cols=ties,
+                )
+            if args.chunk is not None:
+                from .curation import chunk_documents
+
+                df = chunk_documents(
+                    df, size=args.chunk, overlap=args.chunk_overlap,
+                    text_col=args.text_col, id_col=args.id_col,
                 )
             df.write.mode("overwrite").parquet(args.out)
             stats["out_rows"] = spark.read.parquet(args.out).count()

@@ -242,3 +242,87 @@ def test_cli_encode_block_comp(spark, tmp_path):
     assert any(
         dict(row["params"]).get("bc") == "zstd" for row in blocks.collect()
     )
+
+
+def test_curate_crawl_gates_e2e(spark, tmp_path, monkeypatch):
+    """blocklist -> paragraph-dedup -> host-cap -> stratify -> chunk
+    through the CLI surface in one invocation."""
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(
+        session_mod, "get_spark", lambda *a, **k: _NoStop(spark)
+    )
+
+    src = tmp_path / "docs"
+    rows = []
+    for i in range(40):
+        host = ["good.org", "spam.example", "x.spam.example"][i % 3]
+        text = f"unique line {i}\nshared footer line"
+        rows.append((i, text, "en" if i % 2 == 0 else "de", host))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(src))
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "curate",
+            "--in", str(src),
+            "--out", str(out),
+            "--block-suffixes", "spam.example",
+            "--paragraph-dedup",
+            "--host-cap", "50",
+            "--stratify", "lang",
+            "--rate", "en=1.0",
+            "--rate", "de=1.0",
+            "--chunk", "16",
+            "--chunk-overlap", "4",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(str(out))
+    assert set(got.columns) == {"doc_id", "chunk_id", "chunk", "n_chunks"}
+    # blocked hosts gone: only doc_id % 3 == 0 (good.org) survive
+    ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+    assert ids == {i for i in range(40) if i % 3 == 0}
+
+    def reassemble(doc_id):
+        rows = sorted(
+            got.filter(f"doc_id = {doc_id}").collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        return "".join(
+            r["chunk"][: 16 - 4]
+            if r["chunk_id"] < r["n_chunks"] - 1
+            else r["chunk"]
+            for r in rows
+        )
+
+    # paragraph dedup: 'shared footer line' survives only in the
+    # first surviving doc (doc 0); chunks reassemble per doc
+    assert reassemble(0) == "unique line 0\nshared footer line"
+    assert reassemble(3) == "unique line 3"
+
+
+def test_curate_chunk_pack_conflict(tmp_path):
+    import pytest as _pytest
+
+    from parquetry_spark.cli import main
+
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "curate", "--in", "x", "--out", "y",
+                "--chunk", "10", "--pack", "lang",
+            ]
+        )
