@@ -230,14 +230,21 @@ def stream_curate(
     split_col: str | None = None,
     val_pct: int = 10,
     checkpoint: str | None = None,
+    blocklist_df: DataFrame | None = None,
+    stratify_col: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
 ):
-    """Curation on ingest: the STATELESS curation stages — quality
-    gate, benchmark decontamination against a static eval set, and the
-    group-atomic split — applied to pages as they arrive, writing
-    curated parquet per epoch.
+    """Curation on ingest: the STATELESS curation stages — domain
+    blocklist (host from the page url vs a static suffix list),
+    quality gate, benchmark decontamination against a static eval
+    set, deterministic stratified sampling, and the group-atomic
+    split — applied to pages as they arrive, writing curated parquet
+    per epoch.
 
-    Scope is deliberate: these three stages are pure per-row functions
-    (the eval set is static and broadcast), so they stream exactly.
+    Scope is deliberate: these stages are pure per-row functions
+    (the eval set and blocklist are static), so they stream exactly —
+    a page's verdict never depends on which epoch carried it.
     Sequence packing and temperature resampling are NOT offered here —
     both depend on corpus-global state (cumulative token tape, group
     counts) that a stream cannot know; they belong to the batch engine
@@ -266,8 +273,24 @@ def stream_curate(
         e_grams = eval_grams(eval_df, ngram, unit=unit).cache()
         e_grams.count()
 
+    if blocklist_df is not None:
+        blocklist_df = blocklist_df.cache()
+        blocklist_df.count()  # materialize once, not per micro-batch
+
     def sink(batch_df: DataFrame, epoch: int) -> None:
         df = batch_df
+        if blocklist_df is not None:
+            from .urls import filter_blocked_hosts
+
+            hosted = df.withColumn(
+                "_host",
+                F.regexp_extract(
+                    "url", "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1
+                ),
+            )
+            df = filter_blocked_hosts(hosted, blocklist_df, "_host").drop(
+                "_host"
+            )
         if quality_min is not None:
             df = df.filter(
                 quality_score_micros(F.col("text"))
@@ -291,6 +314,15 @@ def stream_curate(
                 )
                 .filter(~F.col("contaminated"))
                 .drop("contaminated", "_cid")
+            )
+        if rates is not None and stratify_col is not None:
+            from .curation import stratified_sample
+
+            # id = url: the keep-decision is a pure hash of the page
+            # identity, so replayed epochs decide identically
+            df = stratified_sample(
+                df, stratify_col, rates,
+                default_rate=default_rate, id_col="url",
             )
         if split_col is not None:
             df = group_split(df, split_col, val_pct=val_pct)

@@ -225,3 +225,45 @@ def test_stream_ingest_warc_incremental(spark, tmp_path):
     want = pdf.sort_values("url").reset_index(drop=True)
     assert list(got.url) == list(want.url)  # exactly-once across epochs
     assert list(got.text) == list(want.text)  # byte-identical extraction
+
+
+def test_stream_curate_blocklist_and_stratify_match_batch(spark, tmp_path):
+    """The two new stateless gates stream exactly: blocklist (host
+    from url vs static suffix list) and deterministic stratified
+    sampling produce the identical page set as the batch operators on
+    the same input."""
+    from parquetry_spark.curation import stratified_sample
+    from parquetry_spark.streaming import stream_curate
+    from parquetry_spark.urls import filter_blocked_hosts
+
+    in_dir = str(tmp_path / "bs_in")
+    out_dir = str(tmp_path / "bs_out")
+    pages = gen_pages(spark, 300, seed=11, n_hosts=20).cache()
+    pages.write.mode("overwrite").parquet(in_dir)
+    # block two of the generator's hosts (suffix-exact)
+    hosts = [
+        r["_h"]
+        for r in pages.selectExpr(
+            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS _h"
+        ).distinct().limit(2).collect()
+    ]
+    bl = spark.createDataFrame([(h,) for h in hosts], "blocked_suffix string")
+    rates = {"en": 0.5, "de": 0.25}
+
+    q = stream_curate(
+        spark, in_dir, out_dir,
+        blocklist_df=bl, stratify_col="lang", rates=rates,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    want = pages.withColumn(
+        "_host",
+        F.regexp_extract("url", "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1),
+    )
+    want = filter_blocked_hosts(want, bl, "_host").drop("_host")
+    want = stratified_sample(want, "lang", rates, id_col="url")
+    assert 0 < got.count() < 300
+    assert sorted(r["url"] for r in got.select("url").collect()) == sorted(
+        r["url"] for r in want.select("url").collect()
+    )
