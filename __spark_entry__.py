@@ -946,6 +946,38 @@ def q_vocab_topk(spark, sf):
     return vocab_topk(df, k=100)
 
 
+def q_vocab_top2gram(spark, sf):
+    """Phrase mining (textops.vocab_topk n=2): top-50 word 2-grams
+    corpus-wide over the shared norm_words split; same map-side-
+    combined explode + TakeOrderedAndProject shape as vocab_topk."""
+    from parquetry_spark.textops import vocab_topk
+
+    return vocab_topk(_t(spark, sf, "documents"), k=50, n=2)
+
+
+def q_encoding_profile(spark, sf):
+    """Mojibake / encoding-damage triage (textops.encoding_profile):
+    U+FFFD, control chars, UTF-8-as-Latin-1 'Ã' markers — the corpus
+    is salted in-plan (%9 → U+FFFD, %10 → 'Ã©', %11 → 0x01) so every
+    counter provably fires; the oracle replicates the salt and the
+    counting."""
+    from parquetry_spark.textops import encoding_profile
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 9 == 0, F.lit("\ufffd")).otherwise(F.lit("")),
+            F.when(d % 10 == 0, F.lit("\u00c3\u00a9")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit("\x01")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return encoding_profile(docs).select(
+        "doc_id", "n_replacement", "n_ctrl", "n_mojibake", "enc_clean"
+    )
+
+
 def q_nfc_normalize(spark, sf):
     """Unicode NFC normalization (textops.unicode_normalize) — the
     one deliberate Arrow-batched Python stage in the text path. The
@@ -1565,6 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup": q_near_dedup,
         "host_rank": q_host_rank,
         "vocab_topk": q_vocab_topk,
+        "vocab_top2gram": q_vocab_top2gram,
+        "encoding_profile": q_encoding_profile,
         "nfc_normalize": q_nfc_normalize,
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
@@ -2379,6 +2413,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w "
             "WHERE word <> '' GROUP BY word "
             "ORDER BY cnt DESC, word LIMIT 100"
+        ),
+        "vocab_top2gram": (
+            # NON-distinct 2-grams over the shared norm_words split
+            # (the repetition oracle's comprehension), counted global
+            r"WITH w AS (SELECT doc_id, string_split(trim("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')"
+            r"), ' ') AS w FROM documents), "
+            "g AS (SELECT unnest([w[i] || ' ' || w[i+1] "
+            "for i in range(1, len(w))]) AS word "
+            "FROM w WHERE len(w) >= 2 AND w[1] <> '') "
+            "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM g "
+            "GROUP BY word ORDER BY cnt DESC, word LIMIT 50"
+        ),
+        "encoding_profile": (
+            # chr(65533)=U+FFFD, chr(195)='Ã', chr(169)='©', chr(1)=C0
+            # control — the same in-plan salt; counting via length
+            # difference + the identical RE2/Java hex character class
+            "WITH s AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 9 = 0 THEN chr(65533) ELSE '' END || "
+            "CASE WHEN doc_id % 10 = 0 THEN chr(195) || chr(169) "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 11 = 0 THEN chr(1) ELSE '' END AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(length(t) - length(replace(t, chr(65533), '')) "
+            "AS BIGINT) AS n_replacement, "
+            "CAST(length(t) - length(regexp_replace(t, "
+            r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) "
+            "AS BIGINT) AS n_ctrl, "
+            "CAST(length(t) - length(replace(t, chr(195), '')) "
+            "AS BIGINT) AS n_mojibake, "
+            "CAST(CASE WHEN length(t) = length(replace(t, chr(65533), "
+            "'')) AND length(t) = length(regexp_replace(t, "
+            r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) "
+            "AND length(t) = length(replace(t, chr(195), '')) "
+            "THEN 1 ELSE 0 END AS INT) AS enc_clean FROM s"
         ),
         "nfc_normalize": (
             # chr(769)=U+0301, chr(778)=U+030A — the same decomposed

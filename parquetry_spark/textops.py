@@ -387,11 +387,14 @@ def gopher_quality_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+def vocab_topk(
+    df: DataFrame, k: int = 100, text_col: str = "text", n: int = 1
+) -> DataFrame:
     """Corpus-wide top-k vocabulary (Zipf-head report): explode
-    `norm_words`, count, rank by (count DESC, word ASC) — a strict
-    total order (word is unique per group), so the k-set is
-    deterministic at any parallelism.
+    `norm_words` (n=1) or NON-distinct word n-grams (n>1 — phrase
+    mining over the same normalization), count, rank by (count DESC,
+    word ASC) — a strict total order (word is unique per group), so
+    the k-set is deterministic at any parallelism.
 
     SCALE: the explode produces one row per corpus token, but
     Catalyst's partial hash aggregate combines per task BEFORE the
@@ -401,8 +404,12 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame
     tokens. The final top-k lowers to TakeOrderedAndProject (heap
     per partition + driver merge of k·partitions rows), never a
     global sort."""
+    if n == 1:
+        arr = norm_words(F.col(text_col))
+    else:
+        arr = word_gram_array(F.col(text_col), n)
     words = (
-        df.select(F.explode(norm_words(F.col(text_col))).alias("word"))
+        df.select(F.explode(arr).alias("word"))
         .filter(F.col("word") != "")
     )
     return (
@@ -497,4 +504,48 @@ def corpus_stats(
     )
     return agg.join(picks, group_col).select(
         group_col, "n_docs", "v_sum", "v_min", "v_max", "p50", "p90"
+    )
+
+
+def encoding_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-damage signals — the standard mojibake triage a
+    Common-Crawl pipeline runs before trusting `text`:
+
+      n_replacement  U+FFFD count (decoder already gave up)
+      n_ctrl         C0/DEL control chars excluding \\t \\n \\r
+                     (binary leaked into a text column)
+      n_mojibake     U+00C3 'Ã' count — the classic UTF-8-read-as-
+                     Latin-1 artifact (every 2-byte UTF-8 sequence
+                     starting 0xC3 renders as 'Ã'+junk)
+      enc_clean      1 when all three are zero
+
+    Row-local codegen (length-difference counting + one portable
+    character-class regex — ASCII hex escapes, identical under Java
+    regex and RE2): zero shuffle, scan-side at any scale. Null text →
+    null profile."""
+    t = F.col(text_col)
+
+    def count_char(ch: str) -> Column:
+        return (
+            F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+        ).cast("long")
+
+    n_repl = count_char("\ufffd")
+    n_moji = count_char("\u00c3")
+    n_ctrl = (
+        F.length(t)
+        - F.length(
+            F.regexp_replace(
+                t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+            )
+        )
+    ).cast("long")
+    clean = ((n_repl == 0) & (n_ctrl == 0) & (n_moji == 0)).cast("int")
+    return df.withColumns(
+        {
+            "n_replacement": F.when(t.isNotNull(), n_repl),
+            "n_ctrl": F.when(t.isNotNull(), n_ctrl),
+            "n_mojibake": F.when(t.isNotNull(), n_moji),
+            "enc_clean": F.when(t.isNotNull(), clean),
+        }
     )

@@ -650,3 +650,33 @@ def test_corpus_stats_exact_percentiles(spark):
     de = got["de"]
     # n=2: p50 idx floor(3/2)=1 -> 7; p90 idx floor(27/10)=2 -> 9
     assert de["p50"] == 7 and de["p90"] == 9
+
+
+def test_vocab_topk_ngrams(spark):
+    from parquetry_spark.textops import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "big cat big cat runs"), (2, "big cat")],
+        "doc_id long, text string",
+    )
+    got = [(r["word"], r["cnt"]) for r in vocab_topk(df, k=2, n=2).collect()]
+    assert got == [("big cat", 3), ("cat big", 1)]
+
+
+def test_encoding_profile_counts(spark):
+    from parquetry_spark.textops import encoding_profile
+
+    rows = [
+        (1, "clean text"),
+        (2, "bad �� here"),
+        (3, "moji Ã© twice Ã¼"),
+        (4, "ctrl\x01\x02 but tab\tok\nnewline"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in encoding_profile(df).collect()}
+    assert got[1]["enc_clean"] == 1 and got[1]["n_ctrl"] == 0
+    assert got[2]["n_replacement"] == 2 and got[2]["enc_clean"] == 0
+    assert got[3]["n_mojibake"] == 2 and got[3]["enc_clean"] == 0
+    assert got[4]["n_ctrl"] == 2 and got[4]["enc_clean"] == 0  # \t \n exempt
+    assert got[5]["enc_clean"] is None
