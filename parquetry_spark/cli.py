@@ -254,6 +254,13 @@ def main(argv: list[str] | None = None) -> int:
         help="drop docs with quality score below this [0,1] threshold",
     )
     p.add_argument(
+        "--gopher", action="store_true",
+        help="apply the canonical Gopher document-shape gate (paper "
+        "thresholds: 50<=words<=100k, 3<=mean word len<=10, >=80%% "
+        "alpha words, <=0.1 symbol ratio, <=90%% bullet / <=30%% "
+        "ellipsis lines, >=2 stopwords)",
+    )
+    p.add_argument(
         "--max-dup-word-frac", type=float, default=None, metavar="F",
         help="drop docs whose duplicate-word fraction exceeds F [0,1] "
         "(Gopher repetition filter; row-local, no shuffle)",
@@ -512,6 +519,10 @@ def main(argv: list[str] | None = None) -> int:
                     quality_score_micros(F.col(args.text_col))
                     >= F.lit(round(args.quality_min * 1_000_000))
                 )
+            if args.gopher:
+                from .textops import gopher_gate
+
+                df = df.filter(gopher_gate(F.col(args.text_col)))
             # Gopher-style repetition gates (textops): row-local
             # integer-micro thresholds, same plan — no extra stage
             if args.max_dup_word_frac is not None:

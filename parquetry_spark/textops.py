@@ -549,3 +549,54 @@ def encoding_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "enc_clean": F.when(t.isNotNull(), clean),
         }
     )
+
+
+def gopher_gate(col: Column) -> Column:
+    """The canonical Gopher/MassiveText document-shape KEEP predicate
+    (paper thresholds over `gopher_quality_profile`'s signals):
+    50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10, ≥ 80% words with a
+    letter, symbol ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis
+    lines, ≥ 2 of the fixed 8 stopwords. One boolean Column — pure
+    row-local codegen, composes into any plan as a filter."""
+    words = norm_words(col)
+    ok = F.element_at(words, 1) != F.lit("")
+    n = F.when(ok, F.size(words)).otherwise(F.lit(0)).cast("long")
+    total_chars = F.when(
+        ok,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ),
+    ).otherwise(F.lit(0))
+    alpha = (
+        F.when(ok, F.size(F.filter(words, lambda w: w.rlike(r"\p{L}"))))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    hashes = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    dots = F.floor(
+        (F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", "")))
+        / F.lit(3)
+    )
+    lines = F.filter(F.split(col, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
+    ).cast("long")
+    ellipsis = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    ).cast("long")
+    stop_hits = sum(
+        F.when(F.array_contains(words, F.lit(s)), 1).otherwise(0)
+        for s in GOPHER_STOPS
+    )
+    return (
+        (n >= 50)
+        & (n <= 100_000)
+        & (total_chars >= 3 * n)
+        & (total_chars <= 10 * n)
+        & (alpha * 10 >= n * 8)
+        & ((hashes + dots) * 10 <= n)
+        & (bullet * 10 <= n_lines * 9)
+        & (ellipsis * 10 <= n_lines * 3)
+        & (stop_hits >= 2)
+    )

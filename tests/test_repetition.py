@@ -140,3 +140,32 @@ def test_gopher_profile_zero_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_gate_thresholds(spark):
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.textops import gopher_gate
+
+    good = (
+        "The quick brown fox and the lazy dog have been with us to be "
+        "sure of that for a very long time and the story keeps going "
+        "with more of the same words that have to be here now and then "
+        "again and again until we pass the fifty word floor of the rule."
+    )
+    rows = [
+        (1, good),                                    # passes every rule
+        (2, "too few words to pass"),                 # < 50 words
+        (3, " ".join(["####"] * 60)),                 # no alpha, no stops
+        (4, "\n".join(["- item with the be to of and that have with extra words"] * 60)),  # all bullet lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"] for r in df.filter(gopher_gate(F.col("text"))).collect()
+    )
+    assert kept == [1]
+    plan = (
+        df.filter(gopher_gate(F.col("text")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
