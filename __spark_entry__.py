@@ -1032,6 +1032,37 @@ def q_paragraph_dedup(spark, sf):
     return dedup_paragraphs(df).select("doc_id", "text", "n_lines_dropped")
 
 
+def q_asof_join(spark, sf):
+    """Point-in-time join (sessions.asof_join): every non-%5 event
+    (trade) picks up the most recent %5 event (quote) at-or-before
+    its timestamp per user. UNION + running-last — one shuffle, no
+    per-key cross product (the naive range-join formulation explodes
+    O(n·m) on hot keys). Oracle = DuckDB's NATIVE ASOF LEFT JOIN on
+    identically deduped quotes — an independent implementation of
+    the same semantics, not a re-transcription."""
+    from parquetry_spark.sessions import asof_join
+
+    ev = _t(spark, sf, "events")
+    quotes = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("qid"))
+    )
+    trades = ev.filter(F.col("event_id") % 5 != 0).select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        trades, quotes, ts_col="ts", by_col="user_id",
+        value_cols=("qid",), seq_col="qid",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("asof_qid"),
+    )
+
+
 def q_pipeline_crawl(spark, sf):
     """Crawl-curation capstone — FOUR gates composed into ONE Catalyst
     plan: domain blocklist (suffix-chain anti-join) → per-host quota
@@ -1602,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": q_nfc_normalize,
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
+        "asof_join": q_asof_join,
         "pipeline_crawl": q_pipeline_crawl,
         "snapshot_diff": q_snapshot_diff,
         "robots_gate": q_robots_gate,
@@ -2493,6 +2525,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(nd.n, 0) AS BIGINT) AS n_lines_dropped "
             "FROM documents d LEFT JOIN agg a USING (doc_id) "
             "LEFT JOIN nd USING (doc_id)"
+        ),
+        "asof_join": (
+            # DuckDB's native ASOF LEFT JOIN — an independent engine's
+            # implementation of the same point-in-time semantics
+            "WITH q AS (SELECT user_id, ts, max(event_id) AS qid "
+            "FROM events WHERE event_id % 5 = 0 GROUP BY user_id, ts), "
+            "t AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_id % 5 <> 0) "
+            "SELECT t.event_id, t.user_id, epoch_us(t.ts) AS ts_us, "
+            "q.qid AS asof_qid FROM t ASOF LEFT JOIN q "
+            "ON t.user_id = q.user_id AND t.ts >= q.ts"
         ),
         "pipeline_crawl": (
             # the four stage fragments chained as CTEs: blocklist

@@ -72,3 +72,63 @@ def session_stats(
             F.max(us).alias("end_us"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by_col: str = "user_id",
+    value_cols: tuple[str, ...] = ("value",),
+    seq_col: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Point-in-time (as-of) join — for each left row, attach the
+    most recent right row with right.ts <= left.ts within the same
+    `by_col` key. Spark has no native ASOF JOIN; this is the
+    operator's distributed form.
+
+    UNION + running-last, NOT a join: both inputs are tagged and
+    unioned (schemas aligned by name with nulls), and each right
+    payload is carried forward with last(ignorenulls) over the key
+    ordered by (ts, side, seq) — right rows sort BEFORE left rows at
+    equal ts, so an exact-timestamp match is visible (<= semantics).
+    ONE shuffle (the window partition) and an O(n log n) sort. The
+    naive formulation — left JOIN right ON key AND right.ts <=
+    left.ts, then max per left row — materializes a per-key CROSS
+    PRODUCT before reducing (a hot key with 10^6 rows each side is
+    10^12 intermediate rows); this never expands at all.
+
+    Duplicate right rows at one (key, ts): the row with the greatest
+    `seq_col` wins (required when duplicates are possible —
+    determinism at any parallelism; DuckDB's ASOF on inputs deduped
+    the same way agrees). Left rows with no earlier right row get
+    nulls."""
+    for c in value_cols:
+        if c in left.columns:
+            raise ValueError(f"value col {c!r} collides with a left column")
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    order_seq = (
+        F.col(seq_col) if seq_col else F.lit(0)
+    )
+    r = right.select(
+        F.col(by_col),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        order_seq.alias("_seq"),
+        payload.alias("_p"),
+    )
+    lt = left.withColumn("_side", F.lit(1)).withColumn(
+        "_seq", F.lit(0)
+    ).withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType))
+    unioned = lt.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by_col)
+        .orderBy(ts_col, "_side", "_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("_c", F.last("_p", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
+    for c in value_cols:
+        out = out.withColumn(prefix + c, F.col("_c")[c])
+    return out.drop("_side", "_seq", "_p", "_c")

@@ -78,3 +78,59 @@ def test_single_exchange_plan(spark):
     plan = session_stats(df, gap_s=600)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from parquetry_spark.sessions import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 15, "t2"), (1, 4, "t0"), (2, 9, "t3")],
+        "user_id long, ts long, tid string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 200), (1, 15, 250), (2, 11, 300)],
+        "user_id long, ts long, qid long",
+    )
+    out = {
+        r["tid"]: r["asof_qid"]
+        for r in asof_join(
+            trades, quotes, ts_col="ts", by_col="user_id",
+            value_cols=("qid",), seq_col="qid",
+        ).collect()
+    }
+    assert out["t0"] is None          # before any quote
+    assert out["t1"] == 100           # latest earlier quote
+    assert out["t2"] == 250           # equal-ts visible; max seq wins
+    assert out["t3"] is None          # other key's quote not leaked
+
+
+def test_asof_join_no_cross_product_plan(spark):
+    """The plan must be window-over-union — ONE exchange per side of
+    the union partitioning, no Join node at all (the naive range-join
+    form explodes O(n*m) per hot key)."""
+    from parquetry_spark.sessions import asof_join
+
+    trades = spark.createDataFrame([(1, 10, "a")], "user_id long, ts long, tid string")
+    quotes = spark.createDataFrame([(1, 5, 7)], "user_id long, ts long, qid long")
+    plan = (
+        asof_join(trades, quotes, ts_col="ts", by_col="user_id",
+                  value_cols=("qid",), seq_col="qid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_asof_join_rejects_collision(spark):
+    import pytest as _pytest
+
+    from parquetry_spark.sessions import asof_join
+
+    t = spark.createDataFrame([(1, 10, 5)], "user_id long, ts long, qid long")
+    with _pytest.raises(ValueError):
+        asof_join(t, t, ts_col="ts", by_col="user_id", value_cols=("qid",))
