@@ -1063,6 +1063,24 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    """Interval join (sessions.range_join): events tagged by
+    overlapping doc-derived ranges. Bucketized equi-join + exact
+    BETWEEN filter — a hash join, NOT the BroadcastNestedLoopJoin
+    Spark plans for a raw BETWEEN theta-join. Oracle = the plain
+    BETWEEN join (DuckDB's IEJoin handles it natively)."""
+    from parquetry_spark.sessions import range_join
+
+    left = _t(spark, sf, "events").select(
+        "event_id", F.pmod(F.col("event_id"), F.lit(10000)).alias("v")
+    )
+    d = F.col("doc_id")
+    right = _t(spark, sf, "documents").select(
+        d.alias("rid"), (d * 20).alias("lo"), (d * 20 + 30).alias("hi")
+    )
+    return range_join(left, right, "v").select("event_id", "rid")
+
+
 def q_pipeline_crawl(spark, sf):
     """Crawl-curation capstone — FOUR gates composed into ONE Catalyst
     plan: domain blocklist (suffix-chain anti-join) → per-host quota
@@ -1634,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "paragraph_dedup": q_paragraph_dedup,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "pipeline_crawl": q_pipeline_crawl,
         "snapshot_diff": q_snapshot_diff,
         "robots_gate": q_robots_gate,
@@ -2536,6 +2555,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.event_id, t.user_id, epoch_us(t.ts) AS ts_us, "
             "q.qid AS asof_qid FROM t ASOF LEFT JOIN q "
             "ON t.user_id = q.user_id AND t.ts >= q.ts"
+        ),
+        "range_join": (
+            # the plain BETWEEN theta-join — the semantics the
+            # bucketized equi-join + filter must reproduce exactly
+            "SELECT e.event_id, d.doc_id AS rid FROM "
+            "(SELECT event_id, event_id % 10000 AS v FROM events) e "
+            "JOIN (SELECT doc_id, doc_id * 20 AS lo, "
+            "doc_id * 20 + 30 AS hi FROM documents) d "
+            "ON e.v BETWEEN d.lo AND d.hi"
         ),
         "pipeline_crawl": (
             # the four stage fragments chained as CTEs: blocklist

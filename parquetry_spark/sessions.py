@@ -132,3 +132,42 @@ def asof_join(
     for c in value_cols:
         out = out.withColumn(prefix + c, F.col("_c")[c])
     return out.drop("_side", "_seq", "_p", "_c")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Interval join — all (left, right) pairs with right.lo <=
+    left.value <= right.hi (IP-to-geo lookup, time-window tagging,
+    histogram binning). Spark plans a plain BETWEEN theta-join as
+    BroadcastNestedLoopJoin — a cross product that dies at scale.
+
+    Bucketized form: each left row lands in ONE bucket
+    (floor(value/width)); each right interval EXPLODES into the
+    buckets it covers; the pair meets in an equi hash-join on the
+    bucket id and an exact BETWEEN filter removes the boundary
+    misses. A matching pair meets in exactly one bucket (the left
+    row's), so no dedup pass is needed. Fan-out is interval_width /
+    bucket_width per right row — pick `bucket_width` near the median
+    interval width so the explode stays O(|right|) while buckets
+    stay selective. Everything shuffled is narrow (ids + ints)."""
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    v, lo, hi = F.col(value_col), F.col(lo_col), F.col(hi_col)
+    lb = left.withColumn("_rb", F.floor(v / bucket_width))
+    rb = right.withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(F.floor(lo / bucket_width), F.floor(hi / bucket_width))
+        ),
+    )
+    return (
+        lb.join(rb, "_rb")
+        .filter((v >= lo) & (v <= hi))
+        .drop("_rb")
+    )

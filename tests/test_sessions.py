@@ -134,3 +134,34 @@ def test_asof_join_rejects_collision(spark):
     t = spark.createDataFrame([(1, 10, 5)], "user_id long, ts long, qid long")
     with _pytest.raises(ValueError):
         asof_join(t, t, ts_col="ts", by_col="user_id", value_cols=("qid",))
+
+
+def test_range_join_pairs_and_plan(spark):
+    from parquetry_spark.sessions import range_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (2, 100), (3, 64), (4, 1000)], "id long, v long"
+    )
+    right = spark.createDataFrame(
+        [(10, 0, 63), (11, 60, 120), (12, 100, 100)],
+        "rid long, lo long, hi long",
+    )
+    out = range_join(left, right, "v")
+    got = sorted((r["id"], r["rid"]) for r in out.collect())
+    # v=1000 matches nothing; every pair appears exactly once
+    assert got == [(1, 10), (2, 11), (2, 12), (3, 11)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_range_join_boundary_and_validation(spark):
+    import pytest as _pytest
+
+    from parquetry_spark.sessions import range_join
+
+    left = spark.createDataFrame([(1, 63), (2, 64)], "id long, v long")
+    right = spark.createDataFrame([(9, 64, 64)], "rid long, lo long, hi long")
+    got = [(r["id"], r["rid"]) for r in range_join(left, right, "v").collect()]
+    assert got == [(2, 9)]  # inclusive both ends, bucket boundary exact
+    with _pytest.raises(ValueError):
+        range_join(left, right, "v", bucket_width=0)
