@@ -2493,12 +2493,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(t) - length(regexp_replace(t, "
             r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) "
             "AS BIGINT) AS n_ctrl, "
-            "CAST(length(t) - length(replace(t, chr(195), '')) "
-            "AS BIGINT) AS n_mojibake, "
+            "CAST(floor((length(t) - length(regexp_replace(t, "
+            "chr(195) || '[' || chr(128) || '-' || chr(191) || ']', "
+            "'', 'g'))) / 2) AS BIGINT) AS n_mojibake, "
             "CAST(CASE WHEN length(t) = length(replace(t, chr(65533), "
             "'')) AND length(t) = length(regexp_replace(t, "
             r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) "
-            "AND length(t) = length(replace(t, chr(195), '')) "
+            "AND length(t) = length(regexp_replace(t, "
+            "chr(195) || '[' || chr(128) || '-' || chr(191) || ']', "
+            "'', 'g')) "
             "THEN 1 ELSE 0 END AS INT) AS enc_clean FROM s"
         ),
         "nfc_normalize": (
@@ -2580,8 +2583,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM b), "
             "c AS (SELECT doc_id, text, lang FROM r WHERE rn <= 10), "
             "s AS (SELECT doc_id, text FROM c WHERE "
-            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
-            "AS BIGINT) < CASE lang "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+            "'|strat'), 1, 8)) AS BIGINT) < CASE lang "
             f"WHEN 'de' THEN {int(0.9 * 4294967296)} "
             f"WHEN 'en' THEN {int(0.5 * 4294967296)} "
             f"WHEN 'zh' THEN {int(0.1 * 4294967296)} "
@@ -2664,30 +2667,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_stats": (
             # exact order statistics: integer // lands on the same k
-            # as Spark's floor-over-double below 2^52 rows/stratum
+            # as Spark's floor-over-double below 2^52 rows/stratum;
+            # null-safe joins (IS NOT DISTINCT FROM) keep a NULL
+            # stratum visible; ranks run over non-null values only
             "WITH a AS (SELECT lang, count(*) AS n_docs, "
+            "count(n_chars) AS n_vals, "
             "CAST(sum(n_chars) AS BIGINT) AS v_sum, "
             "CAST(min(n_chars) AS BIGINT) AS v_min, "
             "CAST(max(n_chars) AS BIGINT) AS v_max "
             "FROM documents GROUP BY lang), "
             "r AS (SELECT lang, doc_id, n_chars, row_number() OVER ("
             "PARTITION BY lang ORDER BY n_chars, doc_id) AS rk "
-            "FROM documents), "
+            "FROM documents WHERE n_chars IS NOT NULL), "
             "p AS (SELECT r.lang, "
-            "CAST(max(CASE WHEN r.rk = (a.n_docs + 1) // 2 "
+            "CAST(max(CASE WHEN r.rk = (a.n_vals + 1) // 2 "
             "THEN r.n_chars END) AS BIGINT) AS p50, "
-            "CAST(max(CASE WHEN r.rk = (a.n_docs * 9 + 9) // 10 "
+            "CAST(max(CASE WHEN r.rk = (a.n_vals * 9 + 9) // 10 "
             "THEN r.n_chars END) AS BIGINT) AS p90 "
-            "FROM r JOIN a USING (lang) GROUP BY r.lang) "
+            "FROM r JOIN a ON r.lang IS NOT DISTINCT FROM a.lang "
+            "GROUP BY r.lang) "
             "SELECT a.lang, a.n_docs, a.v_sum, a.v_min, a.v_max, "
-            "p.p50, p.p90 FROM a JOIN p USING (lang)"
+            "p.p50, p.p90 FROM a LEFT JOIN p "
+            "ON a.lang IS NOT DISTINCT FROM p.lang"
         ),
         "stratified_sample": (
             # identical integer thresholds, computed by the same
             # int(rate * 2^32) truncation the Spark side applies
             "SELECT doc_id, lang FROM documents "
-            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
-            "1, 8)) AS BIGINT) < CASE lang "
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+            "'|strat'), 1, 8)) AS BIGINT) < CASE lang "
             f"WHEN 'de' THEN {int(0.9 * 4294967296)} "
             f"WHEN 'en' THEN {int(0.5 * 4294967296)} "
             f"WHEN 'zh' THEN {int(0.1 * 4294967296)} "

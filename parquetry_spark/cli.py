@@ -345,16 +345,22 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
-    if (
-        args.cmd == "curate"
-        and args.chunk is not None
-        and args.pack
-    ):
-        # fail before the Spark session / any input scan
-        ap.error(
-            "--chunk and --pack are mutually exclusive "
-            "(different output granularities)"
-        )
+    if args.cmd == "curate" and args.chunk is not None:
+        # fail before the Spark session / any input scan — chunking
+        # re-selects (id, chunk_id, chunk, n_chunks), so any stage
+        # whose OUTPUT is a column (split / copy / bins) would be
+        # silently discarded, not just mismatched
+        for other, flag in (
+            (args.pack, "--pack"),
+            (args.split, "--split"),
+            (args.resample, "--resample"),
+        ):
+            if other:
+                ap.error(
+                    f"--chunk and {flag} are mutually exclusive "
+                    "(chunking re-selects its own columns and would "
+                    f"silently drop {flag}'s output)"
+                )
 
     if args.cmd == "meta":
         from .parity.meta import parquet_meta
@@ -586,7 +592,12 @@ def main(argv: list[str] | None = None) -> int:
                     k, _, v = kv.partition("=")
                     if not k or not v:
                         ap.error(f"--rate expects GROUP=R, got {kv!r}")
-                    rates[k] = float(v)
+                    try:
+                        rates[k] = float(v)
+                    except ValueError:
+                        ap.error(
+                            f"--rate expects a numeric R, got {kv!r}"
+                        )
                 df = stratified_sample(
                     df, args.stratify, rates,
                     default_rate=args.default_rate, id_col=args.id_col,

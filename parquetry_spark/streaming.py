@@ -285,7 +285,7 @@ def stream_curate(
             hosted = df.withColumn(
                 "_host",
                 F.regexp_extract(
-                    "url", "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1
+                    "url", "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1
                 ),
             )
             df = filter_blocked_hosts(hosted, blocklist_df, "_host").drop(

@@ -312,29 +312,11 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_quality_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """The Gopher/MassiveText DOCUMENT-shape rules that complement the
-    repetition signals (`repetition_profile`): per document —
-
-      n_words              normalized word count
-      mean_word_len_micros floor(1e6 · Σ|word| / n_words)
-      alpha_word_micros    floor(1e6 · words containing a letter / n)
-      symbol_word_micros   floor(1e6 · ('#' + '...' occurrences) / n)
-      bullet_line_micros   floor(1e6 · lines starting with -,*,• / lines)
-      ellipsis_line_micros floor(1e6 · lines ending with ... or … / lines)
-      stop_hits            how many of the fixed 8 Gopher stopwords occur
-
-    All integer micros (same _frac_micros discipline as the rest of
-    the module — floor over the one IEEE division both engines share).
-    Everything is row-local codegen over the shared `norm_words`
-    split and a line split: zero shuffle, so the whole profile is a
-    map-side projection at any scale. Lines are counted non-blank
-    (a trailing newline is not a line). Null text → null profile.
-    Paper thresholds (for reference, not enforced here — gates belong
-    to the caller): 50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, ≥80% alpha
-    words, ≤0.1 symbol ratio, ≤90% bullet lines, ≤30% ellipsis
-    lines, ≥2 stopwords."""
-    t = F.col(text_col)
+def _gopher_signals(t: Column) -> dict[str, Column]:
+    """THE single definition of the Gopher document-shape signals —
+    `gopher_quality_profile` (and its DuckDB oracle) and
+    `gopher_gate` both build on these expressions, so gate, profile
+    and oracle cannot drift apart."""
     words = norm_words(t)
     ok = F.element_at(words, 1) != F.lit("")
     n = F.when(ok, F.size(words)).otherwise(F.lit(0)).cast("long")
@@ -356,28 +338,67 @@ def gopher_quality_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     ellipsis = F.size(
         F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
     ).cast("long")
-    stop_hits = F.when(
-        t.isNotNull(),
-        sum(
-            F.when(F.array_contains(words, F.lit(s)), 1).otherwise(0)
-            for s in GOPHER_STOPS
-        ).cast("long"),
-    )
+    stop_hits = sum(
+        F.when(F.array_contains(words, F.lit(s)), 1).otherwise(0)
+        for s in GOPHER_STOPS
+    ).cast("long")
+    return {
+        "n": n,
+        "total_chars": total_chars,
+        "alpha": alpha,
+        "sym": hashes + dots,
+        "n_lines": n_lines,
+        "bullet": bullet,
+        "ellipsis": ellipsis,
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_quality_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher/MassiveText DOCUMENT-shape rules that complement the
+    repetition signals (`repetition_profile`): per document —
+
+      n_words              normalized word count
+      mean_word_len_micros floor(1e6 · Σ|word| / n_words)
+      alpha_word_micros    floor(1e6 · words containing a letter / n)
+      symbol_word_micros   floor(1e6 · ('#' + '...' occurrences) / n)
+      bullet_line_micros   floor(1e6 · lines starting with -,*,• / lines)
+      ellipsis_line_micros floor(1e6 · lines ending with ... or … / lines)
+      stop_hits            how many of the fixed 8 Gopher stopwords occur
+
+    All integer micros (same _frac_micros discipline as the rest of
+    the module — floor over the one IEEE division both engines share).
+    Everything is row-local codegen over the shared `norm_words`
+    split and a line split (one `_gopher_signals` definition, shared
+    with `gopher_gate`): zero shuffle, so the whole profile is a
+    map-side projection at any scale. Lines are counted non-blank
+    (a trailing newline is not a line). Null text → null profile.
+    Paper thresholds (for reference, not enforced here — gates belong
+    to the caller): 50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, ≥80% alpha
+    words, ≤0.1 symbol ratio, ≤90% bullet lines, ≤30% ellipsis
+    lines, ≥2 stopwords."""
+    t = F.col(text_col)
+    s = _gopher_signals(t)
+    n, n_lines = s["n"], s["n_lines"]
     return df.withColumns(
         {
             "n_words": F.when(t.isNotNull(), n),
-            "mean_word_len_micros": F.when(t.isNotNull(), _frac_micros(total_chars, n)),
-            "alpha_word_micros": F.when(t.isNotNull(), _frac_micros(alpha, n)),
+            "mean_word_len_micros": F.when(
+                t.isNotNull(), _frac_micros(s["total_chars"], n)
+            ),
+            "alpha_word_micros": F.when(
+                t.isNotNull(), _frac_micros(s["alpha"], n)
+            ),
             "symbol_word_micros": F.when(
-                t.isNotNull(), _frac_micros(hashes + dots, n)
+                t.isNotNull(), _frac_micros(s["sym"], n)
             ),
             "bullet_line_micros": F.when(
-                t.isNotNull(), _frac_micros(bullet, n_lines)
+                t.isNotNull(), _frac_micros(s["bullet"], n_lines)
             ),
             "ellipsis_line_micros": F.when(
-                t.isNotNull(), _frac_micros(ellipsis, n_lines)
+                t.isNotNull(), _frac_micros(s["ellipsis"], n_lines)
             ),
-            "stop_hits": stop_hits,
+            "stop_hits": F.when(t.isNotNull(), s["stop_hits"]),
         }
     )
 
@@ -469,28 +490,41 @@ def corpus_stats(
     index k = ceil(q·n) over the (value, id) order — integers, so
     both engines pick the identical element (`percentile_approx`
     differs run-to-run; float interpolation differs engine-to-engine
-    in the last ulp). Two exchanges: one partial-aggregated groupBy
-    and one window rank per group. SKEW note: the rank window sorts
-    each stratum in one task chain — language strata are few and fat,
-    which Spark range-partitions fine at this cardinality; for
-    billion-row strata swap the window for the bucketed-histogram
-    quantile (same contract, more stages) before copying this to a
-    100 TB run."""
+    in the last ulp). NULL handling is explicit: a NULL group is a
+    REAL stratum (language-ID failures are exactly what a dashboard
+    must show — joins are null-safe so it can't vanish), and NULL
+    values are excluded from sum/min/max AND from the percentile
+    ranks (n = non-null count; Spark sorts NULLs first, DuckDB last —
+    letting them rank would silently shift every k). A stratum with
+    only NULL values reports null percentiles.
+
+    Two exchanges: one partial-aggregated groupBy and one window rank
+    per group. SKEW note: the rank window sorts each stratum in one
+    task chain — language strata are few and fat, which Spark
+    range-partitions fine at this cardinality; for billion-row strata
+    swap the window for the bucketed-histogram quantile (same
+    contract, more stages) before copying this to a 100 TB run."""
     from pyspark.sql import Window
 
     v = F.col(value_col)
     agg = df.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
+        F.count(value_col).alias("n_vals"),
         F.sum(v).cast("long").alias("v_sum"),
         F.min(v).cast("long").alias("v_min"),
         F.max(v).cast("long").alias("v_max"),
     )
     w = Window.partitionBy(group_col).orderBy(value_col, id_col)
-    ranked = df.select(group_col, value_col, id_col).withColumn(
-        "_r", F.row_number().over(w)
+    ranked = (
+        df.filter(v.isNotNull())
+        .select(group_col, value_col, id_col)
+        .withColumn("_r", F.row_number().over(w))
     )
-    j = ranked.join(agg.select(group_col, "n_docs"), group_col)
-    n = F.col("n_docs")
+    j = ranked.join(
+        agg.select(F.col(group_col).alias("_cs_g"), "n_vals"),
+        F.col(group_col).eqNullSafe(F.col("_cs_g")),
+    )
+    n = F.col("n_vals")
     # lower median: k = floor((n+1)/2); p90: k = ceil(0.9n) =
     # floor((9n+9)/10). floor-over-double is exact below 2^52 rows
     # per stratum and the oracle's integer `//` lands on the same k.
@@ -502,7 +536,13 @@ def corpus_stats(
         .cast("long")
         .alias("p90"),
     )
-    return agg.join(picks, group_col).select(
+    return agg.join(
+        picks.select(
+            F.col(group_col).alias("_cs_g2"), "p50", "p90"
+        ),
+        F.col(group_col).eqNullSafe(F.col("_cs_g2")),
+        "left",
+    ).select(
         group_col, "n_docs", "v_sum", "v_min", "v_max", "p50", "p90"
     )
 
@@ -514,9 +554,13 @@ def encoding_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
       n_replacement  U+FFFD count (decoder already gave up)
       n_ctrl         C0/DEL control chars excluding \\t \\n \\r
                      (binary leaked into a text column)
-      n_mojibake     U+00C3 'Ã' count — the classic UTF-8-read-as-
-                     Latin-1 artifact (every 2-byte UTF-8 sequence
-                     starting 0xC3 renders as 'Ã'+junk)
+      n_mojibake     count of 'Ã' + U+0080..U+00BF pairs — the
+                     classic UTF-8-read-as-Latin-1 artifact (a
+                     2-byte UTF-8 sequence 0xC3 0x80-BF renders as
+                     'Ã' + that continuation byte's Latin-1 char).
+                     The PAIR, not bare 'Ã': legitimate text
+                     contains A-tilde ('SÃO PAULO') and must not be
+                     flagged as damage
       enc_clean      1 when all three are zero
 
     Row-local codegen (length-difference counting + one portable
@@ -531,7 +575,15 @@ def encoding_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).cast("long")
 
     n_repl = count_char("\ufffd")
-    n_moji = count_char("\u00c3")
+    n_moji = F.floor(
+        (
+            F.length(t)
+            - F.length(
+                F.regexp_replace(t, "\u00c3[\u0080-\u00bf]", "")
+            )
+        )
+        / 2
+    ).cast("long")
     n_ctrl = (
         F.length(t)
         - F.length(
@@ -553,50 +605,23 @@ def encoding_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def gopher_gate(col: Column) -> Column:
     """The canonical Gopher/MassiveText document-shape KEEP predicate
-    (paper thresholds over `gopher_quality_profile`'s signals):
-    50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10, ≥ 80% words with a
-    letter, symbol ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis
-    lines, ≥ 2 of the fixed 8 stopwords. One boolean Column — pure
-    row-local codegen, composes into any plan as a filter."""
-    words = norm_words(col)
-    ok = F.element_at(words, 1) != F.lit("")
-    n = F.when(ok, F.size(words)).otherwise(F.lit(0)).cast("long")
-    total_chars = F.when(
-        ok,
-        F.aggregate(
-            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-        ),
-    ).otherwise(F.lit(0))
-    alpha = (
-        F.when(ok, F.size(F.filter(words, lambda w: w.rlike(r"\p{L}"))))
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
-    hashes = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
-    dots = F.floor(
-        (F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", "")))
-        / F.lit(3)
-    )
-    lines = F.filter(F.split(col, "\n"), lambda ln: F.trim(ln) != "")
-    n_lines = F.size(lines).cast("long")
-    bullet = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
-    ).cast("long")
-    ellipsis = F.size(
-        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
-    ).cast("long")
-    stop_hits = sum(
-        F.when(F.array_contains(words, F.lit(s)), 1).otherwise(0)
-        for s in GOPHER_STOPS
-    )
+    (paper thresholds over `_gopher_signals` — the SAME expressions
+    `gopher_quality_profile` and its oracle use, so gate and profile
+    cannot drift): 50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10,
+    ≥ 80% words with a letter, symbol ratio ≤ 0.1, ≤ 90% bullet
+    lines, ≤ 30% ellipsis lines, ≥ 2 of the fixed 8 stopwords. One
+    boolean Column — pure row-local codegen, integer arithmetic only,
+    composes into any plan as a filter."""
+    s = _gopher_signals(col)
+    n, n_lines = s["n"], s["n_lines"]
     return (
         (n >= 50)
         & (n <= 100_000)
-        & (total_chars >= 3 * n)
-        & (total_chars <= 10 * n)
-        & (alpha * 10 >= n * 8)
-        & ((hashes + dots) * 10 <= n)
-        & (bullet * 10 <= n_lines * 9)
-        & (ellipsis * 10 <= n_lines * 3)
-        & (stop_hits >= 2)
+        & (s["total_chars"] >= 3 * n)
+        & (s["total_chars"] <= 10 * n)
+        & (s["alpha"] * 10 >= n * 8)
+        & (s["sym"] * 10 <= n)
+        & (s["bullet"] * 10 <= n_lines * 9)
+        & (s["ellipsis"] * 10 <= n_lines * 3)
+        & (s["stop_hits"] >= 2)
     )

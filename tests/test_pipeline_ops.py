@@ -672,11 +672,15 @@ def test_encoding_profile_counts(spark):
         (3, "moji Ã© twice Ã¼"),
         (4, "ctrl\x01\x02 but tab\tok\nnewline"),
         (5, None),
+        (6, "S\u00c3O PAULO \u2014 not\u00edcias"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in encoding_profile(df).collect()}
     assert got[1]["enc_clean"] == 1 and got[1]["n_ctrl"] == 0
     assert got[2]["n_replacement"] == 2 and got[2]["enc_clean"] == 0
     assert got[3]["n_mojibake"] == 2 and got[3]["enc_clean"] == 0
+    # legitimate A-tilde is NOT mojibake (the damage pattern is the
+    # 'Ã' + U+0080-BF PAIR, and 'O' is outside that range)
+    assert got[6]["n_mojibake"] == 0 and got[6]["enc_clean"] == 1
     assert got[4]["n_ctrl"] == 2 and got[4]["enc_clean"] == 0  # \t \n exempt
     assert got[5]["enc_clean"] is None

@@ -244,7 +244,7 @@ def test_stream_curate_blocklist_and_stratify_match_batch(spark, tmp_path):
     hosts = [
         r["_h"]
         for r in pages.selectExpr(
-            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS _h"
+            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS _h"
         ).distinct().limit(2).collect()
     ]
     bl = spark.createDataFrame([(h,) for h in hosts], "blocked_suffix string")
@@ -259,7 +259,7 @@ def test_stream_curate_blocklist_and_stratify_match_batch(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     want = pages.withColumn(
         "_host",
-        F.regexp_extract("url", "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1),
+        F.regexp_extract("url", "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1),
     )
     want = filter_blocked_hosts(want, bl, "_host").drop("_host")
     want = stratified_sample(want, "lang", rates, id_col="url")
