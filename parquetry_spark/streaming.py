@@ -234,6 +234,8 @@ def stream_curate(
     stratify_col: str | None = None,
     rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
+    chunk_size: int | None = None,
+    chunk_overlap: int = 0,
 ):
     """Curation on ingest: the STATELESS curation stages — domain
     blocklist (host from the page url vs a static suffix list),
@@ -326,6 +328,16 @@ def stream_curate(
             )
         if split_col is not None:
             df = group_split(df, split_col, val_pct=val_pct)
+        if chunk_size is not None:
+            # stateless final stage: a page's chunk set is a pure
+            # function of its own text, so replayed epochs re-emit
+            # identical chunk rows (epoch overwrite keeps it exact)
+            from .curation import chunk_documents
+
+            df = chunk_documents(
+                df, size=chunk_size, overlap=chunk_overlap,
+                text_col="text", id_col="url",
+            )
         df.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch={epoch}")
         )

@@ -267,3 +267,28 @@ def test_stream_curate_blocklist_and_stratify_match_batch(spark, tmp_path):
     assert sorted(r["url"] for r in got.select("url").collect()) == sorted(
         r["url"] for r in want.select("url").collect()
     )
+
+
+def test_stream_curate_chunking_matches_batch(spark, tmp_path):
+    """Chunking is stateless — streaming chunk rows equal the batch
+    operator's on the same pages."""
+    from parquetry_spark.curation import chunk_documents
+    from parquetry_spark.streaming import stream_curate
+
+    in_dir = str(tmp_path / "ck_in")
+    out_dir = str(tmp_path / "ck_out")
+    pages = gen_pages(spark, 120, seed=13, n_hosts=8).cache()
+    pages.write.mode("overwrite").parquet(in_dir)
+
+    q = stream_curate(spark, in_dir, out_dir, chunk_size=256, chunk_overlap=32)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    want = chunk_documents(
+        pages, size=256, overlap=32, text_col="text", id_col="url"
+    )
+    key = ["url", "chunk_id", "chunk"]
+    assert sorted(tuple(r) for r in got.select(*key).collect()) == sorted(
+        tuple(r) for r in want.select(*key).collect()
+    )
+    assert got.count() > 120  # long pages actually split
