@@ -163,16 +163,19 @@ def main(argv: list[str] | None = None) -> int:
         help="add a text column via the HTML extraction chain",
     )
     p.add_argument(
-        "--max-html-bytes", type=int, default=2 << 20, metavar="N",
-        help="drop pages whose html payload exceeds N bytes (0 = keep "
-        "all): oversized pages are both a curation signal (C4 drops "
-        "them) and a regex-cost hazard in the extraction chain",
+        "--max-html-bytes", type=int, default=0, metavar="N",
+        help="drop pages whose html payload exceeds N bytes (default "
+        "0 = keep all — dropping is OPT-IN so the same WARCs ingest "
+        "identically through CLI and streaming): oversized pages are "
+        "both a curation signal (C4 drops them) and a regex-cost "
+        "hazard in the extraction chain",
     )
     p.add_argument(
-        "--entities", choices=("full", "common"), default="common",
-        help="extraction entity mode: 'common' (default ingest hot "
-        "path, ~3x fewer regex passes) or 'full' (per-codepoint "
-        "decimal entities too)",
+        "--entities", choices=("full", "common"), default="full",
+        help="extraction entity mode: 'full' (default — the "
+        "oracle-verified contract, matching streaming ingest) or "
+        "'common' (opt-in hot path, ~3x fewer regex passes, decimal "
+        "entities left raw)",
     )
     p = sub.add_parser("encode")
     p.add_argument("--in", dest="inp", required=True)

@@ -545,9 +545,9 @@ def connected_components(
     full corpus is the common case; labeling only inside `nodes`
     would silently split their components).
 
-    The returned DataFrame is the final round's persisted labeling;
-    callers holding it long-term may `.unpersist()` after
-    materializing.
+    The returned DataFrame is an eagerly local-checkpointed labeling:
+    already materialized, lineage truncated, and no internal cache
+    left pinned (the per-round persists are released before return).
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -593,6 +593,13 @@ def connected_components(
                 if nodes is not None:
                     out = out.join(node_ids.withColumnRenamed("a", id_col),
                                    on=id_col, how="left_semi")
+                # eager localCheckpoint: materializes the labeling and
+                # cuts its lineage, so the round's persisted labels can
+                # be dropped HERE — callers of the returned (derived)
+                # frame could never unpersist them, and each invocation
+                # would otherwise pin a full labeling until session end
+                out = out.localCheckpoint(eager=True)
+                labels.unpersist()
                 return out
         labels.unpersist()  # the cap path must not pin the last round
         raise RuntimeError(
@@ -633,7 +640,14 @@ def near_dedup_docs(
     comps = connected_components(
         pairs.select("id_a", "id_b"), nodes=df.select(id_col), id_col=id_col
     )
-    keep = comps.filter(F.col(id_col) == F.col("comp")).select(id_col)
+    # representative = min id per component RESTRICTED TO df — NOT
+    # comp == id: with caller-supplied pairs referencing ids outside
+    # df (the advertised filtered-corpus case), the component label
+    # is an id df doesn't contain, and comp == id would drop EVERY
+    # surviving copy of that cluster
+    keep = comps.groupBy("comp").agg(F.min(id_col).alias(id_col)).select(
+        id_col
+    )
     return df.join(keep, id_col, "left_semi")
 
 

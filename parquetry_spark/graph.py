@@ -33,11 +33,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# href extraction: group 1 = the target. Java∩RE2 subset (inline
-# flags, no backrefs/lookaround) — the oracle replays it verbatim.
-HREF_RE = "(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"'#]+)"
+# href extraction: group 1 = the attribute VALUE including its
+# opening quote (or unquoted). Java∩RE2 subset (inline flags, no
+# backrefs/lookaround) — the oracle replays it verbatim. `[\\s"']href`
+# (not \\bhref): '-' is a word boundary, so \\bhref would match inside
+# data-href, emit the tracker URL as an edge AND consume past the
+# real href. The value arm accepts "..." / '...' / unquoted
+# (HTML5-legal, common in minified pages); the quotes are stripped
+# and the fragment cut in _href_value below — one capture group is
+# all regexp_extract_all carries.
+HREF_RE = (
+    "(?is)<a\\b[^>]*[\\s\"']href\\s*=\\s*"
+    "(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+)
 
-_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+# optional userinfo stripped: 'https://alice@host/x' must yield
+# 'host', not 'alice@host' (and 'user:pw@host' must not yield 'user')
+_HOST_RE = "^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def _href_value(raw: Column) -> Column:
+    """Captured href attribute → link target: surrounding quotes
+    stripped, fragment (and everything after it) dropped."""
+    unq = F.regexp_replace(raw, "^[\"']|[\"']$", "")
+    return F.regexp_replace(unq, "#.*$", "")
 
 
 def url_host(col: str | Column) -> Column:
@@ -64,9 +83,14 @@ def extract_links(
     return (
         df.select(
             F.col(url_col).alias("src_url"),
-            F.explode(F.regexp_extract_all(h, F.lit(HREF_RE), F.lit(1))).alias(
-                "dst_url"
-            ),
+            # strip quotes/fragment on the ARRAY before exploding — a
+            # generator can't be nested inside expressions
+            F.explode(
+                F.transform(
+                    F.regexp_extract_all(h, F.lit(HREF_RE), F.lit(1)),
+                    _href_value,
+                )
+            ).alias("dst_url"),
         )
         .filter(F.lower(F.col("dst_url")).rlike("^https?://"))
     )
@@ -109,8 +133,13 @@ def pagerank_hosts(
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     base_micros = (100 - damping_pct) * 10_000  # (1-d) · 1e6, exact
     ranks = nodes.select("host", F.lit(1_000_000).cast("long").alias("rank"))
+    # materialize NOW: with no action before return, lazy persists are
+    # dead weight — every round of the fully-lazy iterated plan would
+    # recompute the distinct edge set and the degree aggregation
     e = e.persist()
+    e.count()
     deg = deg.persist()
+    deg.count()
     for _ in range(iters):
         # `div` = TRUE integer division on longs in both Spark SQL and
         # DuckDB (`//`) — a double `/` then cast could round up across
@@ -129,7 +158,11 @@ def pagerank_hosts(
                 " AS LONG)"
             ).alias("rank"),
         )
-    out = ranks.withColumnRenamed("rank", "rank_micros")
+    # eager localCheckpoint truncates the iters-deep lineage so the
+    # caches can be released here instead of leaking into the session
+    out = ranks.withColumnRenamed("rank", "rank_micros").localCheckpoint(
+        eager=True
+    )
     e.unpersist()
     deg.unpersist()
     return out

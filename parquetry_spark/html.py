@@ -111,6 +111,10 @@ def extract_html_text(
     100-TB hot-path setting when the corpus is known to be
     named-entity-encoded (the two modes are byte-identical on such
     input — tested)."""
+    if entities not in ("full", "common"):
+        # a typo'd mode must not silently downgrade the oracle-mirrored
+        # full contract to the reduced chain
+        raise ValueError(f"unknown entities mode: {entities!r}")
     rules = HTML_TEXT_RULES if entities == "full" else HTML_TEXT_RULES_COMMON
     cur = F.col(col) if isinstance(col, str) else col
     if binary:

@@ -110,3 +110,64 @@ def test_url_host(spark):
     )
     got = [r[0] for r in df.select(url_host("u")).collect()]
     assert got == ["www.site.com", ""]  # port excluded from host identity
+
+
+def test_extract_links_data_href_and_unquoted(spark):
+    """Review regressions: data-href must not shadow the real href
+    ('-' is a word boundary, \\bhref matched inside it); unquoted
+    hrefs (HTML5-legal) must extract; apostrophes inside
+    double-quoted URLs must not truncate."""
+    from parquetry_spark.graph import extract_links
+
+    rows = [
+        (1, "https://s.example/a",
+         '<a data-href="https://tracker.example/t" '
+         'href="https://real.example/p">x</a>'),
+        (2, "https://s.example/b", "<a href=https://bare.example/q>y</a>"),
+        (3, "https://s.example/c",
+         '<a href="https://en.example/wiki/O\'Brien">z</a>'),
+        (4, "https://s.example/d",
+         '<a href="https://frag.example/p#sec">w</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {
+        r["src_url"]: r["dst_url"]
+        for r in extract_links(df, binary=False).collect()
+    }
+    assert got["https://s.example/a"] == "https://real.example/p"
+    assert got["https://s.example/b"] == "https://bare.example/q"
+    assert got["https://s.example/c"] == "https://en.example/wiki/O'Brien"
+    assert got["https://s.example/d"] == "https://frag.example/p"
+
+
+def test_url_host_strips_userinfo(spark):
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.graph import url_host
+
+    df = spark.createDataFrame(
+        [("https://alice@host.com/x",), ("https://u:pw@h.org/y",),
+         ("https://plain.net/z",)],
+        "u string",
+    )
+    assert [r[0] for r in df.select(url_host(F.col("u"))).collect()] == [
+        "host.com", "h.org", "plain.net",
+    ]
+
+
+def test_near_dedup_keeps_min_in_df_when_label_outside(spark):
+    """Review regression: with caller-supplied pairs referencing ids
+    OUTSIDE df (filtered corpus, full-corpus pairs), the cluster must
+    keep its min-id member IN df — comp == id kept nothing."""
+    from parquetry_spark.dedup import near_dedup_docs
+
+    df = spark.createDataFrame(
+        [(5, "a"), (6, "a"), (9, "b")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 5), (0, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in near_dedup_docs(df, pairs=pairs).collect()
+    )
+    assert kept == [5, 9]  # 5 = min WITHIN df of the {0,5,6} cluster
