@@ -1459,6 +1459,34 @@ def q_lm_coverage(spark, sf):
     )
 
 
+def q_clf_quality(spark, sf):
+    """Hashed linear quality classifier (lm.train_hash_classifier +
+    classifier_score — the fastText/DCLM-filter shape): closed-form
+    integer-micros weights separate a trusted slice (doc_id % 5 == 0)
+    from a raw slice (doc_id % 5 == 1) over md5-hashed norm_words
+    buckets; every document is scored by its floor-mean token weight
+    and gated on the sum's sign. All-integer end-to-end, so the
+    oracle replays the identical hashing (split_bucket's md5
+    spelling), Laplace weight table, and floor arithmetic in SQL.
+    Weight table ≤ 512 rows by construction → broadcast join
+    (plan-asserted in tests/test_classifier.py); corpus text never
+    crosses an exchange."""
+    from parquetry_spark.lm import classifier_score, train_hash_classifier
+
+    docs = _t(spark, sf, "documents")
+    w = train_hash_classifier(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 == 1),
+        buckets=512,
+    )
+    return classifier_score(docs, w, buckets=512).select(
+        "doc_id",
+        "n_words",
+        "score_micros",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
 def q_media_dhash(spark, sf):
     """Perceptual image dedup via difference hash: deterministic
     18×16 RGB images are synthesized per doc_id — a 2×2-block column
@@ -1671,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_dhash": q_media_dhash,
         "lm_coverage": q_lm_coverage,
+        "clf_quality": q_clf_quality,
         "temporal_render": q_temporal_render,
         "agg_pushdown": q_agg_pushdown,
         "topk_per_group": q_topk_per_group,
@@ -2762,6 +2791,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, per.n_grams, per.n_seen, "
             "CAST(floor(per.n_seen * 1000000 / per.n_grams) AS BIGINT) "
             "AS coverage_micros FROM documents d LEFT JOIN per USING (doc_id)"
+        ),
+        "clf_quality": (
+            # identical normalization (shared norm_words spelling),
+            # identical md5 bucket (split_bucket's documented DuckDB
+            # spelling), identical integer Laplace weights and floor
+            # arithmetic — all-integer, so exact cross-engine
+            r"WITH w AS (SELECT doc_id, string_split(trim("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')"
+            r"), ' ') AS w FROM documents), "
+            "tok AS (SELECT doc_id, unnest(w) AS word FROM w "
+            "WHERE w[1] <> ''), "
+            "lab AS (SELECT CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) "
+            "% 512 AS bucket, CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END "
+            "AS is_pos FROM tok WHERE doc_id % 5 IN (0, 1)), "
+            "wt AS (SELECT bucket, CAST(floor((sum(is_pos) + 1) * 1000000.0 "
+            "/ (count(*) + 2)) AS BIGINT) - 500000 AS w_micros "
+            "FROM lab GROUP BY bucket), "
+            "sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+            "sum(coalesce(wt.w_micros, 0)) AS s FROM tok t LEFT JOIN wt "
+            "ON wt.bucket = CAST(('0x' || substr(md5(t.word), 1, 8)) AS BIGINT) "
+            "% 512 GROUP BY t.doc_id) "
+            "SELECT d.doc_id, sc.n_words, "
+            "CAST(floor(sc.s * 1.0 / sc.n_words) AS BIGINT) AS score_micros, "
+            "CAST(sc.s > 0 AS INT) AS keep "
+            "FROM documents d LEFT JOIN sc USING (doc_id)"
         ),
         "media_dhash": (
             # closed-form dHash of q_media_dhash's synthetic gradient:

@@ -109,3 +109,115 @@ def lm_score(
         .withColumn("n_seen", F.when(has, F.col("n_seen")))
         .drop("_lm_id", "_slogp")
     )
+
+
+def train_hash_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Hashed-bag-of-words quality classifier, trained closed-form
+    (the fastText / DCLM-filter shape: a linear model over hashed
+    word features separating a trusted corpus from raw crawl).
+
+    Instead of iterative logistic regression — whose float updates
+    no two engines reproduce bit-for-bit — the weight of bucket b is
+    the Laplace-smoothed positive-rate of the tokens hashing there,
+    centered, in EXACT integer micros:
+
+        w_micros(b) = floor(1e6 · (pos_b + 1) / (pos_b + neg_b + 2))
+                      − 500_000
+
+    (monotone in the Naive-Bayes log-odds, so the decision boundary
+    ranks identically; every engine — and the DuckDB oracle —
+    computes the identical table). Tokens are `textops.norm_words`
+    words (the engine-wide normalization) hashed with
+    `curation.split_bucket`'s md5 bucket, the engine's portable
+    hashing-trick spelling.
+
+    Scale shape: one explode per corpus feeding ONE groupBy whose
+    key domain is [0, buckets) — the shuffle after partial
+    aggregation carries at most tasks × buckets count rows, never a
+    token. The output is ≤ `buckets` rows: broadcastable by
+    construction, no truncation step needed."""
+    from .curation import split_bucket
+
+    def toks(df: DataFrame, flag: int) -> DataFrame:
+        return df.select(
+            F.explode(word_gram_array(F.col(text_col), 1)).alias("word"),
+            F.lit(flag).alias("_is_pos"),
+        )
+
+    counts = (
+        toks(pos, 1)
+        .unionByName(toks(neg, 0))
+        .select(split_bucket(F.col("word"), buckets).alias("bucket"), "_is_pos")
+        .groupBy("bucket")
+        .agg(F.sum("_is_pos").alias("pos_c"), F.count("*").alias("tot_c"))
+    )
+    w = F.floor(
+        (F.col("pos_c") + F.lit(1)) * F.lit(1_000_000) / (F.col("tot_c") + F.lit(2))
+    ) - F.lit(500_000)
+    return counts.select("bucket", w.cast("long").alias("w_micros"))
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Score every document under a `train_hash_classifier` model:
+
+      * `n_words`      — normalized token count;
+      * `score_micros` — floor(mean token weight), exact integers
+        end-to-end (the sum is integer, the one division is the
+        engine-shared floor-of-double-quotient);
+      * `keep`         — sign of the SUM (≡ sign of the mean): the
+        quality gate's decision bit.
+
+    Documents with no normalized words (empty/symbol-only/null text)
+    get null scores — no tokens is no evidence, which a gate must
+    treat differently from "low quality" (same convention as
+    `lm_score`). Unseen buckets weigh 0 (the centered scale's
+    neutral point).
+
+    Scale shape: explode → BROADCAST join against the ≤-buckets
+    weight table (the corpus never shuffles; text never enters an
+    exchange) → partial-aggregated groupBy(doc) carrying one
+    (id, two numbers) row per document per partition."""
+    from .curation import split_bucket
+
+    g = df.select(
+        F.col(id_col).alias("_cl_id"),
+        F.explode_outer(word_gram_array(F.col(text_col), 1)).alias("word"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("word").isNotNull(), split_bucket(F.col("word"), buckets)),
+    )
+    per = (
+        g.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("_cl_id")
+        .agg(
+            F.count("word").alias("n_words"),
+            F.sum(
+                F.when(
+                    F.col("word").isNotNull(),
+                    F.coalesce(F.col("w_micros"), F.lit(0)),
+                )
+            ).alias("_sum_w"),
+        )
+    )
+    has = F.col("n_words") > 0
+    return (
+        df.join(per, F.col(id_col) == F.col("_cl_id"), "left")
+        .withColumn(
+            "score_micros",
+            F.when(has, F.floor(F.col("_sum_w") / F.col("n_words")).cast("long")),
+        )
+        .withColumn("keep", F.when(has, F.col("_sum_w") > F.lit(0)))
+        .withColumn("n_words", F.when(has, F.col("n_words")))
+        .drop("_cl_id", "_sum_w")
+    )

@@ -1,0 +1,148 @@
+"""Hashed linear quality classifier (lm.train_hash_classifier /
+classifier_score): exact integer weight table vs a pure-Python
+reference, score/keep arithmetic, the degenerate-document contract,
+and the broadcast/partial-agg plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from parquetry_spark.lm import classifier_score, train_hash_classifier
+
+BUCKETS = 64
+
+POS = [
+    (0, "good clean prose with words"),
+    (1, "more good clean prose here"),
+]
+NEG = [
+    (2, "spam spam buy buy buy"),
+    (3, "click click spam now"),
+]
+DOCS = [
+    (10, "good clean prose"),            # positive-leaning
+    (11, "spam buy click"),              # negative-leaning
+    (12, "good spam"),                   # mixed
+    (13, ""),                            # empty → nulls
+    (14, None),                          # null → nulls
+    (15, "!!! ???"),                     # symbol-only → nulls
+    (16, "zebra quux"),                  # fully unseen → weight 0
+]
+
+
+def _words(text):
+    t = re.sub(r"[^\w]+", " ", text.lower()).strip()
+    return t.split(" ") if t else []
+
+
+def _bucket(word):
+    return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % BUCKETS
+
+
+def _py_weights():
+    pos_c, tot_c = {}, {}
+    for _, text in POS:
+        for w in _words(text):
+            b = _bucket(w)
+            pos_c[b] = pos_c.get(b, 0) + 1
+            tot_c[b] = tot_c.get(b, 0) + 1
+    for _, text in NEG:
+        for w in _words(text):
+            b = _bucket(w)
+            tot_c[b] = tot_c.get(b, 0)  # ensure key
+            tot_c[b] += 1
+    return {
+        b: math.floor((pos_c.get(b, 0) + 1) * 1_000_000 / (tot_c[b] + 2)) - 500_000
+        for b in tot_c
+    }
+
+
+def _py_score(text, wt):
+    ws = _words(text or "")
+    if not ws:
+        return (None, None, None)
+    s = sum(wt.get(_bucket(w), 0) for w in ws)
+    return (len(ws), math.floor(s / len(ws)), s > 0)
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    pos = spark.createDataFrame(POS, "doc_id long, text string")
+    neg = spark.createDataFrame(NEG, "doc_id long, text string")
+    w = train_hash_classifier(pos, neg, buckets=BUCKETS)
+    w.cache().count()
+    return w
+
+
+def test_weight_table_exact(spark, model):
+    got = {r["bucket"]: r["w_micros"] for r in model.collect()}
+    assert got == _py_weights()
+
+
+def test_weight_table_bounded(model):
+    assert model.count() <= BUCKETS
+
+
+def test_scores_exact(spark, model):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_words"], r["score_micros"], r["keep"])
+        for r in classifier_score(docs, model, buckets=BUCKETS).collect()
+    }
+    wt = _py_weights()
+    for doc_id, text in DOCS:
+        assert out[doc_id] == _py_score(text, wt), doc_id
+
+
+def test_degenerate_docs_null(spark, model):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in classifier_score(docs, model, buckets=BUCKETS).collect()
+    }
+    for d in (13, 14, 15):
+        r = out[d]
+        assert r["n_words"] is None and r["score_micros"] is None
+        assert r["keep"] is None
+    # fully-unseen doc: every bucket weight coalesces to 0 → score 0,
+    # keep False (0 > 0) — evidence of low quality is absent but the
+    # document HAS tokens, so the gate must not treat it as null
+    assert out[16]["score_micros"] == 0 and out[16]["keep"] is False
+
+
+def test_weight_join_is_broadcast(spark, model):
+    """The corpus never shuffles for the weight join; the one
+    sort-merge allowed is the per-doc score join-back on the id."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        classifier_score(docs, model, buckets=BUCKETS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin [bucket" not in plan
+
+
+def test_training_partial_aggregates(spark):
+    """Token counts must collapse map-side: a partial HashAggregate
+    on bucket appears below the one Exchange, so the shuffle carries
+    at most tasks x buckets rows, never a token."""
+    pos = spark.createDataFrame(POS, "doc_id long, text string")
+    neg = spark.createDataFrame(NEG, "doc_id long, text string")
+    plan = (
+        train_hash_classifier(pos, neg, buckets=BUCKETS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pa = plan.find("partial_sum")
+    ex = plan.find("Exchange hashpartitioning(bucket")
+    assert pa != -1 and ex != -1
+    # physical plan prints top-down: the final agg/Exchange precede
+    # the partial agg textually
+    assert ex < pa
