@@ -1487,6 +1487,29 @@ def q_clf_quality(spark, sf):
     )
 
 
+def q_span_dups(spark, sf):
+    """Cross-document duplicate-span detection via winnowing
+    fingerprints (dedup.duplicate_spans — Schleimer et al. SIGMOD'03
+    selection, Lee-et-al. dedup signal): char 8-gram md5 hashes,
+    window-of-8 minima, value-distinct per doc; a fingerprint is
+    SHARED iff >= 2 documents select it — any exact cross-doc repeat
+    of length >= 15 is caught phase-independently (the winnowing
+    guarantee). Reports per-doc fingerprint counts and the
+    exact-integer shared fraction. Text never crosses an exchange
+    (hashing + window-min selection are one codegen projection); the
+    document frequency is a partial-aggregated groupBy(hash) joined
+    back so AQE skew-split can carve hot boilerplate fingerprints.
+    Oracle replays the identical k-gram hashing, window minima
+    (positional self-join + min), per-doc distinct and floor
+    arithmetic in SQL."""
+    from parquetry_spark.dedup import duplicate_spans
+
+    docs = _t(spark, sf, "documents")
+    return duplicate_spans(docs, k=8, window=8, hash_fn="md5").select(
+        "doc_id", "n_fps", "shared_fps", "shared_frac_micros"
+    )
+
+
 def q_media_dhash(spark, sf):
     """Perceptual image dedup via difference hash: deterministic
     18×16 RGB images are synthesized per doc_id — a 2×2-block column
@@ -1535,6 +1558,42 @@ def q_media_dhash(spark, sf):
     return feats.select(
         "media_id", "dhash", F.count("*").over(w).alias("group_size")
     )
+
+
+def q_media_audio(spark, sf):
+    """REAL audio decode (multimodal.encode_wav/_decode_wav/
+    audio_features — RIFF/WAVE PCM16, pure numpy): deterministic
+    interleaved waveforms v(t,c) = ((t·k + 37c) mod 2048) − 1024
+    with per-doc frame count, channel count and k are encoded into
+    REAL WAV containers, then the decode path (chunk walk +
+    frombuffer) must reproduce the closed-form exact-integer
+    features the DuckDB oracle computes directly from the formula —
+    any header/layout/interleave defect breaks peak/Σ|s|/Σs². Blobs
+    never shuffle (synthesis and decode are partition-preserving
+    mapInPandas stages)."""
+    import numpy as np
+    import pandas as pd
+
+    from parquetry_spark.multimodal import audio_features, encode_wav
+
+    docs = _t(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") < 300)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, ch, k = 200 + did % 50, 1 + did % 2, 1 + did % 7
+                t = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                v = ((t * k + c * 37) % 2048 - 1024).astype(np.int16)
+                payloads.append(encode_wav(v, rate=8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return audio_features(media)
 
 
 # ---------------------------------------------------------------------------
@@ -1698,8 +1757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "media_dhash": q_media_dhash,
+        "media_audio": q_media_audio,
         "lm_coverage": q_lm_coverage,
         "clf_quality": q_clf_quality,
+        "span_dups": q_span_dups,
         "temporal_render": q_temporal_render,
         "agg_pushdown": q_agg_pushdown,
         "topk_per_group": q_topk_per_group,
@@ -2817,6 +2878,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sc.s > 0 AS INT) AS keep "
             "FROM documents d LEFT JOIN sc USING (doc_id)"
         ),
+        "span_dups": (
+            # identical winnowing: k=8-gram md5 hashes at every
+            # position (substr/length count CHARACTERS in both
+            # engines, md5 hashes identical UTF-8 bytes, hex strings
+            # compare bytewise-identically), min per window of 8 via
+            # a positional self-join, value-distinct per doc, shared
+            # iff document frequency >= 2
+            "WITH s AS (SELECT doc_id, text FROM documents "
+            "WHERE length(text) >= 15), "
+            "hs AS (SELECT doc_id, CAST(i AS INT) AS i, "
+            "md5(substr(text, CAST(i AS INT), 8)) AS h "
+            "FROM s, LATERAL (SELECT unnest(generate_series(1, "
+            "length(text) - 7)) AS i) g), "
+            "sel AS (SELECT a.doc_id, b.j, min(a.h) AS fp FROM hs a JOIN "
+            "(SELECT doc_id, i AS j FROM hs) b ON a.doc_id = b.doc_id "
+            "AND a.i BETWEEN b.j AND b.j + 7 "
+            "GROUP BY a.doc_id, b.j HAVING count(*) = 8), "
+            "fps AS (SELECT DISTINCT doc_id, fp FROM sel), "
+            "c AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp), "
+            "per AS (SELECT fps.doc_id, CAST(count(*) AS BIGINT) AS n_fps, "
+            "CAST(sum(CASE WHEN c.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS shared_fps FROM fps JOIN c USING (fp) GROUP BY fps.doc_id) "
+            "SELECT d.doc_id, per.n_fps, per.shared_fps, "
+            "CAST(floor(per.shared_fps * 1000000.0 / per.n_fps) AS BIGINT) "
+            "AS shared_frac_micros FROM documents d LEFT JOIN per USING (doc_id)"
+        ),
         "media_dhash": (
             # closed-form dHash of q_media_dhash's synthetic gradient:
             # noise (≤2) never crosses the gradient step (64) and rows
@@ -2837,6 +2924,26 @@ def oracle_sql() -> dict[str, str]:
             " SELECT media_id, dhash,"
             "   CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_size"
             " FROM hx"
+        ),
+        "media_audio": (
+            # the closed-form waveform recomputed directly: the Spark
+            # side must reach the same integers through REAL WAV
+            # bytes + chunk walk + int16 frombuffer. NB %'s operands
+            # are non-negative here so DuckDB % == Spark's numpy mod
+            "WITH d AS (SELECT doc_id, 200 + doc_id % 50 AS n, "
+            "1 + doc_id % 2 AS ch, 1 + doc_id % 7 AS k FROM documents "
+            "WHERE doc_id < 300), "
+            "s AS (SELECT doc_id, ((t * k + c * 37) % 2048) - 1024 AS v "
+            "FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS t) tt, "
+            "LATERAL (SELECT unnest(generate_series(0, ch - 1)) AS c) cc), "
+            "agg AS (SELECT doc_id, CAST(max(abs(v)) AS INT) AS peak, "
+            "CAST(sum(abs(v)) AS BIGINT) AS sum_abs, "
+            "CAST(sum(v * v) AS BIGINT) AS sum_sq FROM s GROUP BY doc_id) "
+            "SELECT d.doc_id AS media_id, CAST(d.n AS INT) AS n_samples, "
+            "CAST(d.ch AS INT) AS channels, CAST(8000 AS INT) AS sample_rate, "
+            "CAST(d.n * 1000 // 8000 AS BIGINT) AS duration_ms, "
+            "agg.peak, agg.sum_abs, agg.sum_sq "
+            "FROM d JOIN agg USING (doc_id)"
         ),
         "ivf_topk": (
             # identical to ann_topk: probing every cell must be exact

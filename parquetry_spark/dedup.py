@@ -761,3 +761,113 @@ def dedup_incremental(
         .drop("_exact_of", "_near_of", "_k")
     )
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cross-document duplicate-span detection via WINNOWING
+    fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    public algorithm behind MOSS): hash every character k-gram, then
+    in each sliding window of `window` consecutive k-gram hashes
+    select the minimum; the distinct selected values are the
+    document's fingerprints. THE guarantee (the reason winnowing
+    beats strided spans, whose aligned windows never line up across
+    phase-shifted occurrences): any exact repeat of length
+    >= t = window + k - 1 contains one full hash-window in EVERY
+    occurrence, identical in content, so the same minimum value is
+    selected in each — phase-independent by construction. Per
+    document it reports
+
+      * `n_fps`             — distinct fingerprints (docs shorter
+        than t, or null text, report nulls: no window, no evidence);
+      * `shared_fps`        — fingerprints also selected by >= 1
+        OTHER document (fingerprints are value-distinct per doc, so
+        the corpus count is document frequency — the cross-document
+        contamination signal; WITHIN-doc repetition is the
+        repetition-signals operator's job, textops);
+      * `shared_frac_micros` — floor(1e6 * shared/n), the
+        exact-integer "how much of this doc exists elsewhere"
+        removal signal (Lee et al., "Deduplicating Training Data
+        Makes Language Models Better" — this is that dedup's
+        detection stage with winnowing instead of suffix arrays).
+
+    Scale shape: k-gram hashing AND window-min selection happen in
+    ONE codegen projection (transform/slice/array_min over
+    sequences — document text NEVER crosses an exchange); the
+    explode emits ~2m/(window+1) (id, fixed-width hash) rows per doc
+    (winnowing's expected fingerprint density), the document
+    frequency is a partial-aggregated groupBy(hash) JOINED back —
+    not a count-over-window — so AQE skew-split carves hot
+    boilerplate fingerprints, and the per-doc rollup
+    partial-aggregates (id, two counters) into the last exchange.
+    The in-window min scan is O(m*window) inspections but stays
+    whole-stage-codegen; the O(m) monotonic-queue variant would need
+    a Python UDF — the wrong trade below window ~ 100. With
+    `hash_fn="xxhash"` hashes are 64-bit JVM codegen ops (production
+    default); `"md5"` is the bit-replicable spelling the DuckDB
+    oracle shares (hex strings — Spark, DuckDB and Python compare
+    them bytewise-identically)."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k/window must be >= 1, got {k}/{window}")
+    if hash_fn not in ("md5", "xxhash"):
+        raise ValueError(f"hash_fn must be md5|xxhash, got {hash_fn!r}")
+    text = F.col(text_col)
+    mk = (lambda c: F.md5(c)) if hash_fn == "md5" else (lambda c: F.xxhash64(c))
+    # m = n - k + 1 k-gram hashes; windows j = 1..m-window+1 (1-based
+    # slice starts); docs with n < window + k - 1 have no window.
+    # The hash array is MATERIALIZED as its own projection before the
+    # window-min pass: inlined into the window lambda, Spark
+    # re-evaluates the whole k-gram transform per window — O(m^2)
+    # hashing, measured 100x slower at m ~ 300 — while an attribute
+    # reference is hashed once per row
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
+        lambda i: mk(text.substr(i, F.lit(k))),
+    )
+    base = df.filter(F.length(text) >= F.lit(window + k - 1)).select(
+        F.col(id_col).alias("_ds_id"), hashes.alias("_h_arr")
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_h_arr")) - F.lit(window - 1)),
+            lambda j: F.array_min(F.slice(F.col("_h_arr"), j, window)),
+        )
+    )
+    # consumed twice (frequency count + join-back): persist the
+    # fixed-width fingerprint rows, not the text (same staging
+    # discipline as minhash_lsh_pairs; at cluster scale materialize
+    # this table to storage once instead)
+    w = base.select("_ds_id", F.explode(fps).alias("_fp")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # document frequency per fingerprint, then JOIN back (not a
+    # count-over-Window): the window operator sorts each partition
+    # and cannot be split, so one boilerplate fingerprint in 10^9
+    # docs pins a straggler — the join lets AQE skew-split carve the
+    # hot value while partial aggregation keeps the count side tiny
+    c = w.groupBy("_fp").agg(F.count("*").alias("_df"))
+    per = (
+        w.join(c, "_fp")
+        .groupBy("_ds_id")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("shared_fps"),
+        )
+    )
+    return (
+        df.join(per, F.col(id_col) == F.col("_ds_id"), "left")
+        .withColumn(
+            "shared_frac_micros",
+            F.floor(F.col("shared_fps") * F.lit(1_000_000) / F.col("n_fps")).cast(
+                "long"
+            ),
+        )
+        .drop("_ds_id")
+    )

@@ -1,0 +1,109 @@
+"""RIFF/WAVE PCM16 decode path (multimodal.encode_wav/_decode_wav/
+decode_audio/audio_features): round-trips of real container bytes,
+chunk-walk robustness, the honest-stub contract for encoded audio,
+and the distributed kernel."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from parquetry_spark.multimodal import (
+    _decode_wav,
+    audio_features,
+    decode_audio,
+    encode_wav,
+)
+
+
+def _wave(n=100, ch=2, k=3):
+    t = np.arange(n)[:, None]
+    c = np.arange(ch)[None, :]
+    return ((t * k + c * 37) % 2048 - 1024).astype(np.int16)
+
+
+def test_roundtrip_bit_exact():
+    s = _wave()
+    out, rate = _decode_wav(encode_wav(s, rate=44100))
+    assert rate == 44100
+    assert out.dtype == np.int16 and (out == s).all()
+
+
+def test_roundtrip_mono_and_empty():
+    s = _wave(n=7, ch=1)
+    out, _ = _decode_wav(encode_wav(s))
+    assert (out == s).all()
+    out0, _ = _decode_wav(encode_wav(np.zeros((0, 1), dtype=np.int16)))
+    assert out0.shape == (0, 1)
+
+
+def test_chunk_walk_skips_list_chunk():
+    """A LIST/INFO chunk between fmt and data (odd size → pad byte)
+    must be skipped per the RIFF spec."""
+    s = _wave(n=5, ch=1)
+    b = encode_wav(s, rate=8000)
+    # splice an odd-sized LIST chunk after fmt (offset 12+8+16 = 36)
+    info = b"INFOx"  # 5 bytes → odd → 1 pad byte
+    chunk = struct.pack("<4sI", b"LIST", len(info)) + info + b"\x00"
+    spliced = b[:36] + chunk + b[36:]
+    out, rate = _decode_wav(spliced)
+    assert rate == 8000 and (out == s).all()
+
+
+def test_features_exact():
+    s = _wave(n=100, ch=2, k=3)
+    d = decode_audio(encode_wav(s, rate=8000))
+    a = s.astype(np.int64)
+    assert d == {
+        "n_samples": 100,
+        "channels": 2,
+        "sample_rate": 8000,
+        "duration_ms": 100 * 1000 // 8000,
+        "peak": int(np.abs(a).max()),
+        "sum_abs": int(np.abs(a).sum()),
+        "sum_sq": int((a * a).sum()),
+    }
+
+
+def test_compressed_formats_raise():
+    s = _wave(n=4, ch=1)
+    b = bytearray(encode_wav(s))
+    struct.pack_into("<H", b, 20, 3)  # wFormatTag = IEEE float
+    with pytest.raises(NotImplementedError):
+        _decode_wav(bytes(b))
+    b2 = bytearray(encode_wav(s))
+    struct.pack_into("<H", b2, 34, 8)  # bits = 8
+    with pytest.raises(NotImplementedError):
+        _decode_wav(bytes(b2))
+
+
+def test_garbage_raises_value_error():
+    with pytest.raises(ValueError):
+        _decode_wav(b"not audio at all")
+    with pytest.raises(ValueError):
+        # valid RIFF/WAVE header, no chunks
+        _decode_wav(struct.pack("<4sI4s", b"RIFF", 4, b"WAVE"))
+
+
+def test_distributed_kernel(spark):
+    rows = []
+    for i in range(20):
+        s = _wave(n=50 + i, ch=1 + i % 2, k=1 + i % 7)
+        rows.append((i, bytearray(encode_wav(s, rate=8000))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    for i, b in rows:
+        d = decode_audio(bytes(b))
+        r = got[i]
+        assert (r["n_samples"], r["channels"], r["peak"]) == (
+            d["n_samples"],
+            d["channels"],
+            d["peak"],
+        )
+        assert (r["sum_abs"], r["sum_sq"], r["duration_ms"]) == (
+            d["sum_abs"],
+            d["sum_sq"],
+            d["duration_ms"],
+        )

@@ -1,0 +1,153 @@
+"""Cross-document duplicate-span detection via winnowing
+(dedup.duplicate_spans — Schleimer et al. SIGMOD'03): pure-Python
+reference equality, the phase-independent w+k-1 catch guarantee,
+degenerate docs, hash-backend agreement, and the
+text-never-shuffles / partial-agg plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from parquetry_spark.dedup import duplicate_spans
+
+K, W = 4, 3  # guarantee t = W + K - 1 = 6
+
+# an 8-char repeat (>= t) shared by docs 1 and 2 at DIFFERENT phases
+SHARED = "ABCDEFGH"
+DOCS = [
+    (1, "xx" + SHARED + "yyyyzzz"),
+    (2, "pqrst" + SHARED + "uvw"),
+    (3, "no repeats here at all 0123456"),
+    (4, "aaaaaaaaaaaaaaaa"),   # self-repeating but no OTHER doc
+    (5, "shrt"),               # < t → nulls
+    (6, None),                 # null text → nulls
+]
+
+
+def _fps(t):
+    if t is None or len(t) < W + K - 1:
+        return None
+    hs = [
+        hashlib.md5(t[p : p + K].encode()).hexdigest()
+        for p in range(len(t) - K + 1)
+    ]
+    return {min(hs[j : j + W]) for j in range(len(hs) - W + 1)}
+
+
+def _py_report(docs):
+    from collections import Counter
+
+    sets = {i: _fps(t) for i, t in docs}
+    df_cnt = Counter(v for s in sets.values() if s for v in s)
+    out = {}
+    for i, _ in docs:
+        s = sets[i]
+        if s is None:
+            out[i] = (None, None, None)
+        else:
+            shared = sum(1 for v in s if df_cnt[v] >= 2)
+            out[i] = (len(s), shared, math.floor(shared * 1_000_000 / len(s)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def report(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = duplicate_spans(docs, k=K, window=W, hash_fn="md5")
+    return {
+        r["doc_id"]: (r["n_fps"], r["shared_fps"], r["shared_frac_micros"])
+        for r in out.collect()
+    }
+
+
+def test_reports_match_python_reference(report):
+    assert report == _py_report(DOCS)
+
+
+def test_cross_doc_repeat_caught_phase_independently(report):
+    # the winnowing guarantee: a cross-doc repeat of length >=
+    # W + K - 1 shares a selected fingerprint in BOTH docs, even
+    # though the occurrences sit at different offsets
+    assert report[1][1] >= 1
+    assert report[2][1] >= 1
+
+
+def test_self_repetition_is_not_cross_doc(report):
+    # doc 4 repeats internally but shares nothing with other docs:
+    # fingerprints are value-distinct per doc, so document frequency
+    # stays 1 — within-doc repetition belongs to the repetition
+    # signals, not here
+    n, shared, frac = report[4]
+    assert n >= 1 and shared == 0 and frac == 0
+
+
+def test_unique_doc_scores_zero(report):
+    n, shared, frac = report[3]
+    assert shared == 0 and frac == 0 and n >= 1
+
+
+def test_degenerate_docs_null(report):
+    assert report[5] == (None, None, None)
+    assert report[6] == (None, None, None)
+
+
+def test_hash_backends_agree(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # fingerprint values AND which window-min wins differ between
+    # backends, so exact counts differ — but the GUARANTEE does not:
+    # every backend must flag the >= t cross-doc repeat in both its
+    # docs and stay silent on unique/self-repeating docs
+    for hf in ("md5", "xxhash"):
+        got = {
+            r["doc_id"]: r
+            for r in duplicate_spans(docs, k=K, window=W, hash_fn=hf).collect()
+        }
+        assert got[1]["shared_fps"] >= 1 and got[2]["shared_fps"] >= 1, hf
+        assert got[3]["shared_fps"] == 0 and got[4]["shared_fps"] == 0, hf
+        assert got[5]["n_fps"] is None and got[6]["n_fps"] is None, hf
+
+
+def test_bad_params_raise(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, k=0)
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, window=0)
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, hash_fn="sha1")
+
+
+def test_plan_shape(spark):
+    """Text must never enter an exchange (hashing + window-min
+    selection are one pre-explode projection), the document
+    frequency must partial-aggregate map-side, and no per-row
+    Python anywhere."""
+    import contextlib
+    import io
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    # project the report columns (the downstream-gate shape): column
+    # pruning must then keep text out of the per-doc join-back too
+    out = duplicate_spans(docs, k=K, window=W).select(
+        "doc_id", "n_fps", "shared_fps", "shared_frac_micros"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    sections = buf.getvalue().split("\n\n")
+    exchanges = [
+        s
+        for s in sections
+        if s.startswith("(") and "Exchange" in s.split("\n")[0]
+    ]
+    assert exchanges, "expected at least one Exchange section"
+    for s in exchanges:
+        for line in s.split("\n"):
+            if line.startswith(("Input", "Arguments")):
+                assert "text#" not in line, f"text in a shuffle:\n{s}"
