@@ -446,6 +446,39 @@ def q_prune_decode_str(spark, sf):
     )
 
 
+def q_prune_decode_eq(spark, sf):
+    """Bloom-filter pruned decode (r5): a synthetic high-cardinality
+    url column is hash-partitioned (every block spans the full value
+    range — zone maps can never exclude a block), encoded with
+    per-block Bloom filters (engine._bloom_params, the parquet
+    ColumnChunk-bloom idea), and a point probe prunes from block
+    METADATA only (plan-time md5 bit positions, base64 byte tests in
+    codegen) before decoding survivors and applying the exact
+    predicate. Equals a plain SQL equality filter; the
+    actually-prunes property is pytest-asserted
+    (tests/test_bloom_prune.py)."""
+    from parquetry_spark.engine import (
+        decode_blocks,
+        encode_preserve,
+        prune_blocks_eq,
+    )
+
+    url = (
+        "concat('https://h', cast(doc_id % 50 as string), "
+        "'.example/d/', cast(doc_id as string))"
+    )
+    df = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.expr(url).alias("url"))
+        .repartition(8, "doc_id")
+    )
+    blocks = encode_preserve(df, bloom_cols=["url"])
+    target = "https://h7.example/d/107"
+    pruned = prune_blocks_eq(blocks, "url", [target])
+    dec = decode_blocks(pruned, ["doc_id", "url"], {"doc_id": "int64", "url": "str"})
+    return dec.filter(F.col("url") == target).select("doc_id", "url")
+
+
 def q_token_count(spark, sf):
     df = _t(spark, sf, "documents")
     return df.select(
@@ -1706,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_manifest_full": q_encode_manifest_full,
         "prune_decode": q_prune_decode,
         "prune_decode_str": q_prune_decode_str,
+        "prune_decode_eq": q_prune_decode_eq,
         "prune_decode_expr": q_prune_decode_expr,
         "prune_decode_in": q_prune_decode_in,
         "token_count": q_token_count,
@@ -3037,6 +3071,15 @@ def oracle_sql() -> dict[str, str]:
         "prune_decode_str": (
             "SELECT doc_id, lang FROM documents "
             "WHERE lang >= 'de' AND lang <= 'en'"
+        ),
+        "prune_decode_eq": (
+            # identical url synthesis; the Spark side must reach the
+            # same row through real blocks + bloom-pruned decode
+            "WITH u AS (SELECT doc_id, 'https://h' || "
+            "CAST(doc_id % 50 AS VARCHAR) || '.example/d/' || "
+            "CAST(doc_id AS VARCHAR) AS url FROM documents) "
+            "SELECT doc_id, url FROM u "
+            "WHERE url = 'https://h7.example/d/107'"
         ),
         "prune_decode_expr": (
             "SELECT doc_id, lang, n_chars FROM documents "

@@ -247,6 +247,14 @@ def main(argv: list[str] | None = None) -> int:
         "copies of a non-blank line are cut from their docs)",
     )
     p.add_argument(
+        "--span-dedup-frac", type=float, default=None, metavar="F",
+        help="drop docs with more than fraction F [0,1] of their "
+        "winnowing fingerprints shared with other documents "
+        "(cross-doc duplicate-span gate, k=8 window=8: any repeat "
+        ">= 15 chars is caught phase-independently; docs too short "
+        "to fingerprint pass)",
+    )
+    p.add_argument(
         "--scrub-pii", action="store_true",
         help="replace emails / key-shaped secrets / long hex tokens / "
         "IPv4 / phone-shaped digit runs with typed placeholders "
@@ -285,6 +293,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--min-lm-coverage", type=float, default=0.5)
     p.add_argument("--lm-top-k", type=int, default=100_000)
+    p.add_argument(
+        "--clf-pos", default=None, metavar="PARQUET",
+        help="positive (trusted) corpus for the hashed linear quality "
+        "classifier; requires --clf-neg. Keeps docs whose floor-mean "
+        "token weight clears --clf-min-micros (fastText/DCLM-style "
+        "gate; docs with no tokens pass — no evidence is not low "
+        "quality)",
+    )
+    p.add_argument(
+        "--clf-neg", default=None, metavar="PARQUET",
+        help="negative (raw-crawl) corpus for --clf-pos",
+    )
+    p.add_argument("--clf-min-micros", type=int, default=0)
+    p.add_argument("--clf-buckets", type=int, default=4096)
     p.add_argument(
         "--eval", dest="eval_path", default=None,
         help="parquet of eval/benchmark docs: flag+drop training docs "
@@ -519,6 +541,24 @@ def main(argv: list[str] | None = None) -> int:
                 df = dedup_paragraphs(
                     df, text_col=args.text_col, id_col=args.id_col
                 ).drop("n_lines_dropped")
+            if args.span_dedup_frac is not None:
+                # winnowing cross-doc span gate: null fractions (docs
+                # too short to fingerprint) pass — absence of windows
+                # is not evidence of duplication
+                from .dedup import duplicate_spans
+
+                cap = round(args.span_dedup_frac * 1_000_000)
+                df = (
+                    duplicate_spans(
+                        df, id_col=args.id_col, text_col=args.text_col,
+                        hash_fn="xxhash",
+                    )
+                    .filter(
+                        F.col("shared_frac_micros").isNull()
+                        | (F.col("shared_frac_micros") <= F.lit(cap))
+                    )
+                    .drop("n_fps", "shared_fps", "shared_frac_micros")
+                )
             if args.scrub_pii:
                 from .curation import scrub_pii
 
@@ -573,6 +613,31 @@ def main(argv: list[str] | None = None) -> int:
                         | (F.col("coverage_micros") >= F.lit(floor_micros))
                     )
                     .drop("n_grams", "n_seen", "coverage_micros", "avg_logp", "ppl")
+                )
+            if args.clf_pos or args.clf_neg:
+                # fastText/DCLM-style classifier gate: trained
+                # closed-form from the two labeled corpora; docs with
+                # no tokens pass (same convention as --lm-ref)
+                if not (args.clf_pos and args.clf_neg):
+                    raise SystemExit("--clf-pos and --clf-neg go together")
+                from .lm import classifier_score, train_hash_classifier
+
+                wt = train_hash_classifier(
+                    spark.read.parquet(args.clf_pos),
+                    spark.read.parquet(args.clf_neg),
+                    text_col=args.text_col,
+                    buckets=args.clf_buckets,
+                )
+                df = (
+                    classifier_score(
+                        df, wt, id_col=args.id_col, text_col=args.text_col,
+                        buckets=args.clf_buckets,
+                    )
+                    .filter(
+                        F.col("score_micros").isNull()
+                        | (F.col("score_micros") >= F.lit(args.clf_min_micros))
+                    )
+                    .drop("n_words", "score_micros", "keep")
                 )
             if args.eval_path:
                 ev = spark.read.parquet(args.eval_path)

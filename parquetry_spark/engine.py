@@ -44,6 +44,7 @@ distributed generalization (SURVEY.md §1.4).
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import io
 import os
@@ -332,6 +333,85 @@ def prune_blocks(
     return blocks.join(kept_parts, "part_id", "left_semi")
 
 
+_BLOOM_M, _BLOOM_K = 16384, 4  # 2 KB bitset, 4 probes (parquet-ish)
+
+
+def _bloom_positions(value: str, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    """Bit positions for `value`: md5 split into two 64-bit halves,
+    combined Kirsch-Mitzenmacher style (h1 + i·h2, h2 forced odd).
+    md5 — not Python hash() — so build (executor) and probe (driver,
+    plan-time) always agree regardless of PYTHONHASHSEED."""
+    d = hashlib.md5(value.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_params(vals: np.ndarray) -> dict[str, str]:
+    """Per-block Bloom filter over the DISTINCT string values (the
+    parquet ColumnChunk bloom idea): fixed 2 KB bitset, base64 into
+    the params map. Enables equality/IN pruning where zone maps
+    can't — a hash-partitioned high-cardinality column (urls) spans
+    the whole value range in EVERY block, so [zmin, zmax] never
+    excludes anything, while a point probe misses ~all blooms.
+    False-positive rate at 60k distinct values in 16 Kbit with k=4
+    is ~0.9 — the filter is sized for key-ish columns (~0.002 at 1k
+    distinct per block, ~0.02 at 2k); oversaturated blocks just
+    prune nothing, never wrongly. OPT-IN (encode cost is one md5 per
+    distinct value) via encode_table/encode_preserve(bloom_cols=…)."""
+    bits = np.zeros(_BLOOM_M, dtype=bool)
+    for v in set(vals.tolist()):
+        for p in _bloom_positions(v):
+            bits[p] = True
+    packed = np.packbits(bits)  # big bitorder: bit p → byte p//8, MSB first
+    return {
+        "bloom": base64.b64encode(packed.tobytes()).decode("ascii"),
+        "bloom_m": str(_BLOOM_M),
+        "bloom_k": str(_BLOOM_K),
+    }
+
+
+def prune_blocks_eq(blocks: DataFrame, column: str, values: list[str]) -> DataFrame:
+    """Bloom-filter partition pruning for equality / IN probes: keep
+    only part_ids whose block for `column` might contain one of
+    `values`. Metadata-only, like prune_blocks — pruned partitions'
+    payloads are never fetched — and never a correctness filter:
+    blocks without a bloom (unencoded columns, non-str blocks, a
+    different bloom_m generation) are always kept. The bit tests are
+    plan-time constants (positions computed driver-side from the
+    probe values), lowered to k base64-decode/byte/mask expressions
+    per value — pure codegen over the params map."""
+    if not values:
+        return blocks
+    bl = F.element_at("params", F.lit("bloom"))
+    unmapped = bl.isNull() | (
+        F.element_at("params", F.lit("bloom_m")) != F.lit(str(_BLOOM_M))
+    )
+    any_hit = F.lit(False)
+    for v in values:
+        hit = F.lit(True)
+        for p in _bloom_positions(str(v)):
+            byte_idx, mask = p // 8, 1 << (7 - p % 8)
+            byte_val = F.conv(
+                F.hex(
+                    F.expr(
+                        f"substring(unbase64(element_at(params, 'bloom')), "
+                        f"{byte_idx + 1}, 1)"
+                    )
+                ),
+                16,
+                10,
+            ).cast("int")
+            hit = hit & (byte_val.bitwiseAND(F.lit(mask)) != F.lit(0))
+        any_hit = any_hit | hit
+    kept = (
+        blocks.filter(F.col("column") == column)
+        .filter(unmapped | any_hit)
+        .select("part_id")
+    )
+    return blocks.join(kept, "part_id", "left_semi")
+
+
 def _range_literal(ltype: str, node):
     """Filter-AST literal node → a value comparable against `ltype`'s
     zone-map bounds (stored/raw units), or None when the literal can't
@@ -536,6 +616,16 @@ def prune_blocks_for_expr(
             # pruning on its zone maps would drop rows the filter keeps
             continue
         blocks = prune_blocks(blocks, col, lo=lo, hi=hi)
+        if lo is not None and lo == hi and isinstance(lo, str):
+            # string point probe: zone maps rarely help on a
+            # hash-partitioned high-cardinality column — consult the
+            # per-block Bloom filter too (no-op on bloom-less blocks)
+            blocks = prune_blocks_eq(blocks, col, [lo])
+    for col, vals in filter_sets(expr, ltypes).items():
+        if col.lower() == "part_id":
+            continue
+        if vals and all(isinstance(v, str) for v in vals):
+            blocks = prune_blocks_eq(blocks, col, vals)
     return blocks
 
 
@@ -784,8 +874,13 @@ def _choose_encode(
 
 
 def _make_encode_kernel(
-    columns: list[str], sort_cols: list[str], block_comp: str | None = None
+    columns: list[str],
+    sort_cols: list[str],
+    block_comp: str | None = None,
+    bloom_cols: list[str] | None = None,
 ):
+    bloom_set = set(bloom_cols or ())
+
     def encode_kernel(table: pa.Table) -> pa.Table:
         part_id = table["part_id"][0].as_py() if table.num_rows else -1
         if sort_cols:
@@ -810,6 +905,13 @@ def _make_encode_kernel(
             )
             in_bytes = len(in_payload) + (n - nn)  # + null overhead proxy
             params = {**params, **_zone_map(vals)}
+            if (
+                col in bloom_set
+                and vals.size
+                and vals.dtype.kind == "O"
+                and isinstance(vals[0], str)
+            ):
+                params = {**params, **_bloom_params(vals)}
             validity = b"" if nn == n else np.packbits(notnull).tobytes()
             rows_out.append(
                 {
@@ -845,6 +947,7 @@ def encode_table(
     layout: str = "hash",
     boundaries: list[str] | None = None,
     block_comp: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed encode: pages → blocks DataFrame (lazy).
 
@@ -904,7 +1007,9 @@ def encode_table(
             "part_id",
             "left_anti",
         )
-    kernel = _make_encode_kernel(columns, sort_cols, block_comp=block_comp)
+    kernel = _make_encode_kernel(
+        columns, sort_cols, block_comp=block_comp, bloom_cols=bloom_cols
+    )
     # explicit user-specified partition count: AQE would otherwise
     # coalesce this exchange by BYTES (64 MB advisory), strangling a
     # CPU-bound Python stage down to a handful of tasks (measured:
@@ -920,6 +1025,7 @@ def encode_preserve(
     df: DataFrame,
     columns: list[str] | None = None,
     block_comp: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> DataFrame:
     """Shuffle-free encode: blocks on the INPUT partitioning.
 
@@ -934,7 +1040,9 @@ def encode_preserve(
     resumable layout.
     """
     columns = columns or df.columns
-    kernel = _make_encode_kernel(columns, sort_cols=[], block_comp=block_comp)
+    kernel = _make_encode_kernel(
+        columns, sort_cols=[], block_comp=block_comp, bloom_cols=bloom_cols
+    )
 
     tagged = df.withColumn("__pid", F.spark_partition_id())
 

@@ -1,0 +1,136 @@
+"""Per-block Bloom-filter pruning for equality/IN probes
+(engine._bloom_params / prune_blocks_eq): no-false-negative property,
+fp-rate sanity, metadata-only e2e pruning with identical rows out,
+the never-a-correctness-filter contract, and the filter-expr wiring."""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pytest
+
+from parquetry_spark.engine import (
+    _BLOOM_K,
+    _BLOOM_M,
+    _bloom_params,
+    _bloom_positions,
+    decode_blocks,
+    encode_preserve,
+    prune_blocks_eq,
+    prune_blocks_for_expr,
+)
+
+
+def test_positions_deterministic_and_in_range():
+    for v in ("", "a", "https://h7.example/d/107", "δοκιμή"):
+        p1, p2 = _bloom_positions(v), _bloom_positions(v)
+        assert p1 == p2 and len(p1) == _BLOOM_K
+        assert all(0 <= p < _BLOOM_M for p in p1)
+
+
+def _bits(params):
+    raw = np.frombuffer(base64.b64decode(params["bloom"]), dtype=np.uint8)
+    return np.unpackbits(raw)
+
+
+def test_no_false_negatives():
+    vals = np.array([f"https://h{i % 37}.example/d/{i}" for i in range(2000)],
+                    dtype=object)
+    bits = _bits(_bloom_params(vals))
+    for v in vals:
+        assert all(bits[p] for p in _bloom_positions(v))
+
+
+def test_fp_rate_sane():
+    vals = np.array([f"k{i}" for i in range(1000)], dtype=object)
+    bits = _bits(_bloom_params(vals))
+    probes = [f"absent{i}" for i in range(2000)]
+    fp = sum(
+        all(bits[p] for p in _bloom_positions(v)) for v in probes
+    ) / len(probes)
+    assert fp < 0.02  # theory ~0.002 at n=1000, m=16384, k=4
+
+
+URL = "concat('https://h', cast(doc_id % 50 as string), '.example/d/', cast(doc_id as string))"
+
+
+@pytest.fixture(scope="module")
+def url_blocks(spark):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.expr(URL).alias("url"))
+        .repartition(8, "doc_id")
+    )
+    blocks = encode_preserve(df, bloom_cols=["url"]).cache()
+    blocks.count()
+    return df, blocks
+
+
+def test_eq_prune_fewer_blocks_same_rows(spark, url_blocks):
+    df, blocks = url_blocks
+    target = df.orderBy("doc_id").first()["url"]
+    pruned = prune_blocks_eq(blocks, "url", [target])
+    n_all = blocks.select("part_id").distinct().count()
+    n_kept = pruned.select("part_id").distinct().count()
+    assert n_kept < n_all  # the point probe must actually prune
+    dec = decode_blocks(pruned, ["doc_id", "url"], {"doc_id": "int64", "url": "str"})
+    got = dec.filter(dec.url == target).select("doc_id", "url").collect()
+    want = df.filter(df.url == target).select("doc_id", "url").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_bloomless_blocks_always_kept(spark, url_blocks):
+    df, _ = url_blocks
+    plain = encode_preserve(df)  # no bloom_cols
+    pruned = prune_blocks_eq(plain, "url", ["definitely absent value"])
+    assert pruned.count() == plain.count()
+
+
+def test_in_probe_keeps_all_value_partitions(spark, url_blocks):
+    df, blocks = url_blocks
+    targets = [r["url"] for r in df.orderBy("doc_id").limit(3).collect()]
+    pruned = prune_blocks_eq(blocks, "url", targets)
+    dec = decode_blocks(pruned, ["doc_id", "url"], {"doc_id": "int64", "url": "str"})
+    got = dec.filter(dec.url.isin(targets)).count()
+    assert got == df.filter(df.url.isin(targets)).count()
+
+
+def test_empty_probe_is_noop(url_blocks):
+    _, blocks = url_blocks
+    assert prune_blocks_eq(blocks, "url", []).count() == blocks.count()
+
+
+def test_wrong_generation_treated_unmapped(spark, url_blocks):
+    """A bloom built under a different bloom_m must not prune."""
+    from pyspark.sql import functions as F
+
+    _, blocks = url_blocks
+    aged = blocks.withColumn(
+        "params",
+        F.map_concat(
+            F.map_filter(F.col("params"), lambda k, _: k != F.lit("bloom_m")),
+            F.create_map(F.lit("bloom_m"), F.lit("999")),
+        ),
+    )
+    pruned = prune_blocks_eq(aged, "url", ["definitely absent value"])
+    assert pruned.count() == blocks.count()
+
+
+def test_expr_wiring_eq_and_in(spark, url_blocks):
+    """prune_blocks_for_expr consults blooms for == and in [...] on
+    string columns; exact filter over survivors equals the full
+    decode's answer."""
+    df, blocks = url_blocks
+    target = df.orderBy("doc_id").first()["url"]
+    ltypes = {"doc_id": "int64", "url": "str"}
+    for expr in (f'url == "{target}"', f'url in ["{target}", "nope"]'):
+        pruned = prune_blocks_for_expr(blocks, expr, ltypes)
+        assert (
+            pruned.select("part_id").distinct().count()
+            < blocks.select("part_id").distinct().count()
+        ), expr
+        dec = decode_blocks(pruned, ["doc_id", "url"], ltypes)
+        assert dec.filter(dec.url == target).count() == 1

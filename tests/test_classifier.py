@@ -146,3 +146,46 @@ def test_training_partial_aggregates(spark):
     # physical plan prints top-down: the final agg/Exchange precede
     # the partial agg textually
     assert ex < pa
+
+
+def test_cli_curate_clf_gate(spark, tmp_path, monkeypatch):
+    """--clf-pos/--clf-neg gates on the floor-mean weight; docs with
+    no tokens pass; the flags must come as a pair."""
+    import contextlib
+    import io
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+    posp, negp = str(tmp_path / "pos"), str(tmp_path / "neg")
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(POS, "doc_id long, text string").write.parquet(posp)
+    spark.createDataFrame(NEG, "doc_id long, text string").write.parquet(negp)
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(inp)
+    with contextlib.redirect_stdout(io.StringIO()):
+        rc = cli_main(
+            ["curate", "--in", inp, "--out", outp,
+             "--clf-pos", posp, "--clf-neg", negp,
+             "--clf-buckets", str(BUCKETS)]
+        )
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(outp).collect())
+    wt = _py_weights()
+    expect = sorted(
+        i for i, t in DOCS
+        if _py_score(t, wt)[1] is None or _py_score(t, wt)[1] >= 0
+    )
+    assert kept == expect
+    with pytest.raises(SystemExit):
+        cli_main(["curate", "--in", inp, "--out", outp, "--clf-pos", posp])

@@ -151,3 +151,44 @@ def test_plan_shape(spark):
         for line in s.split("\n"):
             if line.startswith(("Input", "Arguments")):
                 assert "text#" not in line, f"text in a shuffle:\n{s}"
+
+
+def test_cli_curate_span_gate(spark, tmp_path, monkeypatch):
+    """--span-dedup-frac drops heavily-shared docs, passes unique
+    and too-short-to-fingerprint docs (k=8/w=8 defaults → t=15)."""
+    import contextlib
+    import io
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+    rep = "SHARED BOILERPLATE SENTENCE THAT REPEATS EVERYWHERE"
+    docs = [
+        (1, rep),                                  # 100% shared → drop
+        (2, rep + " plus a lot of genuinely unique trailing content "
+            "so the shared fraction drops well below the gate cap "
+            "0123456789 abcdefghijklmnopqrstuvwxyz"),
+        (3, "completely original content with no repeats anywhere 42"),
+        (4, "tiny"),                               # < t → passes
+    ]
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+    with contextlib.redirect_stdout(io.StringIO()):
+        rc = cli_main(
+            ["curate", "--in", inp, "--out", outp,
+             "--span-dedup-frac", "0.6"]
+        )
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(outp).collect())
+    assert kept == [2, 3, 4]
