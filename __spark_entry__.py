@@ -479,6 +479,33 @@ def q_prune_decode_eq(spark, sf):
     return dec.filter(F.col("url") == target).select("doc_id", "url")
 
 
+def q_zorder_prune(spark, sf):
+    """Z-order clustered encode + MULTI-dimension zone-map pruning
+    (r5): events are encoded with layout='zorder' on (user_id,
+    event_id) — part_id = a contiguous Morton-key range over sampled
+    rank buckets (partitioning.assign_part_id_zorder), so every
+    partition covers a compact rectangle-ish region of BOTH columns
+    and a range probe on either one prunes partitions from block
+    metadata alone (a hash layout prunes nothing: each part spans
+    both columns' full ranges — pytest-asserted in tests/
+    test_zorder.py). Survivors decode, the exact predicate re-applies.
+    Equals a plain two-column SQL range filter."""
+    from parquetry_spark.engine import prune_blocks
+
+    lt = {"event_id": "int64", "user_id": "int64", "value": "float64"}
+    df = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    blocks = encode_table(
+        df, n_parts=16, url_col=None, layout="zorder",
+        zorder_cols=["user_id", "event_id"],
+    )
+    pruned = prune_blocks(blocks, "user_id", lo=3, hi=6)
+    pruned = prune_blocks(pruned, "event_id", lo=200, hi=599)
+    dec = decode_blocks(pruned, list(lt), lt)
+    return dec.filter(
+        "user_id between 3 and 6 and event_id between 200 and 599"
+    ).select("event_id", "user_id", "value")
+
+
 def q_token_count(spark, sf):
     df = _t(spark, sf, "documents")
     return df.select(
@@ -1740,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_decode": q_prune_decode,
         "prune_decode_str": q_prune_decode_str,
         "prune_decode_eq": q_prune_decode_eq,
+        "zorder_prune": q_zorder_prune,
         "prune_decode_expr": q_prune_decode_expr,
         "prune_decode_in": q_prune_decode_in,
         "token_count": q_token_count,
@@ -3080,6 +3108,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR) AS url FROM documents) "
             "SELECT doc_id, url FROM u "
             "WHERE url = 'https://h7.example/d/107'"
+        ),
+        "zorder_prune": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE user_id BETWEEN 3 AND 6 AND event_id BETWEEN 200 AND 599"
         ),
         "prune_decode_expr": (
             "SELECT doc_id, lang, n_chars FROM documents "

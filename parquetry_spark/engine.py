@@ -948,6 +948,8 @@ def encode_table(
     boundaries: list[str] | None = None,
     block_comp: str | None = None,
     bloom_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_edges: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """Distributed encode: pages → blocks DataFrame (lazy).
 
@@ -969,18 +971,45 @@ def encode_table(
     hash layout's parts all span the full host alphabet. Heavy hosts
     spanning duplicate cut points salt across their span (skew
     relief inside the range discipline).
+
+    "zorder" clusters on `zorder_cols` (>= 2 numeric/temporal
+    columns): part_id = contiguous Morton-key range over sampled
+    rank buckets (partitioning.assign_part_id_zorder), so per-part
+    zone maps become selective on EVERY clustered dimension — a
+    range probe on ANY zorder column prunes partitions, where hash
+    parts span every column's full range and range parts help only
+    the host column. `zorder_edges` (as returned by
+    partitioning.sample_quantile_edges per column) makes the layout
+    a plan-time constant for resume, like `salts`/`boundaries`.
+    Blocks are __z-sorted within each part, so runs stay
+    FOR/RLE-friendly on all clustered columns at once.
     """
-    from .partitioning import assign_part_id_range, sample_range_boundaries
+    from .partitioning import (
+        assign_part_id_range,
+        assign_part_id_zorder,
+        sample_range_boundaries,
+    )
 
     # any column ci-equal to "part_id" is a stale partition key, not
     # data: Spark's default case-insensitive resolution makes the
     # withColumn("part_id", ...) in every layout branch REPLACE it, so
     # listing it in `columns` would make the encode kernel look up a
     # field the clobbered batch no longer carries
-    columns = columns or [c for c in df.columns if c.lower() != "part_id"]
-    if layout not in ("hash", "range"):
-        raise ValueError(f"unknown layout {layout!r}: expected 'hash' or 'range'")
-    if layout == "range" and url_col and url_col in df.columns:
+    columns = columns or [
+        c for c in df.columns if c.lower() not in ("part_id", "__z")
+    ]
+    if layout not in ("hash", "range", "zorder"):
+        raise ValueError(
+            f"unknown layout {layout!r}: expected 'hash', 'range' or 'zorder'"
+        )
+    if layout == "zorder":
+        if not zorder_cols or len(zorder_cols) < 2:
+            raise ValueError("layout='zorder' needs zorder_cols (>= 2 columns)")
+        keyed = assign_part_id_zorder(
+            df, zorder_cols, n_parts, edges=zorder_edges, sample=skew_sample
+        )
+        sort_cols = ["__z"]
+    elif layout == "range" and url_col and url_col in df.columns:
         if boundaries is None:
             boundaries = sample_range_boundaries(df, url_col, n_parts, skew_sample)
         keyed = assign_part_id_range(df, boundaries, url_col)

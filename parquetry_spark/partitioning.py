@@ -240,3 +240,112 @@ def assign_part_id_range(
             yield pa.record_batch(cols, names=[names[i] for i in keep] + ["part_id"])
 
     return src.mapInArrow(kernel, out_schema)
+
+# ---------------------------------------------------------------------------
+# z-order layout: multi-column clustering so zone maps prune on EVERY
+# clustered dimension (the Delta/Iceberg OPTIMIZE ZORDER idea,
+# re-expressed as pure Column expressions over sampled rank edges)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # 256 rank buckets per dimension (2 dims → 65536 cells)
+
+
+def sample_quantile_edges(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 1 << ZORDER_BITS,
+    sample: float = 0.05,
+) -> list[float]:
+    """Interior rank cut points for one z-order dimension.
+
+    ≤ n_buckets-1 doubles from approxQuantile over a fixed-fraction
+    sample — a bounded driver-side constant (like the range layout's
+    host boundaries and the salt map), persisted with the run so
+    resume re-creates identical part assignment. Deduped: duplicate
+    quantiles (heavy values) would only skip bucket ids while growing
+    the per-row bucket expression linearly. Empty sample → retry
+    unsampled (tiny table); genuinely empty/all-null → [] (every row
+    lands in bucket 0 — degenerate but deterministic).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+
+    def edges_of(src):
+        v = src.select(F.col(col).cast("double").alias("v")).filter(
+            F.col("v").isNotNull()
+        )
+        return v.approxQuantile("v", qs, 1.0 / (4 * n_buckets))
+
+    edges = edges_of(df.sample(fraction=min(sample, 1.0), seed=17))
+    if not edges:
+        edges = edges_of(df)
+    return sorted(set(edges))
+
+
+def _rank_bucket(col_expr, edges: list[float], bits: int = ZORDER_BITS):
+    """Rank bucket of a value, SCALED to span [0, 2^bits): count of
+    edges <= v, then floor(cnt * 2^bits / (len(edges)+1)). The scale
+    step matters — edges are deduped, so a low-cardinality dimension
+    (15 distinct user ids → 14 edges) would otherwise occupy only the
+    bottom 4 of its `bits` bit positions, concentrating every Morton
+    key near zero and collapsing the z-range part split to one part.
+    A single size(filter(...)) over the literal edge array — pure
+    codegen, no UDF, no join. Nulls → bucket 0 (zone maps track
+    validity separately; decode re-applies the exact predicate)."""
+    if not edges:
+        return F.lit(0).cast("long")
+    v = col_expr.cast("double")
+    cnt = F.size(F.filter(F.lit(edges), lambda e: e <= v)).cast("long")
+    scaled = (cnt * F.lit(1 << bits)) / F.lit(len(edges) + 1)
+    return F.coalesce(F.floor(scaled).cast("long"), F.lit(0).cast("long"))
+
+
+def zorder_value(buckets: list, bits: int = ZORDER_BITS):
+    """Interleave the dimensions' bucket bits (bit i of dim d → z bit
+    i*ndims+d): the classic Morton key, unrolled driver-side into
+    bits*ndims shift/mask/or terms — one whole-stage-codegen subtree.
+    """
+    nd = len(buckets)
+    z = F.lit(0).cast("long")
+    for d, b in enumerate(buckets):
+        bl = b.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(bl, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * nd + d))
+    return z
+
+
+def assign_part_id_zorder(
+    df: DataFrame,
+    cols: list[str],
+    n_parts: int,
+    edges: dict[str, list[float]] | None = None,
+    bits: int = ZORDER_BITS,
+    sample: float = 0.05,
+) -> DataFrame:
+    """Add `__z` (Morton key over rank buckets) and `part_id`
+    (contiguous z-range buckets: floor(z * n_parts / 2^(bits*ndims))).
+
+    Each part then covers a compact z-range — a small union of
+    rectangles in the clustered dimensions — so per-part zone maps
+    are tight on EVERY clustered column and a range probe on any one
+    of them prunes ~(1 - selectivity^(1/ndims)) of partitions, where
+    a hash layout prunes none. Rank (quantile) bucketing uniformizes
+    each marginal, so parts stay balanced on skewed inputs;
+    correlated dimensions concentrate z along the diagonal (mild part
+    skew — AQE skew handling absorbs it, or pass precomputed `edges`
+    from a stratified sample). Determinism: with the same `edges`
+    (persist them with the run manifest, like salt maps and range
+    boundaries) part assignment is a pure function of the data.
+    """
+    if len(cols) < 2:
+        raise ValueError("z-order needs >= 2 columns")
+    if bits * len(cols) > 62:
+        raise ValueError("bits*ndims must fit a signed int64")
+    if edges is None:
+        edges = {c: sample_quantile_edges(df, c, 1 << bits, sample) for c in cols}
+    stale = [c for c in df.columns if c.lower() in ("part_id", "__z")]
+    if stale:
+        df = df.drop(*stale)
+    z = zorder_value([_rank_bucket(F.col(c), edges[c], bits) for c in cols], bits)
+    pid = F.shiftright(z * F.lit(n_parts), bits * len(cols)).cast("int")
+    return df.withColumn("__z", z).withColumn("part_id", pid)

