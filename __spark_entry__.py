@@ -506,6 +506,54 @@ def q_zorder_prune(spark, sf):
     ).select("event_id", "user_id", "value")
 
 
+def q_compact_decode(spark, sf):
+    """Small-file compaction e2e (r5): three document slices are
+    appended to a SnapshotCatalog table as three tiny run dirs (the
+    streaming-ingest shape — one dir per micro-batch),
+    iceberg.compact_table bin-packs them into ONE file via an atomic
+    'replace' snapshot (Iceberg's rewrite_data_files), and the
+    compacted table decodes to exactly the original rows. Equals a
+    plain projection of documents — compaction is layout maintenance,
+    never a data change (block payloads are moved, not re-encoded)."""
+    import shutil
+    import tempfile
+
+    from parquetry_spark.engine import decode_blocks, encode_preserve
+    from parquetry_spark.iceberg import SnapshotCatalog, compact_table
+
+    wh = tempfile.mkdtemp(prefix="pq_compact_")
+    try:
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        cat = SnapshotCatalog(wh)
+        for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 1 << 62)]):
+            blocks = encode_preserve(
+                docs.filter(f"doc_id >= {lo} and doc_id < {hi}").repartition(
+                    2, "doc_id"
+                )
+                # distinct part-id space per appended run (the
+                # skip-set contract: ids never repeat across commits)
+            ).withColumn("part_id", F.col("part_id") + F.lit(i * (1 << 40)))
+            p = os.path.join(cat.data_dir("b"), f"run-{i}")
+            blocks.write.parquet(p)
+            n = spark.read.parquet(p).count()
+            cat.commit_append(
+                "b", [{"path": p, "rows": n, "bytes": 100, "part_ids": []}]
+            )
+        res = compact_table(spark, wh, "b", small_bytes=1 << 20,
+                            target_bytes=1 << 30)
+        assert res["new_files"] == 1, res
+        dec = decode_blocks(
+            cat.read(spark, "b"), ["doc_id", "lang"],
+            {"doc_id": "int64", "lang": "str"},
+        )
+        # materialize before the warehouse dir goes away
+        out = dec.select("doc_id", "lang").cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def q_token_count(spark, sf):
     df = _t(spark, sf, "documents")
     return df.select(
@@ -1768,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_decode_str": q_prune_decode_str,
         "prune_decode_eq": q_prune_decode_eq,
         "zorder_prune": q_zorder_prune,
+        "compact_decode": q_compact_decode,
         "prune_decode_expr": q_prune_decode_expr,
         "prune_decode_in": q_prune_decode_in,
         "token_count": q_token_count,
@@ -3113,6 +3162,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, value FROM events "
             "WHERE user_id BETWEEN 3 AND 6 AND event_id BETWEEN 200 AND 599"
         ),
+        "compact_decode": "SELECT doc_id, lang FROM documents",
         "prune_decode_expr": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id >= 150 AND doc_id < 450 AND lang != 'de'"

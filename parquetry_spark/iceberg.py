@@ -195,6 +195,53 @@ class SnapshotCatalog:
         CommitConflict. Omit it to commit on whatever is current —
         still atomic (the O_EXCL version-file guard serializes racing
         writers), just not read-validated."""
+        return self._commit(
+            table,
+            "append",
+            lambda base: base + new_files,
+            summary,
+            expected_version,
+        )
+
+    def commit_replace(
+        self,
+        table: str,
+        remove_paths: list[str],
+        new_files: list[dict],
+        summary: dict | None = None,
+        expected_version: int | None | object = _UNSET,
+    ) -> dict:
+        """Replace `remove_paths` with `new_files` in ONE atomic
+        snapshot (operation="replace") — the commit shape of Iceberg's
+        rewrite_data_files maintenance action. Rows must be logically
+        identical before/after (the caller rewrites, never edits);
+        readers pinned to older snapshots still see the removed files
+        (time travel), so replaced data dirs stay on disk until their
+        snapshots expire. Same optimistic-concurrency contract as
+        commit_append. Raises if a remove path is not in the current
+        manifest — replacing a file another writer already replaced
+        would silently resurrect dropped data."""
+        rm = set(remove_paths)
+
+        def swap(base: list[dict]) -> list[dict]:
+            have = {f["path"] for f in base}
+            missing = rm - have
+            if missing:
+                raise CommitConflict(
+                    f"replace targets not in current manifest: {sorted(missing)}"
+                )
+            return [f for f in base if f["path"] not in rm] + new_files
+
+        return self._commit(table, "replace", swap, summary, expected_version)
+
+    def _commit(
+        self,
+        table: str,
+        operation: str,
+        manifest_fn,
+        summary: dict | None,
+        expected_version: int | None | object,
+    ) -> dict:
         os.makedirs(self._meta_dir(table), exist_ok=True)
         cur_v = self.current_version(table)
         if expected_version is not _UNSET and cur_v != expected_version:
@@ -211,8 +258,8 @@ class SnapshotCatalog:
         snap = {
             "snapshot-id": snap_id,
             "parent-snapshot-id": parent_snap,
-            "operation": "append",
-            "manifest": base_manifest + new_files,
+            "operation": operation,
+            "manifest": manifest_fn(base_manifest),
             "summary": summary or {},
         }
         meta = {
@@ -452,3 +499,113 @@ def run_encode_snapshots(
         "warehouse": warehouse,
         "table": table,
     }
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (Iceberg's rewrite_data_files, bin-pack strategy)
+# ---------------------------------------------------------------------------
+
+
+def compact_table(
+    spark: SparkSession,
+    warehouse: str,
+    table: str = "blocks",
+    small_bytes: int = 32 << 20,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+    retries: int = 3,
+) -> dict:
+    """Coalesce many small data files into few target-size files in
+    ONE atomic "replace" snapshot — the maintenance action every
+    streaming/incremental ingest needs (each micro-batch or resume
+    retry appends its own run dir; at 100 TB a reader would otherwise
+    plan millions of tiny scans and the manifest itself becomes the
+    bottleneck).
+
+    Strategy = Iceberg's rewrite_data_files bin-pack: candidates are
+    manifest entries with bytes < `small_bytes` (unknown sizes count
+    as small), greedily packed into groups of cumulative size ~
+    `target_bytes`; each group is read and rewritten AS-IS into one
+    fresh run dir (block payloads untouched — this is layout/metadata
+    maintenance, never a re-encode, so decoded bytes are identical by
+    construction) and the group's files are swapped for the rewrite in
+    one commit_replace carrying the version read at planning time.
+    CommitConflict → replan on the new version (bounded retries): a
+    concurrent append is invisible to the swap (its files aren't
+    candidates of this plan); a concurrent compactor surfaces as a
+    missing remove-path and replans. Readers pinned to parent
+    snapshots still resolve the old files — nothing is deleted here
+    (snapshot expiry + expire_orphans reclaim later).
+
+    Returns {"compacted_files", "new_files", "snapshot_id",
+    "skipped": reason} — skipped when < `min_files` candidates.
+    """
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(warehouse)
+    for _ in range(max(retries, 1)):
+        base_version = cat.current_version(table)
+        snap = cat.current_snapshot(table)
+        if not snap:
+            return {"skipped": "no current snapshot", "compacted_files": 0}
+        files = snap["manifest"]
+        cands = [f for f in files if f.get("bytes") is None or f["bytes"] < small_bytes]
+        if len(cands) < min_files:
+            return {
+                "skipped": f"only {len(cands)} small files (< min_files)",
+                "compacted_files": 0,
+                "snapshot_id": snap["snapshot-id"],
+            }
+        groups: list[list[dict]] = [[]]
+        acc = 0
+        for f in cands:  # greedy bin-pack in manifest order
+            b = f.get("bytes") or 0
+            if groups[-1] and acc + b > target_bytes:
+                groups.append([])
+                acc = 0
+            groups[-1].append(f)
+            acc += b
+        new_files = []
+        for grp in groups:
+            out_dir = os.path.join(
+                cat.data_dir(table), f"compact-{uuid.uuid4().hex[:12]}"
+            )
+            src = spark.read.parquet(*[f["path"] for f in grp])
+            # one file per group: the whole point is fewer, larger files
+            src.coalesce(1).write.mode("error").parquet(out_dir)
+            written = spark.read.parquet(out_dir)
+            st = written.agg(
+                F.count("*").alias("rows"),
+                F.sum("out_bytes").alias("bytes"),
+            ).collect()[0]
+            part_ids = sorted({p for f in grp for p in f.get("part_ids", [])})
+            new_files.append(
+                {
+                    "path": out_dir,
+                    "rows": int(st["rows"]),
+                    "bytes": int(st["bytes"] or 0),
+                    "part_ids": part_ids,
+                }
+            )
+        try:
+            new_snap = cat.commit_replace(
+                table,
+                [f["path"] for f in cands],
+                new_files,
+                summary={
+                    "operation": "rewrite-data-files",
+                    "removed-files": len(cands),
+                    "added-files": len(new_files),
+                },
+                expected_version=base_version,
+            )
+            return {
+                "compacted_files": len(cands),
+                "new_files": len(new_files),
+                "snapshot_id": new_snap["snapshot-id"],
+            }
+        except CommitConflict:
+            # our rewrites become orphan dirs no reader sees; replan
+            # against the new current version
+            continue
+    raise CommitConflict(f"compaction of {table} lost {retries} commit races")

@@ -1,0 +1,180 @@
+"""Small-file compaction (iceberg.compact_table — the
+rewrite_data_files bin-pack maintenance action) and the
+commit_replace snapshot operation it rides on: rows identical
+before/after, fewer files, time travel to the pre-compaction layout,
+bin-pack grouping by target size, skip/conflict/validation paths."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from parquetry_spark.iceberg import (
+    CommitConflict,
+    SnapshotCatalog,
+    compact_table,
+)
+
+
+def _mk(spark, wh, n_files=4, rows_per=10):
+    """A table of n_files tiny appended files (the streaming-ingest
+    shape: one run dir per micro-batch), each with distinct rows and
+    byte counts recorded in the manifest."""
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(wh)
+    for i in range(n_files):
+        df = (
+            spark.range(i * rows_per, (i + 1) * rows_per)
+            .withColumnRenamed("id", "v")
+            .withColumn("out_bytes", F.lit(100).cast("long"))
+        )
+        p = os.path.join(cat.data_dir("t"), f"run-{i}")
+        df.write.parquet(p)
+        cat.commit_append(
+            "t",
+            [{"path": p, "rows": rows_per, "bytes": 1000, "part_ids": [i]}],
+        )
+    return cat
+
+
+def test_compact_preserves_rows_reduces_files(spark, tmp_path):
+    cat = _mk(spark, str(tmp_path / "wh"))
+    before_snap = cat.current_snapshot("t")
+    before = sorted(r["v"] for r in cat.read(spark, "t").collect())
+    res = compact_table(spark, cat.warehouse, "t", small_bytes=10_000,
+                        target_bytes=1 << 30)
+    assert res["compacted_files"] == 4 and res["new_files"] == 1
+    after_files = cat.files("t")
+    assert len(after_files) == 1 and "compact-" in after_files[0]
+    after = sorted(r["v"] for r in cat.read(spark, "t").collect())
+    assert after == before
+    # part lineage survives the rewrite; operation is "replace"
+    assert cat.committed_part_ids("t") == {0, 1, 2, 3}
+    assert cat.current_snapshot("t")["operation"] == "replace"
+    # time travel: the pre-compaction snapshot still resolves 4 files
+    old = cat.files("t", snapshot_id=before_snap["snapshot-id"])
+    assert len(old) == 4
+    rows_old = sorted(
+        r["v"]
+        for r in cat.read(spark, "t", snapshot_id=before_snap["snapshot-id"]).collect()
+    )
+    assert rows_old == before
+
+
+def test_binpack_groups_by_target_bytes(spark, tmp_path):
+    """target_bytes = 2 files' worth → 4 small files become 2."""
+    cat = _mk(spark, str(tmp_path / "wh"))
+    res = compact_table(spark, cat.warehouse, "t", small_bytes=10_000,
+                        target_bytes=2_000)
+    assert res["compacted_files"] == 4 and res["new_files"] == 2
+    assert len(cat.files("t")) == 2
+    assert cat.read(spark, "t").count() == 40
+
+
+def test_large_files_not_candidates(spark, tmp_path):
+    """Files at/above small_bytes stay untouched; only the small ones
+    collapse."""
+    cat = _mk(spark, str(tmp_path / "wh"))
+    # one more file, recorded BIG
+    from pyspark.sql import functions as F
+
+    df = spark.range(100, 110).withColumnRenamed("id", "v").withColumn(
+        "out_bytes", F.lit(100).cast("long")
+    )
+    p = os.path.join(cat.data_dir("t"), "run-big")
+    df.write.parquet(p)
+    cat.commit_append("t", [{"path": p, "rows": 10, "bytes": 10**9,
+                             "part_ids": [99]}])
+    res = compact_table(spark, cat.warehouse, "t", small_bytes=10_000,
+                        target_bytes=1 << 30)
+    assert res["compacted_files"] == 4
+    files = cat.files("t")
+    assert len(files) == 2 and p in files
+    assert cat.read(spark, "t").count() == 50
+
+
+def test_skip_below_min_files(spark, tmp_path):
+    cat = _mk(spark, str(tmp_path / "wh"), n_files=1)
+    res = compact_table(spark, cat.warehouse, "t", small_bytes=10_000)
+    assert res["compacted_files"] == 0 and "skipped" in res
+    assert compact_table(spark, str(tmp_path / "nowh"), "t")["compacted_files"] == 0
+
+
+def test_replace_missing_path_is_conflict(spark, tmp_path):
+    cat = _mk(spark, str(tmp_path / "wh"), n_files=2)
+    with pytest.raises(CommitConflict):
+        cat.commit_replace("t", ["/not/in/manifest"], [])
+
+
+def test_conflict_replans_against_new_version(spark, tmp_path, monkeypatch):
+    """A concurrent append landing between planning and commit forces
+    a replan; the retry must see (and keep) the interloper's file."""
+    cat = _mk(spark, str(tmp_path / "wh"))
+    real = SnapshotCatalog.commit_replace
+    state = {"fired": False}
+
+    def racing(self, table, remove_paths, new_files, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            from pyspark.sql import functions as F
+
+            df = spark.range(500, 510).withColumnRenamed("id", "v").withColumn(
+                "out_bytes", F.lit(100).cast("long")
+            )
+            p = os.path.join(self.data_dir(table), "run-race")
+            df.write.parquet(p)
+            # the interloper commits an append → version moves on
+            self.commit_append(table, [{"path": p, "rows": 10,
+                                        "bytes": 10**9, "part_ids": [7]}])
+        return real(self, table, remove_paths, new_files, **kw)
+
+    monkeypatch.setattr(SnapshotCatalog, "commit_replace", racing)
+    res = compact_table(spark, cat.warehouse, "t", small_bytes=10_000,
+                        target_bytes=1 << 30)
+    assert res["compacted_files"] == 4
+    assert cat.read(spark, "t").count() == 50  # 40 compacted + 10 raced
+    assert state["fired"]
+
+
+def test_compacted_table_still_decodes(spark, tmp_path):
+    """End-to-end over REAL encoded blocks: snapshot-encode documents,
+    force several small run dirs, compact, decode — bit-identical."""
+    from parquetry_spark.engine import decode_blocks
+    from parquetry_spark.iceberg import run_encode_snapshots
+
+    wh = str(tmp_path / "wh")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    # three disjoint slices → three appended run dirs (each run skips
+    # nothing: slices carry disjoint rows but the SAME part-id space,
+    # so commit each slice as its own table-shard via direct appends)
+    cat = SnapshotCatalog(wh)
+    from parquetry_spark.engine import encode_preserve
+
+    from pyspark.sql import functions as F
+
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 10**9)]):
+        blocks = encode_preserve(
+            docs.filter(f"doc_id >= {lo} and doc_id < {hi}").repartition(2, "doc_id")
+        # distinct part-id space per run: decode_blocks dedupes on
+        # (part_id, column) — the crash-rerun contract — so appended
+        # runs must not reuse ids (exactly what run_encode_snapshots'
+        # skip-set guarantees for the hash/range/zorder layouts)
+        ).withColumn("part_id", F.col("part_id") + F.lit(i * (1 << 40)))
+        p = os.path.join(cat.data_dir("b"), f"run-{i}")
+        blocks.write.parquet(p)
+        n = spark.read.parquet(p).count()
+        cat.commit_append("b", [{"path": p, "rows": n, "bytes": 100,
+                                 "part_ids": []}])
+    before = cat.read(spark, "b").count()
+    res = compact_table(spark, wh, "b", small_bytes=10_000, target_bytes=1 << 30)
+    assert res["new_files"] == 1
+    blocks = cat.read(spark, "b")
+    assert blocks.count() == before
+    dec = decode_blocks(blocks, ["doc_id", "lang"], {"doc_id": "int64", "lang": "str"})
+    got = sorted(map(tuple, dec.select("doc_id", "lang").collect()))
+    want = sorted(map(tuple, docs.collect()))
+    assert got == want
