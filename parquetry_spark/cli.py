@@ -12,11 +12,14 @@ parquetry commands (reference main.go:61-111) and their forms here:
 
 Engine commands (the north-rule pipeline, spark-submit friendly):
 
-    encode  --in TABLE --out DIR [--parts N] [--cols a,b] [--layout hash|range] [--block-comp zstd|lz4]
+    encode  --in TABLE --out DIR [--parts N] [--cols a,b]
+            [--layout hash|range|zorder [--zorder-cols a,b]]
+            [--bloom-cols a,b] [--block-comp zstd|lz4]
     decode  --blocks DIR --cols a,b [--out DIR]
     verify  --in TABLE --blocks DIR [--key url]
     gen     --out DIR --rows N [--seed S]
     report  --out DIR
+    compact --warehouse DIR [--table T] [--small-bytes N] [--target-bytes N]
     curate  --in DOCS --out DIR [--dedup] [--quality-min Q]
             [--max-dup-word-frac F] [--max-top2gram-frac F]
             [--max-dup-line-frac F]
@@ -184,11 +187,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cols", default=None)
     p.add_argument(
         "--layout",
-        choices=("hash", "range"),
+        choices=("hash", "range", "zorder"),
         default="hash",
-        help="partition layout: salted host-hash (default) or host "
+        help="partition layout: salted host-hash (default), host "
         "range boundaries (disjoint string zone maps; boundaries "
-        "persisted in OUT for resume)",
+        "persisted in OUT for resume), or z-order clustering on "
+        "--zorder-cols (zone maps prune on every clustered column; "
+        "rank edges persisted in OUT for resume)",
+    )
+    p.add_argument(
+        "--zorder-cols", default=None, metavar="A,B",
+        help=">= 2 numeric/temporal columns for --layout zorder",
+    )
+    p.add_argument(
+        "--bloom-cols", default=None, metavar="A,B",
+        help="string columns to carry per-block Bloom filters "
+        "(equality/IN pruning where zone maps can't help — "
+        "hash-partitioned high-cardinality columns like urls)",
     )
     p.add_argument(
         "--block-comp",
@@ -367,6 +382,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--key", default="url")
     p = sub.add_parser("report")
     p.add_argument("--out", required=True)
+    p = sub.add_parser("compact")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", default="blocks")
+    p.add_argument("--small-bytes", type=int, default=32 << 20)
+    p.add_argument("--target-bytes", type=int, default=128 << 20)
 
     args = ap.parse_args(argv)
 
@@ -439,6 +459,8 @@ def main(argv: list[str] | None = None) -> int:
             res = run_encode(
                 spark, df, args.out, cols, args.parts, url_col, ts_col,
                 layout=args.layout, block_comp=args.block_comp,
+                zorder_cols=args.zorder_cols.split(",") if args.zorder_cols else None,
+                bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
             )
             print(json.dumps(res, default=str))
             return 0
@@ -710,6 +732,15 @@ def main(argv: list[str] | None = None) -> int:
             from .parity.meta import manifest_report
 
             manifest_report(spark, args.out).show(100, truncate=False)
+            return 0
+        if args.cmd == "compact":
+            from .iceberg import compact_table
+
+            res = compact_table(
+                spark, args.warehouse, args.table,
+                small_bytes=args.small_bytes, target_bytes=args.target_bytes,
+            )
+            print(json.dumps(res, default=str))
             return 0
 
         # row pipeline commands: cat/to/head/tail/where/reshape

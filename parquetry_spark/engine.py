@@ -1436,6 +1436,8 @@ def run_encode(
     stage: str = "encode",
     layout: str = "hash",
     block_comp: str | None = None,
+    zorder_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Resumable encode run.
 
@@ -1469,7 +1471,12 @@ def run_encode(
     # (rows silently never encoded), so mismatches fail loudly instead.
     import json as _json
 
+    # bloom_cols is deliberately NOT identity: blooms never affect part
+    # assignment, and a resume that adds/drops them stays correct
+    # (bloom-less blocks are never wrongly pruned)
     ident = {"layout": layout, "n_parts": n_parts, "url_col": url_col}
+    if layout == "zorder":
+        ident["zorder_cols"] = list(zorder_cols or [])
     ident_path = os.path.join(out_dir, f"run_identity_{stage}.json")
     if os.path.exists(ident_path):
         with open(ident_path) as fh:
@@ -1487,9 +1494,27 @@ def run_encode(
             _json.dump(ident, fh)
     salts: dict[str, int] | None = None
     boundaries: list[str] | None = None
+    zorder_edges: dict[str, list[float]] | None = None
     salts_path = os.path.join(out_dir, f"salts_{stage}.json")
     bounds_path = os.path.join(out_dir, f"range_bounds_{stage}.json")
-    if url_col and url_col in df.columns:
+    zedges_path = os.path.join(out_dir, f"zorder_edges_{stage}.json")
+    if layout == "zorder":
+        # rank edges are the layout's identity, exactly like salt maps
+        # and range boundaries: first run samples + persists, resumes
+        # reload so part assignment is a pure function of the data
+        from .partitioning import sample_quantile_edges
+
+        if os.path.exists(zedges_path):
+            with open(zedges_path) as fh:
+                zorder_edges = _json.load(fh)
+        else:
+            zorder_edges = {
+                c: sample_quantile_edges(df, c) for c in (zorder_cols or [])
+            }
+            os.makedirs(out_dir, exist_ok=True)
+            with open(zedges_path, "w") as fh:
+                _json.dump(zorder_edges, fh)
+    elif url_col and url_col in df.columns:
         if layout == "range":
             from .partitioning import sample_range_boundaries
 
@@ -1513,7 +1538,8 @@ def run_encode(
     # driver-side IN-list would not survive 500k partitions)
     blocks = encode_table(
         df, columns, n_parts, url_col, ts_col, salts=salts, exclude_parts=committed_df,
-        layout=layout, boundaries=boundaries, block_comp=block_comp
+        layout=layout, boundaries=boundaries, block_comp=block_comp,
+        zorder_cols=zorder_cols, zorder_edges=zorder_edges, bloom_cols=bloom_cols,
     )
     blocks.write.mode("append").parquet(blocks_path)
 

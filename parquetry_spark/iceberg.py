@@ -269,7 +269,13 @@ class SnapshotCatalog:
             "current-snapshot-id": snap_id,
             "snapshots": ((parent or {}).get("snapshots", []) + [snap]),
         }
-        new_v = (cur_v or 0) + 1
+        self._swap_version(table, meta, (cur_v or 0) + 1)
+        return snap
+
+    def _swap_version(self, table: str, meta: dict, new_v: int) -> None:
+        """Atomically publish `meta` as version `new_v`: write a tmp
+        file, claim the version slot with O_EXCL (losing the race →
+        CommitConflict), rename into place, swap the hint."""
         target = self._meta_file(table, new_v)
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
@@ -287,7 +293,34 @@ class SnapshotCatalog:
         with open(hint_tmp, "w") as fh:
             fh.write(str(new_v))
         os.replace(hint_tmp, self._hint(table))
-        return snap
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest `keep_last` snapshots from the
+        table metadata (Iceberg's expire_snapshots maintenance
+        action): time travel to the dropped ones ends, and data files
+        they referenced exclusively become unreferenced — the next
+        expire_orphans reclaims the bytes. The current snapshot is
+        always kept. Publishes a new metadata version through the
+        same atomic O_EXCL dance as commits (racing writers conflict,
+        retry on the new version). Returns the dropped snapshot ids.
+        """
+        cur_v = self.current_version(table)
+        meta = self.load(table, cur_v) if cur_v is not None else None
+        if not meta:
+            return []
+        snaps = meta["snapshots"]
+        keep = snaps[-max(keep_last, 1):]
+        cur_id = meta["current-snapshot-id"]
+        if cur_id is not None and all(s["snapshot-id"] != cur_id for s in keep):
+            keep = [s for s in snaps if s["snapshot-id"] == cur_id] + keep
+        dropped = [
+            s["snapshot-id"] for s in snaps
+            if all(k["snapshot-id"] != s["snapshot-id"] for k in keep)
+        ]
+        if not dropped:
+            return []
+        self._swap_version(table, {**meta, "snapshots": keep}, (cur_v or 0) + 1)
+        return dropped
 
     def expire_orphans(self, table: str) -> list[str]:
         """Delete data directories not referenced by ANY snapshot —
@@ -574,10 +607,19 @@ def compact_table(
             # one file per group: the whole point is fewer, larger files
             src.coalesce(1).write.mode("error").parquet(out_dir)
             written = spark.read.parquet(out_dir)
-            st = written.agg(
-                F.count("*").alias("rows"),
-                F.sum("out_bytes").alias("bytes"),
-            ).collect()[0]
+            aggs = [F.count("*").alias("rows")]
+            # schema-agnostic: block tables carry logical out_bytes;
+            # any other table falls back to the rewrite's disk size
+            if "out_bytes" in written.columns:
+                aggs.append(F.sum("out_bytes").alias("bytes"))
+            st = written.agg(*aggs).collect()[0]
+            if "out_bytes" not in written.columns:
+                disk = sum(
+                    os.path.getsize(os.path.join(r, n))
+                    for r, _, ns in os.walk(out_dir)
+                    for n in ns
+                )
+                st = {"rows": st["rows"], "bytes": disk}
             part_ids = sorted({p for f in grp for p in f.get("part_ids", [])})
             new_files.append(
                 {

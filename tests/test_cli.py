@@ -326,3 +326,74 @@ def test_curate_chunk_pack_conflict(tmp_path):
                 "--chunk", "10", "--pack", "lang",
             ]
         )
+
+
+def test_cli_encode_zorder_and_bloom(spark, tmp_path):
+    """encode --layout zorder persists the rank edges for resume and
+    the blocks carry blooms for --bloom-cols; decode round-trips."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys
+
+    inp = "/root/testdata/sf0.001/events.parquet"
+    out = str(tmp_path / "enc_z")
+    r = subprocess.run(
+        [sys.executable, "-m", "parquetry_spark.cli", "encode",
+         "--in", inp, "--out", out, "--parts", "4",
+         "--layout", "zorder", "--zorder-cols", "user_id,event_id",
+         "--bloom-cols", "event_type"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["parts"] >= 2
+    edges_path = _os.path.join(out, "zorder_edges_encode.json")
+    assert _os.path.exists(edges_path)
+    edges = _json.load(open(edges_path))
+    assert set(edges) == {"user_id", "event_id"}
+    blocks = spark.read.parquet(_os.path.join(out, "blocks", "stage=encode"))
+    from pyspark.sql import functions as F
+
+    et = blocks.filter("column = 'event_type'").select(
+        F.element_at("params", F.lit("bloom")).alias("b")
+    )
+    assert et.filter(F.col("b").isNotNull()).count() == et.count() > 0
+    # zorder identity mismatch on resume fails loudly
+    r2 = subprocess.run(
+        [sys.executable, "-m", "parquetry_spark.cli", "encode",
+         "--in", inp, "--out", out, "--parts", "4",
+         "--layout", "zorder", "--zorder-cols", "user_id,value"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode != 0
+    assert "identity mismatch" in (r2.stderr + r2.stdout)
+
+
+def test_cli_compact(spark, tmp_path, monkeypatch):
+    """The compact subcommand runs compact_table over a warehouse."""
+    import contextlib
+    import io
+    import json as _json
+    import os as _os
+
+    import parquetry_spark.session as session_mod
+    from parquetry_spark.cli import main as cli_main
+    from parquetry_spark.iceberg import SnapshotCatalog
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: _NoStop(spark))
+    wh = str(tmp_path / "wh")
+    cat = SnapshotCatalog(wh)
+    for i in range(3):
+        df = spark.range(i * 5, (i + 1) * 5).withColumnRenamed("id", "v")
+        p = _os.path.join(cat.data_dir("t"), f"run-{i}")
+        df.write.parquet(p)
+        cat.commit_append("t", [{"path": p, "rows": 5, "bytes": 500,
+                                 "part_ids": [i]}])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["compact", "--warehouse", wh, "--table", "t"])
+    assert rc == 0
+    res = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["compacted_files"] == 3 and res["new_files"] == 1
+    assert cat.read(spark, "t").count() == 15

@@ -178,3 +178,34 @@ def test_compacted_table_still_decodes(spark, tmp_path):
     got = sorted(map(tuple, dec.select("doc_id", "lang").collect()))
     want = sorted(map(tuple, docs.collect()))
     assert got == want
+
+
+def test_expire_snapshots_then_orphans_reclaims(spark, tmp_path):
+    """The full maintenance loop: compact → expire_snapshots →
+    expire_orphans deletes the pre-compaction run dirs; the current
+    snapshot still reads every row."""
+    cat = _mk(spark, str(tmp_path / "wh"))
+    old_files = cat.files("t")
+    compact_table(spark, cat.warehouse, "t", small_bytes=10_000,
+                  target_bytes=1 << 30)
+    # history still pins the old files → nothing reclaimable yet
+    assert cat.expire_orphans("t") == []
+    dropped = cat.expire_snapshots("t", keep_last=1)
+    assert len(dropped) == 4  # the four appends; the replace stays
+    hist = cat.history("t")
+    assert len(hist) == 1
+    assert hist[0]["snapshot-id"] == cat.current_snapshot("t")["snapshot-id"]
+    removed = cat.expire_orphans("t")
+    assert sorted(removed) == sorted(old_files)
+    assert not any(os.path.exists(p) for p in old_files)
+    assert cat.read(spark, "t").count() == 40
+
+
+def test_expire_snapshots_keeps_current_and_noop(spark, tmp_path):
+    cat = _mk(spark, str(tmp_path / "wh"), n_files=2)
+    assert cat.expire_snapshots("t", keep_last=5) == []  # nothing to drop
+    dropped = cat.expire_snapshots("t", keep_last=1)
+    assert len(dropped) == 1
+    cur = cat.current_snapshot("t")
+    assert cur is not None and cat.read(spark, "t").count() == 20
+    assert cat.expire_snapshots("nope") == []
