@@ -546,10 +546,13 @@ def q_compact_decode(spark, sf):
             cat.read(spark, "b"), ["doc_id", "lang"],
             {"doc_id": "int64", "lang": "str"},
         )
-        # materialize before the warehouse dir goes away
-        out = dec.select("doc_id", "lang").cache()
-        out.count()
-        return out
+        # HARD-materialize before the warehouse dir goes away: a
+        # cache() is best-effort (evicted blocks would recompute
+        # against deleted paths). This collect is the query's own
+        # result set — the harness collects it anyway — so it is
+        # bounded by definition, not a distributed-operator collect.
+        rows = dec.select("doc_id", "lang").collect()
+        return spark.createDataFrame(rows, "doc_id long, lang string")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 

@@ -377,15 +377,30 @@ def prune_blocks_eq(blocks: DataFrame, column: str, values: list[str]) -> DataFr
     `values`. Metadata-only, like prune_blocks — pruned partitions'
     payloads are never fetched — and never a correctness filter:
     blocks without a bloom (unencoded columns, non-str blocks, a
-    different bloom_m generation) are always kept. The bit tests are
-    plan-time constants (positions computed driver-side from the
-    probe values), lowered to k base64-decode/byte/mask expressions
-    per value — pure codegen over the params map."""
+    different bloom_m/bloom_k generation, or a params map missing
+    either knob) are always kept — BOTH knobs are generation-checked
+    null-safely, because probing a filter built with different
+    parameters would produce false negatives, i.e. wrongly pruned
+    matching rows. The bit tests are plan-time constants (positions
+    computed driver-side from the probe values), lowered to
+    byte/mask expressions over ONE materialized base64 decode per
+    block row — pure codegen over the params map."""
     if not values:
         return blocks
     bl = F.element_at("params", F.lit("bloom"))
-    unmapped = bl.isNull() | (
-        F.element_at("params", F.lit("bloom_m")) != F.lit(str(_BLOOM_M))
+    bm = F.element_at("params", F.lit("bloom_m"))
+    bk = F.element_at("params", F.lit("bloom_k"))
+    unmapped = (
+        bl.isNull()
+        | bm.isNull()
+        | (bm != F.lit(str(_BLOOM_M)))
+        | bk.isNull()
+        | (bk != F.lit(str(_BLOOM_K)))
+    )
+    # decode the 2 KB filter ONCE per block row; every bit test
+    # references the materialized column instead of re-decoding
+    probed = blocks.filter(F.col("column") == column).withColumn(
+        "__bloom_bits", F.unbase64(bl)
     )
     any_hit = F.lit(False)
     for v in values:
@@ -393,22 +408,13 @@ def prune_blocks_eq(blocks: DataFrame, column: str, values: list[str]) -> DataFr
         for p in _bloom_positions(str(v)):
             byte_idx, mask = p // 8, 1 << (7 - p % 8)
             byte_val = F.conv(
-                F.hex(
-                    F.expr(
-                        f"substring(unbase64(element_at(params, 'bloom')), "
-                        f"{byte_idx + 1}, 1)"
-                    )
-                ),
+                F.hex(F.expr(f"substring(__bloom_bits, {byte_idx + 1}, 1)")),
                 16,
                 10,
             ).cast("int")
             hit = hit & (byte_val.bitwiseAND(F.lit(mask)) != F.lit(0))
         any_hit = any_hit | hit
-    kept = (
-        blocks.filter(F.col("column") == column)
-        .filter(unmapped | any_hit)
-        .select("part_id")
-    )
+    kept = probed.filter(unmapped | any_hit).select("part_id")
     return blocks.join(kept, "part_id", "left_semi")
 
 
@@ -609,6 +615,7 @@ def prune_blocks_for_expr(
     """Apply zone-map pruning for every range constraint provable from
     `expr` (filter_bounds). The exact filter must still run on the
     decoded rows — this only skips partitions that cannot match."""
+    eq_probed: dict[str, str] = {}
     for col, (lo, hi) in filter_bounds(expr, ltypes).items():
         if col.lower() == "part_id":
             # the decoded schema leads with the synthetic part_id, so
@@ -621,8 +628,13 @@ def prune_blocks_for_expr(
             # hash-partitioned high-cardinality column — consult the
             # per-block Bloom filter too (no-op on bloom-less blocks)
             blocks = prune_blocks_eq(blocks, col, [lo])
+            eq_probed[col] = lo
     for col, vals in filter_sets(expr, ltypes).items():
         if col.lower() == "part_id":
+            continue
+        if vals == [eq_probed.get(col)]:
+            # `col in ['x']` surfaces through filter_bounds (lo==hi)
+            # AND filter_sets — one bloom probe is enough
             continue
         if vals and all(isinstance(v, str) for v in vals):
             blocks = prune_blocks_eq(blocks, col, vals)
@@ -1462,7 +1474,12 @@ def run_encode(
     except Exception:
         committed_df = None
 
-    columns = columns or [c for c in df.columns if c != "part_id"]
+    # same exclusions as encode_table's default: part_id is a stale
+    # partition key, and __z would alias the zorder layout's synthetic
+    # Morton key (the withColumn clobbers it case-insensitively)
+    columns = columns or [
+        c for c in df.columns if c.lower() not in ("part_id", "__z")
+    ]
     # the partition layout (salt map / range boundaries) is part of the
     # run's identity: persist on first run, reload on resume — part
     # assignment must be identical across runs. The identity file makes
@@ -1476,7 +1493,15 @@ def run_encode(
     # (bloom-less blocks are never wrongly pruned)
     ident = {"layout": layout, "n_parts": n_parts, "url_col": url_col}
     if layout == "zorder":
-        ident["zorder_cols"] = list(zorder_cols or [])
+        # validate BEFORE any identity/edges file lands: a mistyped
+        # first run must fail with zero side effects, not poison the
+        # out_dir's resume identity
+        if not zorder_cols or len(zorder_cols) < 2:
+            raise ValueError("layout='zorder' needs zorder_cols (>= 2 columns)")
+        missing = [c for c in zorder_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder_cols not in input: {missing}")
+        ident["zorder_cols"] = list(zorder_cols)
     ident_path = os.path.join(out_dir, f"run_identity_{stage}.json")
     if os.path.exists(ident_path):
         with open(ident_path) as fh:

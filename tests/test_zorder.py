@@ -164,4 +164,9 @@ def test_nulls_and_constant_dimension(spark):
     )
     rows = {r["a"]: (r["part_id"], r["__z"]) for r in keyed.collect()}
     assert all(0 <= p < 4 for p, _ in rows.values())
-    assert rows[1][1] == rows[4][1] == 0 or rows[1][1] >= 0  # nulls → bucket 0
+    # both dims null → both buckets 0 → z == 0
+    assert rows[4][1] == 0
+    # c null (bucket 0) + b on empty edges (bucket 0) → z == 0
+    assert rows[2][1] == 0
+    # b null (bucket 0) but c=5.0 > edge 2.0 → c contributes: z > 0
+    assert rows[1][1] > 0
