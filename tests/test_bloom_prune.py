@@ -134,3 +134,20 @@ def test_expr_wiring_eq_and_in(spark, url_blocks):
         ), expr
         dec = decode_blocks(pruned, ["doc_id", "url"], ltypes)
         assert dec.filter(dec.url == target).count() == 1
+
+
+def test_bloom_membership_property():
+    """Hypothesis: for ANY set of strings (unicode, empty, NUL-ish),
+    every member's positions are all set — no false negative, ever."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(max_size=24), min_size=1, max_size=50))
+    def prop(vals):
+        arr = np.array(vals, dtype=object)
+        bits = _bits(_bloom_params(arr))
+        for v in vals:
+            assert all(bits[p] for p in _bloom_positions(v))
+
+    prop()
