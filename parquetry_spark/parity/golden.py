@@ -145,7 +145,10 @@ def _render_value(v, t: pa.DataType, *, json_mode: bool, tz=None):
     if pa.types.is_map(t):
         items = {k: _render_value(x, t.item_type, json_mode=json_mode) for k, x in v}
         if json_mode:
-            return items
+            # Go's encoding/json sorts map keys (encode.go); structs
+            # keep field order — so sort HERE, not via json.dumps
+            # sort_keys (which would also reorder struct fields)
+            return dict(sorted(items.items()))
         inner = " ".join(f"{k}:{items[k]}" for k in sorted(items))  # Go fmt sorts
         return f"map[{inner}]"
     if pa.types.is_struct(t):
@@ -243,6 +246,76 @@ def cat_go(path: str, head: int | None = None, tail: int | None = None) -> str:
         )
         out.append("{" + body + "}")
     return "\n".join(out) + ("\n" if out else "")
+
+
+def _csv_field(s: str) -> str:
+    """Quote one CSV field exactly like Go encoding/csv
+    (fieldNeedsQuotes, csv/writer.go): quote when the field contains
+    the comma, a quote, CR/LF, equals the literal `\\.`, or STARTS
+    with a space rune (Python's csv module does not quote leading
+    space — that's why this is hand-rolled)."""
+    if s == "":
+        return s
+    if (
+        s == "\\."
+        or any(ch in s for ch in ',"\r\n')
+        or s[0].isspace()
+    ):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def cat_csv(path: str, head: int | None = None, tail: int | None = None) -> str:
+    """CSV sink (to_csv.txtar goldens): header = ORIGINAL column
+    names (reference write_csv.go: the parquet tag name wins over the
+    exported field name); scalar cells via fmt.Sprint semantics
+    (temporal types render as their layout strings — reflect String
+    kind, so UNquoted in the golden), everything else (maps, structs,
+    lists, null optionals, bools) through json.Marshal compact."""
+    schema, rows, tzmap = _read_rows(path, head, tail)
+    lines = [",".join(_csv_field(f.name) for f in schema)]
+    for row in rows:
+        cells = []
+        for f in schema:
+            v = _render_value(
+                row[f.name], f.type, json_mode=True, tz=tzmap.get(f.name)
+            )
+            if isinstance(v, str):
+                cells.append(_csv_field(v))  # fmt.Sprint path
+            elif isinstance(v, (dict, list, bool)) or v is None:
+                cells.append(
+                    _csv_field(
+                        json.dumps(v, ensure_ascii=False, separators=(",", ":"))
+                    )
+                )
+            else:  # ints/floats: fmt.Sprint (fixtures carry no floats;
+                # Go %v float spelling differs from str() at extremes)
+                cells.append(_csv_field(str(v)))
+        lines.append(",".join(cells))
+    return "\n".join(lines) + "\n"
+
+
+def cat_json(path: str, head: int | None = None, tail: int | None = None) -> str:
+    """JSON-array sink (to_json.txtar goldens): `[\\n  ` + rows
+    `,\\n  `-joined + `\\n]\\n`; the EMPTY table is `[]` with no
+    newline (reference write_json.go Close: w.e == nil branch)."""
+    schema, rows, tzmap = _read_rows(path, head, tail)
+    if not rows:
+        return "[]"
+    body = ",\n  ".join(
+        json.dumps(
+            {
+                f.name: _render_value(
+                    row[f.name], f.type, json_mode=True, tz=tzmap.get(f.name)
+                )
+                for f in schema
+            },
+            ensure_ascii=False,
+            separators=(",", ":"),
+        )
+        for row in rows
+    )
+    return "[\n  " + body + "\n]\n"
 
 
 def cat_jsonl(path: str, head: int | None = None, tail: int | None = None) -> str:

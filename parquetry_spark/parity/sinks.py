@@ -254,6 +254,9 @@ def json_string(df: DataFrame) -> str:
         .collect()
     )
     if not rows:
-        return "[]\n"
+        # write_json.go Close (w.e == nil branch): bare "[]" with NO
+        # trailing newline — the non-empty close "\n]\n" is the only
+        # newline-terminated form
+        return "[]"
     body = ",\n  ".join(r["j"] for r in rows)
     return "[\n  " + body + "\n]\n"

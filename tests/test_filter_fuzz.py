@@ -1,0 +1,483 @@
+"""Differential fuzz of the filter DSL (round 5): hypothesis-generated
+predicate ASTs are rendered BOTH as the DSL spelling (parity.filters
+compile_filter → Spark Column → Catalyst) and as ANSI SQL (DuckDB)
+over the SAME table; the surviving id-sets must be identical.
+
+This is the same differential-oracle idea as the driver's correctness
+gate (__spark_entry__ queries vs oracle_sql), but over a RANDOM
+predicate space instead of a fixed query list: every operator the DSL
+grammar exposes (6 comparison ops, null tests, coalesce, membership,
+contains / matches / startsWith / endsWith, upper / lower / len,
+boolean algebra with three-valued-logic null propagation) is composed
+to depth 3 and cross-checked. The reference's where.txtar matrix
+pins ~40 hand-picked cases (tests/test_parity.py); this closes the
+combinatorial gap between those points.
+
+Semantics deliberately in scope:
+  - three-valued logic: WHERE keeps only TRUE — NULL ands/ors/nots
+    must drop rows identically in both engines;
+  - `x in [..]` with a NULL x (NULL, dropped) and with values absent
+    from the list (plain false);
+  - coalesce changing nullability under a comparison;
+  - len/upper/lower over NULL and empty strings;
+  - regex `matches` as unanchored SEARCH (Spark RLIKE ≡ DuckDB
+    regexp_matches).
+Out of scope (pinned by dedicated tests elsewhere): temporal raw-unit
+overloads (test_time_filters — needs ltype column metadata), NaN
+ordering (Spark ORDER-last vs IEEE — engine property tests pin the
+codec side; the DSL never synthesizes NaN literals), and non-ASCII
+collation (both engines compare binary; parity tests cover unicode).
+
+Each example is a real Spark job, so the example count is modest and
+the session fixture is reused (function-scoped-fixture health check
+suppressed deliberately: the session is stateless across examples).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquetry_spark.parity.filters import compile_filter
+
+# ---------------------------------------------------------------- table
+# Small cross-product so every comparison collides with real data:
+# ints/floats/strings/bools, each with NULLs. Floats are exact binary
+# fractions so literal parsing is identical in both engines; strings
+# are ASCII so collation is byte-order in both.
+I_VALS = [None, -3, -1, 0, 1, 2, 3]
+F_VALS = [None, -1.5, 0.0, 2.25, 7.5]
+S_VALS = [None, "", "a", "ab", "b", "BA", "xyz"]
+B_VALS = [None, True, False]
+
+
+def _rows():
+    rid = 0
+    for i in I_VALS:
+        for f in F_VALS:
+            for s in S_VALS:
+                for b in B_VALS:
+                    yield (rid, i, f, s, b)
+                    rid += 1
+
+
+@pytest.fixture(scope="module")
+def fuzz_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("i", T.LongType(), True),
+            T.StructField("f", T.DoubleType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("b", T.BooleanType(), True),
+        ]
+    )
+    df = spark.createDataFrame(list(_rows()), schema).coalesce(2).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck():
+    rows = list(_rows())
+    tbl = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "i": pa.array([r[1] for r in rows], pa.int64()),
+            "f": pa.array([r[2] for r in rows], pa.float64()),
+            "s": pa.array([r[3] for r in rows], pa.string()),
+            "b": pa.array([r[4] for r in rows], pa.bool_()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    yield con
+    con.close()
+
+
+# ------------------------------------------------------------- strategy
+# AST nodes are tuples; two renderers turn one tree into the DSL
+# spelling and the SQL spelling. Literal pools overlap the data pools
+# plus near-misses so every comparison has both hits and misses.
+INT_LITS = [-4, -3, -1, 0, 1, 2, 3, 5]
+FLT_LITS = [-1.5, 0.0, 2.25, 7.5, 1.5]
+STR_LITS = ["", "a", "ab", "b", "BA", "xyz", "zz", "A"]
+REGEXES = ["a", "b+", "^a", "x|y", "[ab]", "^$", "a.b"]
+CMP = ["==", "!=", "<", "<=", ">", ">="]
+SQL_CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+_num_col = st.sampled_from(["i", "f"])
+_cmp_op = st.sampled_from(CMP)
+
+cmp_num = st.tuples(
+    st.just("cmp"),
+    _cmp_op,
+    _num_col,
+    st.one_of(
+        st.sampled_from(INT_LITS).map(lambda v: ("int", v)),
+        st.sampled_from(FLT_LITS).map(lambda v: ("flt", v)),
+        st.sampled_from(["i", "f"]).map(lambda c: ("col", c)),
+    ),
+)
+cmp_str = st.tuples(
+    st.just("scmp"),
+    _cmp_op,
+    st.sampled_from(["plain", "upper", "lower"]),
+    st.sampled_from(STR_LITS),
+)
+cmp_len = st.tuples(st.just("len"), _cmp_op, st.sampled_from([0, 1, 2, 3]))
+null_test = st.tuples(
+    st.just("null"),
+    st.sampled_from(["i", "f", "s", "b"]),
+    st.booleans(),  # True = "== nil"
+)
+in_list = st.one_of(
+    st.tuples(
+        st.just("in_i"), st.lists(st.sampled_from(INT_LITS), min_size=1, max_size=4)
+    ),
+    st.tuples(
+        st.just("in_s"), st.lists(st.sampled_from(STR_LITS), min_size=1, max_size=4)
+    ),
+)
+str_pred = st.one_of(
+    st.tuples(
+        st.just("strop"),
+        st.sampled_from(["contains", "startsWith", "endsWith"]),
+        st.sampled_from(STR_LITS),
+    ),
+    st.tuples(st.just("matches"), st.sampled_from(REGEXES)),
+)
+coal_cmp = st.one_of(
+    st.tuples(
+        st.just("coal_i"), _cmp_op, st.sampled_from(INT_LITS), st.sampled_from(INT_LITS)
+    ),
+    st.tuples(
+        st.just("coal_s"), _cmp_op, st.sampled_from(STR_LITS), st.sampled_from(STR_LITS)
+    ),
+)
+bare_bool = st.one_of(
+    st.just(("bool",)),
+    st.tuples(st.just("bool_eq"), st.booleans()),
+)
+
+leaf = st.one_of(
+    cmp_num, cmp_str, cmp_len, null_test, in_list, str_pred, coal_cmp, bare_bool
+)
+pred = st.recursive(
+    leaf,
+    lambda c: st.one_of(
+        st.tuples(st.just("and"), c, c),
+        st.tuples(st.just("or"), c, c),
+        st.tuples(st.just("not"), c),
+    ),
+    max_leaves=6,
+)
+
+
+# ------------------------------------------------------------- renderers
+def _dsl_str(v: str) -> str:
+    return '"' + v + '"'  # ASCII pool, no escapes needed
+
+
+def _sql_str(v: str) -> str:
+    return "'" + v + "'"
+
+
+def _dsl_num(tag_v) -> str:
+    tag, v = tag_v
+    if tag == "col":
+        return v
+    if tag == "flt":
+        s = repr(float(v))
+        return s if "." in s else s + ".0"
+    return str(v)
+
+
+def _sql_num(tag_v) -> str:
+    tag, v = tag_v
+    if tag == "col":
+        return v
+    if tag == "flt":
+        # cast so DuckDB compares double-vs-double, mirroring Spark's
+        # F.lit(float) (a bare 2.25 lexes as DECIMAL in DuckDB —
+        # identical results for these exact values, but keep the
+        # engines' plans honestly aligned)
+        return f"CAST({v!r} AS DOUBLE)"
+    return str(v)
+
+
+def to_dsl(n) -> str:
+    op = n[0]
+    if op == "and":
+        return f"({to_dsl(n[1])}) && ({to_dsl(n[2])})"
+    if op == "or":
+        return f"({to_dsl(n[1])}) || ({to_dsl(n[2])})"
+    if op == "not":
+        return f"!({to_dsl(n[1])})"
+    if op == "cmp":
+        return f"{n[2]} {n[1]} {_dsl_num(n[3])}"
+    if op == "scmp":
+        col = {"plain": "s", "upper": "upper(s)", "lower": "lower(s)"}[n[2]]
+        return f"{col} {n[1]} {_dsl_str(n[3])}"
+    if op == "len":
+        return f"len(s) {n[1]} {n[2]}"
+    if op == "null":
+        return f"{n[1]} {'==' if n[2] else '!='} nil"
+    if op == "in_i":
+        return f"i in [{', '.join(str(v) for v in n[1])}]"
+    if op == "in_s":
+        return f"s in [{', '.join(_dsl_str(v) for v in n[1])}]"
+    if op == "strop":
+        return f"s {n[1]} {_dsl_str(n[2])}"
+    if op == "matches":
+        return f"s matches {_dsl_str(n[1])}"
+    if op == "coal_i":
+        return f"(i ?? {n[2]}) {n[1]} {n[3]}"
+    if op == "coal_s":
+        return f"(s ?? {_dsl_str(n[2])}) {n[1]} {_dsl_str(n[3])}"
+    if op == "bool":
+        return "b"
+    if op == "bool_eq":
+        return f"b == {'true' if n[1] else 'false'}"
+    raise AssertionError(op)
+
+
+def to_sql(n) -> str:
+    op = n[0]
+    if op == "and":
+        return f"({to_sql(n[1])}) AND ({to_sql(n[2])})"
+    if op == "or":
+        return f"({to_sql(n[1])}) OR ({to_sql(n[2])})"
+    if op == "not":
+        return f"NOT ({to_sql(n[1])})"
+    if op == "cmp":
+        return f"{n[2]} {SQL_CMP[n[1]]} {_sql_num(n[3])}"
+    if op == "scmp":
+        col = {"plain": "s", "upper": "upper(s)", "lower": "lower(s)"}[n[2]]
+        return f"{col} {SQL_CMP[n[1]]} {_sql_str(n[3])}"
+    if op == "len":
+        return f"length(s) {SQL_CMP[n[1]]} {n[2]}"
+    if op == "null":
+        return f"{n[1]} IS {'NULL' if n[2] else 'NOT NULL'}"
+    if op == "in_i":
+        return f"i IN ({', '.join(str(v) for v in n[1])})"
+    if op == "in_s":
+        return f"s IN ({', '.join(_sql_str(v) for v in n[1])})"
+    if op == "strop":
+        fn = {
+            "contains": "contains",
+            "startsWith": "starts_with",
+            "endsWith": "ends_with",
+        }[n[1]]
+        return f"{fn}(s, {_sql_str(n[2])})"
+    if op == "matches":
+        return f"regexp_matches(s, {_sql_str(n[1])})"
+    if op == "coal_i":
+        return f"COALESCE(i, {n[2]}) {SQL_CMP[n[1]]} {n[3]}"
+    if op == "coal_s":
+        return f"COALESCE(s, {_sql_str(n[2])}) {SQL_CMP[n[1]]} {_sql_str(n[3])}"
+    if op == "bool":
+        return "b"
+    if op == "bool_eq":
+        return f"b = {'TRUE' if n[1] else 'FALSE'}"
+    raise AssertionError(op)
+
+
+# ---------------------------------------------------------------- tests
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred)
+def test_filter_differential(fuzz_df, fuzz_duck, tree):
+    dsl, sql = to_dsl(tree), to_sql(tree)
+    got = {
+        r.id
+        for r in fuzz_df.filter(compile_filter(fuzz_df, dsl)).select("id").collect()
+    }
+    want = {r[0] for r in fuzz_duck.execute(f"SELECT id FROM t WHERE {sql}").fetchall()}
+    assert got == want, f"dsl={dsl!r}\nsql={sql!r}\nonly_spark={sorted(got - want)[:10]} only_duck={sorted(want - got)[:10]}"
+
+
+def test_fuzz_table_shape(fuzz_df):
+    assert fuzz_df.count() == len(I_VALS) * len(F_VALS) * len(S_VALS) * len(B_VALS)
+
+
+# ------------------------------------------------- temporal differential
+# F2 is the subtlest operator family (filter.go:47-82 overloads:
+# timestamp vs RFC3339 string, vs raw µs int; date vs string, vs raw
+# days int). Both engines build their columns from the SAME int64
+# pools (timestamp_micros / make_timestamp, date_from_unix_date /
+# DATE + days) so there is no timezone or parse ambiguity in the DATA
+# — only the comparison overloads under test differ in spelling.
+_TS_BASE = 1_066_644_672_000_000  # 2003-10-20 10:11:12 UTC in µs
+TS_US_VALS = [
+    None,
+    _TS_BASE - 86_400_000_000,
+    _TS_BASE - 1_000_000,
+    _TS_BASE,
+    _TS_BASE + 1,  # 1 µs later: fractional-literal edge
+    _TS_BASE + 3_600_000_000,
+    _TS_BASE + 90_061_000_000,
+]
+D_DAYS_VALS = [None, 12340, 12344, 12345, 12346, 12350]  # around 2003-10-20
+
+
+def _us_to_sql_ts(us: int) -> str:
+    import datetime
+
+    dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+    body = dt.strftime("%Y-%m-%d %H:%M:%S")
+    if dt.microsecond:
+        body += f".{dt.microsecond:06d}"
+    return body
+
+
+def _days_to_sql_date(days: int) -> str:
+    import datetime
+
+    return (datetime.date(1970, 1, 1) + datetime.timedelta(days=days)).isoformat()
+
+
+# literal pools: every stored value plus near-misses (±1 µs / ±1 day)
+TS_LIT_POOL = sorted(
+    {v for v in TS_US_VALS if v is not None}
+    | {_TS_BASE - 1, _TS_BASE + 2, _TS_BASE + 500_000}
+)
+D_LIT_POOL = sorted({v for v in D_DAYS_VALS if v is not None} | {12343, 12347})
+
+ts_cmp = st.one_of(
+    # ts vs RFC3339-ish string (DSL parses at layout; SQL TIMESTAMP lit)
+    st.tuples(st.just("ts_str"), _cmp_op, st.sampled_from(TS_LIT_POOL)),
+    # ts vs raw µs int (types.go:49-65 raw-unit overload)
+    st.tuples(st.just("ts_int"), _cmp_op, st.sampled_from(TS_LIT_POOL)),
+    st.tuples(st.just("tnull"), st.sampled_from(["ts", "d"]), st.booleans()),
+    # date vs string / raw days int
+    st.tuples(st.just("d_str"), _cmp_op, st.sampled_from(D_LIT_POOL)),
+    st.tuples(st.just("d_int"), _cmp_op, st.sampled_from(D_LIT_POOL)),
+)
+ts_pred = st.recursive(
+    ts_cmp,
+    lambda c: st.one_of(
+        st.tuples(st.just("and"), c, c),
+        st.tuples(st.just("or"), c, c),
+        st.tuples(st.just("not"), c),
+    ),
+    max_leaves=4,
+)
+
+
+def ts_to_dsl(n) -> str:
+    op = n[0]
+    if op == "and":
+        return f"({ts_to_dsl(n[1])}) && ({ts_to_dsl(n[2])})"
+    if op == "or":
+        return f"({ts_to_dsl(n[1])}) || ({ts_to_dsl(n[2])})"
+    if op == "not":
+        return f"!({ts_to_dsl(n[1])})"
+    if op == "ts_str":
+        return f'ts {n[1]} "{_us_to_sql_ts(n[2])}"'
+    if op == "ts_int":
+        return f"ts {n[1]} {n[2]}"
+    if op == "tnull":
+        return f"{n[1]} {'==' if n[2] else '!='} nil"
+    if op == "d_str":
+        return f'd {n[1]} "{_days_to_sql_date(n[2])}"'
+    if op == "d_int":
+        return f"d {n[1]} {n[2]}"
+    raise AssertionError(op)
+
+
+def ts_to_sql(n) -> str:
+    op = n[0]
+    if op == "and":
+        return f"({ts_to_sql(n[1])}) AND ({ts_to_sql(n[2])})"
+    if op == "or":
+        return f"({ts_to_sql(n[1])}) OR ({ts_to_sql(n[2])})"
+    if op == "not":
+        return f"NOT ({ts_to_sql(n[1])})"
+    if op == "ts_str":
+        return f"ts {SQL_CMP[n[1]]} TIMESTAMP '{_us_to_sql_ts(n[2])}'"
+    if op == "ts_int":
+        return f"epoch_us(ts) {SQL_CMP[n[1]]} {n[2]}"
+    if op == "tnull":
+        return f"{n[1]} IS {'NULL' if n[2] else 'NOT NULL'}"
+    if op == "d_str":
+        return f"d {SQL_CMP[n[1]]} DATE '{_days_to_sql_date(n[2])}'"
+    if op == "d_int":
+        return f"(d - DATE '1970-01-01') {SQL_CMP[n[1]]} {n[2]}"
+    raise AssertionError(op)
+
+
+@pytest.fixture(scope="module")
+def tfuzz_df(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts_us", T.LongType(), True),
+            T.StructField("d_days", T.IntegerType(), True),
+        ]
+    )
+    rows = []
+    rid = 0
+    for us in TS_US_VALS:
+        for dd in D_DAYS_VALS:
+            rows.append((rid, us, dd))
+            rid += 1
+    df = (
+        spark.createDataFrame(rows, schema)
+        .select(
+            "id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            F.date_from_unix_date("d_days").alias("d"),
+        )
+        .coalesce(1)
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def tfuzz_duck():
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({rid}, {'NULL' if us is None else us}, {'NULL' if dd is None else dd})"
+        for rid, (us, dd) in enumerate(
+            (us, dd) for us in TS_US_VALS for dd in D_DAYS_VALS
+        )
+    )
+    con.execute(
+        "CREATE TABLE tt AS SELECT id, make_timestamp(us) AS ts, "
+        "DATE '1970-01-01' + CAST(dd AS INTEGER) AS d "
+        f"FROM (VALUES {vals}) v(id, us, dd)"
+    )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ts_pred)
+def test_temporal_filter_differential(tfuzz_df, tfuzz_duck, tree):
+    dsl, sql = ts_to_dsl(tree), ts_to_sql(tree)
+    got = {
+        r.id
+        for r in tfuzz_df.filter(compile_filter(tfuzz_df, dsl)).select("id").collect()
+    }
+    want = {
+        r[0] for r in tfuzz_duck.execute(f"SELECT id FROM tt WHERE {sql}").fetchall()
+    }
+    assert got == want, f"dsl={dsl!r}\nsql={sql!r}\nonly_spark={sorted(got - want)[:10]} only_duck={sorted(want - got)[:10]}"

@@ -12,7 +12,14 @@ import re
 
 import pytest
 
-from parquetry_spark.parity.golden import cat_go, cat_jsonl, logical_go, meta_text
+from parquetry_spark.parity.golden import (
+    cat_csv,
+    cat_go,
+    cat_json,
+    cat_jsonl,
+    logical_go,
+    meta_text,
+)
 
 REF = "/root/reference/testdata"
 FIX = os.path.join(REF, "parquet")
@@ -40,6 +47,36 @@ def txtar(name: str) -> dict[str, str]:
 CAT = txtar("cat.txtar")
 META = txtar("meta.txtar")
 SCHEMA = txtar("schema.txtar")
+TO_CSV = txtar("to_csv.txtar")
+TO_JSON = txtar("to_json.txtar")
+
+SINK_FIXTURES = [
+    "alphav",
+    "alphaw",
+    "alphamapv",
+    "alphamapw",
+    "dates",
+    "times",
+    "timestamps",
+]
+
+
+@pytest.mark.parametrize("fixture", SINK_FIXTURES)
+def test_to_csv_golden(fixture):
+    """Byte-exact vs the reference's own to_csv.txtar goldens
+    (write_csv.go: fmt.Sprint scalars incl. temporal layout strings,
+    json.Marshal for maps, Go csv quoting)."""
+    got = cat_csv(os.path.join(FIX, f"{fixture}.parquet"))
+    assert got == TO_CSV[f"{fixture}.csv"]
+
+
+@pytest.mark.parametrize("fixture", SINK_FIXTURES)
+def test_to_json_golden(fixture):
+    """Byte-exact vs to_json.txtar (write_json.go: '[\\n  ' prefix,
+    ',\\n  ' separators, '\\n]\\n' close, compact rows, sorted map
+    keys, HTML escaping off)."""
+    got = cat_json(os.path.join(FIX, f"{fixture}.parquet"))
+    assert got == TO_JSON[f"{fixture}.json"]
 
 
 @pytest.mark.parametrize(
