@@ -262,3 +262,101 @@ def test_engine_roundtrip_prefix_bc_property(spark, data):
     got = _sorted_by_k(dec.toArrow())
     want = _sorted_by_k(df.toArrow())
     _assert_col_bit_identical(want["s"], got["s"], "s")
+
+
+# ------------------------------------------------------- prune soundness
+# Zone-map pruning is an OPTIMIZATION, never a correctness filter:
+# for ANY data and ANY range probe, decoding only the kept blocks and
+# then applying the exact predicate must return exactly what the
+# exact predicate returns on the full table. Fuzzes the bounds
+# computation (incl. truncated string bounds with the code-point
+# bump), the decimal(38,0)/double/string probe casts, and the
+# mismatched-domain → unmapped rule, none of which the directed
+# tests in test_engine.py can cover across arbitrary data.
+FLOATS_ORDERED = st.one_of(
+    st.none(),
+    # NaN excluded: Spark orders NaN greatest / NaN==NaN true while
+    # the Python expected-set comparison is IEEE — the engine's NaN
+    # storage itself is pinned bit-exact by the roundtrip property
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+)
+
+
+def _expected_ids(ks, vals, lo, hi):
+    out = []
+    for k, v in zip(ks, vals):
+        if v is None:
+            continue
+        if lo is not None and not (v >= lo):
+            continue
+        if hi is not None and not (v <= hi):
+            continue
+        out.append(k)
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(data=st.data())
+def test_prune_blocks_soundness_property(spark, data):
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.engine import prune_blocks
+
+    n = data.draw(st.integers(1, 40))
+    ints = data.draw(st.lists(INTS, min_size=n, max_size=n))
+    floats = data.draw(st.lists(FLOATS_ORDERED, min_size=n, max_size=n))
+    texts = data.draw(st.lists(TEXT, min_size=n, max_size=n))
+    src = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "i": pa.array(ints, pa.int64()),
+            "f": pa.array(floats, pa.float64()),
+            "t": pa.array(texts, pa.string()),
+        }
+    )
+    df = spark.createDataFrame(src)
+    ltypes = infer_ltypes(df)
+    blocks = encode_table(df, n_parts=3, url_col=None, ts_col=None).cache()
+    try:
+        ks = src["k"].to_pylist()
+        for col, vals, pool in (
+            ("i", ints, st.one_of(st.sampled_from([v for v in ints if v is not None] or [0]), INTS)),
+            ("f", floats, st.one_of(st.sampled_from([v for v in floats if v is not None] or [0.0]), FLOATS_ORDERED)),
+            ("t", texts, st.one_of(st.sampled_from([v for v in texts if v is not None] or [""]), TEXT)),
+        ):
+            lo = data.draw(pool)
+            hi = data.draw(pool)
+            if lo is None and hi is None:
+                continue
+            pruned = prune_blocks(blocks, col, lo=lo, hi=hi)
+            dec = decode_blocks(pruned, ["k", col], ltypes)
+            c = F.col(col)
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (c >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (c <= F.lit(hi))
+            got = sorted(r.k for r in dec.filter(pred).select("k").collect())
+            assert got == _expected_ids(ks, vals, lo, hi), (col, lo, hi)
+
+        # mismatched-domain probes keep every block of the column
+        # (bounds in another domain say nothing about this ordering)
+        n_i = blocks.filter(F.col("column") == "i").count()
+        assert (
+            prune_blocks(blocks, "i", lo="zz").filter(F.col("column") == "i").count()
+            == n_i
+        )
+        n_t = blocks.filter(F.col("column") == "t").count()
+        assert (
+            prune_blocks(blocks, "t", lo=5).filter(F.col("column") == "t").count()
+            == n_t
+        )
+    finally:
+        blocks.unpersist()
