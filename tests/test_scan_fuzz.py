@@ -1,0 +1,144 @@
+"""Scan-path property fuzz (round 5): random schemas — including the
+TIME(*)/TIMESTAMP(NANOS) leaves Spark's native reader rejects — written
+to parquet (one or two files, second column-reordered) must come back
+from `scan_parquet` value-identical to what pyarrow reads, under the
+engine's documented lowering rules (sources.py):
+
+  - time32/time64 any unit  → int64 raw units  (ltype time_<unit>)
+  - timestamp ns            → int64 raw ns     (timestamp[_ntz]_ns)
+  - timestamp s/ms/us       → Spark timestamp µs, instant-preserving
+  - everything else         → native, untouched
+
+This fuzzes the footer sniff, the clean-vs-fallback path choice, the
+distributed (file, row-group) fan-out, and union-by-name over
+reordered files — across arbitrary type combinations, where the
+directed tests in test_time_filters pin only the reference fixtures'
+shapes. Each example is a real Spark job; example count is small and
+the session fixture is reused.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquetry_spark.sources import scan_parquet
+
+# (arrow type, value strategy over the type's RAW representation)
+_DAY_US = 86_400_000_000
+# µs-representable datetime range (year 1..9999) for widening stamps
+_TS_US_LO, _TS_US_HI = -62_135_596_800_000_000, 253_402_300_799_999_999
+
+
+def _nullable(s):
+    return st.one_of(st.none(), s)
+
+
+COL_TYPES: list[tuple[str, pa.DataType, st.SearchStrategy]] = [
+    ("i64", pa.int64(), _nullable(st.integers(-(2**62), 2**62))),
+    (
+        "f64",
+        pa.float64(),
+        _nullable(st.floats(allow_nan=False, allow_infinity=True, width=64)),
+    ),
+    ("str", pa.string(), _nullable(st.text(max_size=12))),
+    ("bool", pa.bool_(), _nullable(st.booleans())),
+    ("date32", pa.date32(), _nullable(st.integers(-100_000, 100_000))),
+    ("ts_s", pa.timestamp("s"), _nullable(st.integers(_TS_US_LO // 10**6, _TS_US_HI // 10**6))),
+    ("ts_ms", pa.timestamp("ms"), _nullable(st.integers(_TS_US_LO // 1000, _TS_US_HI // 1000))),
+    ("ts_us", pa.timestamp("us"), _nullable(st.integers(_TS_US_LO, _TS_US_HI))),
+    ("ts_us_utc", pa.timestamp("us", tz="UTC"), _nullable(st.integers(_TS_US_LO, _TS_US_HI))),
+    ("ts_ns", pa.timestamp("ns"), _nullable(st.integers(-(2**62), 2**62))),
+    ("ts_ns_utc", pa.timestamp("ns", tz="UTC"), _nullable(st.integers(-(2**62), 2**62))),
+    # no time32('s'): parquet TIME has no SECONDS unit — the writer
+    # silently widens to ms, which would shear the raw-unit compare
+    ("time32_ms", pa.time32("ms"), _nullable(st.integers(0, 86_400_000 - 1))),
+    ("time64_us", pa.time64("us"), _nullable(st.integers(0, _DAY_US - 1))),
+    ("time64_ns", pa.time64("ns"), _nullable(st.integers(0, _DAY_US * 1000 - 1))),
+]
+
+
+def _raw_array(vals, t: pa.DataType) -> pa.Array:
+    """Build the typed column from raw ints (or native values)."""
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t):
+        return pa.array(vals, pa.int64()).cast(t)
+    if pa.types.is_time32(t) or pa.types.is_date32(t):
+        return pa.array(vals, pa.int32()).cast(t)
+    return pa.array(vals, t)
+
+
+def _expected_int64(col: pa.ChunkedArray, t: pa.DataType):
+    """Canonical per-value form for comparison: raw int64 for lowered
+    and widened temporals, as_py otherwise."""
+    if pa.types.is_time32(t):  # 32-bit: no direct int64 cast kernel
+        return col.cast(pa.int32()).cast(pa.int64()).to_pylist()
+    if pa.types.is_time64(t) or (pa.types.is_timestamp(t) and t.unit == "ns"):
+        return col.cast(pa.int64()).to_pylist()  # raw stored units
+    if pa.types.is_timestamp(t):  # s/ms/us widen to µs instants
+        return col.cast(pa.timestamp("us", tz=t.tz)).cast(pa.int64()).to_pylist()
+    if pa.types.is_date32(t):
+        return col.cast(pa.int32()).to_pylist()
+    return col.to_pylist()
+
+
+def _got_int64(col: pa.ChunkedArray, t: pa.DataType):
+    """Same canonical form from the scanned DataFrame's arrow."""
+    got_t = col.type
+    if pa.types.is_timestamp(got_t):
+        return col.cast(pa.timestamp("us", tz=got_t.tz)).cast(pa.int64()).to_pylist()
+    if pa.types.is_date32(got_t):
+        return col.cast(pa.int32()).to_pylist()
+    return col.to_pylist()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(data=st.data())
+def test_scan_parquet_fuzz(spark, tmp_path_factory, data):
+    cols = data.draw(
+        st.lists(st.sampled_from(COL_TYPES), min_size=1, max_size=3, unique_by=lambda c: c[0])
+    )
+    n = data.draw(st.integers(1, 25))
+    two_files = data.draw(st.booleans())
+
+    names = ["k"] + [c[0] for c in cols]
+    arrays = {"k": pa.array(range(n), pa.int64())}
+    types = {"k": pa.int64()}
+    for name, t, vs in cols:
+        vals = data.draw(st.lists(vs, min_size=n, max_size=n))
+        arrays[name] = _raw_array(vals, t)
+        types[name] = t
+    tbl = pa.table(arrays)
+
+    d = tmp_path_factory.mktemp("scanfuzz")
+    if two_files and n >= 2:
+        half = n // 2
+        pq.write_table(tbl.slice(0, half), os.path.join(d, "a.parquet"))
+        # second file: same columns, REVERSED order (union-by-name)
+        lo = tbl.slice(half)
+        rev = pa.table({nm: lo[nm] for nm in reversed(names)})
+        pq.write_table(rev, os.path.join(d, "b.parquet"))
+    else:
+        pq.write_table(tbl, os.path.join(d, "all.parquet"))
+
+    df = scan_parquet(spark, str(d))
+    assert set(df.columns) == set(names)
+    got = df.toArrow()
+    order = sorted(range(got.num_rows), key=lambda i: got["k"][i].as_py())
+    assert got.num_rows == n
+    for name in names:
+        t = types[name]
+        want = _expected_int64(tbl[name], t)
+        have = _got_int64(got[name], t)
+        have = [have[i] for i in order]
+        assert have == want, (name, t, have[:5], want[:5])
