@@ -1,0 +1,202 @@
+"""Reshape-DSL differential fuzz (round 5): random projection specs —
+subset / reorder / rename / duplicate-with-alias / nested flatten /
+struct re-grouping to depth 2 — rendered BOTH as the reshape DSL
+(parity.shape reshape → Spark select) and as SQL (DuckDB struct_pack
+literals), over the same table with a nullable struct column; output
+column names, struct field names, and all nested values must match.
+
+Completes the differential-fuzz triad (filter: test_filter_fuzz,
+scan: test_scan_fuzz) over the third parity surface. The directed
+matrix in test_parity::test_reshape_matrix pins the reference's
+reshape_test.go cases; this closes the combinatorial space between
+them (groups of flattened members, aliased duplicates inside groups,
+null-struct propagation through member access).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquetry_spark.parity.shape import reshape
+
+# ---------------------------------------------------------------- table
+# a: unique int, b: nullable string, c: nullable float, w: NULLABLE
+# struct(d int, s string) — one row has w itself null (member access
+# must yield null, not error), others have null members.
+ROWS = [
+    (0, "x", 1.5, (10, "p")),
+    (1, None, -2.25, (20, None)),
+    (2, "y", None, (None, "q")),
+    (3, "zz", 0.0, None),
+    (4, "x", 7.5, (40, "r")),
+]
+
+
+def _arrow_table() -> pa.Table:
+    w_type = pa.struct([("d", pa.int64()), ("s", pa.string())])
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in ROWS], pa.int64()),
+            "b": pa.array([r[1] for r in ROWS], pa.string()),
+            "c": pa.array([r[2] for r in ROWS], pa.float64()),
+            "w": pa.array(
+                [
+                    None if r[3] is None else {"d": r[3][0], "s": r[3][1]}
+                    for r in ROWS
+                ],
+                w_type,
+            ),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def rs_df(spark):
+    df = spark.createDataFrame(_arrow_table()).coalesce(1).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def rs_duck():
+    con = duckdb.connect()
+    con.register("t", _arrow_table())
+    yield con
+    con.close()
+
+
+# ------------------------------------------------------------- strategy
+# Item trees: ("field", path, alias|None) and ("group", [items], name).
+# Aliases/group names are assigned AFTER drawing so top-level output
+# names never collide (Spark/DuckDB both ALLOW duplicate names, but
+# dict-based row comparison would collapse them).
+FIELD_PATHS = [("a",), ("b",), ("c",), ("w", "d"), ("w", "s")]
+
+field_item = st.tuples(
+    st.just("field"), st.sampled_from(FIELD_PATHS), st.booleans()
+)
+group_item = st.tuples(
+    st.just("group"),
+    st.lists(field_item, min_size=1, max_size=3),
+)
+deep_group_item = st.tuples(
+    st.just("group"),
+    st.lists(st.one_of(field_item, group_item), min_size=1, max_size=3),
+)
+spec_strategy = st.lists(
+    st.one_of(field_item, deep_group_item), min_size=1, max_size=4
+)
+
+
+def _assign_names(items, used, counter):
+    """Resolve default/alias names so that SIBLING names are unique
+    (the grammar allows duplicates; the row-dict comparison doesn't)."""
+    out = []
+    for it in items:
+        if it[0] == "field":
+            _, path, want_alias = it
+            name = path[-1]
+            if want_alias or name.lower() in used:
+                counter[0] += 1
+                name = f"x{counter[0]}"
+                out.append(("field", path, name))
+            else:
+                out.append(("field", path, None))
+            used.add(name.lower())
+        else:
+            counter[0] += 1
+            gname = f"g{counter[0]}"
+            used.add(gname.lower())
+            kids = _assign_names(it[1], set(), counter)
+            out.append(("group", kids, gname))
+    return out
+
+
+def _to_dsl(items) -> str:
+    parts = []
+    for it in items:
+        if it[0] == "field":
+            _, path, alias = it
+            s = ".".join(path)
+            parts.append(f"{s} AS {alias}" if alias else s)
+        else:
+            parts.append(f"({_to_dsl(it[1])}) AS {it[2]}")
+    return ", ".join(parts)
+
+
+def _sql_path(path) -> str:
+    # (w).d — parenthesized so DuckDB can't read w as a table alias
+    return f"({path[0]})." + ".".join(path[1:]) if len(path) > 1 else path[0]
+
+
+def _to_sql_exprs(items) -> list[str]:
+    out = []
+    for it in items:
+        if it[0] == "field":
+            _, path, alias = it
+            out.append(f"{_sql_path(path)} AS {alias or path[-1]}")
+        else:
+            inner = ", ".join(
+                f"'{_item_name(k)}': {_item_expr(k)}" for k in it[1]
+            )
+            out.append(f"{{{inner}}} AS {it[2]}")
+    return out
+
+
+def _item_name(it) -> str:
+    if it[0] == "field":
+        return it[2] or it[1][-1]
+    return it[2]
+
+
+def _item_expr(it) -> str:
+    if it[0] == "field":
+        return _sql_path(it[1])
+    inner = ", ".join(f"'{_item_name(k)}': {_item_expr(k)}" for k in it[1])
+    return f"{{{inner}}}"
+
+
+def _names(items) -> list[str]:
+    return [_item_name(it) for it in items]
+
+
+def _canon(v):
+    """Nested canonical form: Rows/dicts → ordered (k, v) pairs."""
+    if hasattr(v, "asDict"):
+        v = v.asDict()
+    if isinstance(v, dict):
+        return [(k, _canon(x)) for k, x in v.items()]
+    return v
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec_strategy)
+def test_reshape_differential(rs_df, rs_duck, raw_items):
+    items = _assign_names(raw_items, set(), [0])
+    dsl = _to_dsl(items)
+    sql = "SELECT " + ", ".join(_to_sql_exprs(items)) + " FROM t"
+
+    out = reshape(rs_df, dsl)
+    assert out.columns == _names(items), dsl
+
+    cur = rs_duck.execute(sql)
+    want_names = [d[0] for d in cur.description]
+    assert out.columns == want_names, (dsl, sql)
+
+    got = sorted(
+        (tuple(_canon(v) for v in row) for row in out.collect()),
+        key=repr,
+    )
+    want = sorted(
+        (tuple(_canon(v) for v in row) for row in cur.fetchall()),
+        key=repr,
+    )
+    assert got == want, f"dsl={dsl!r}\nsql={sql!r}\ngot={got[:3]}\nwant={want[:3]}"
