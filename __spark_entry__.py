@@ -41,6 +41,7 @@ from parquetry_spark.similarity import (  # noqa: E402
     brute_force_topk,
     build_ivf,
     ivf_topk,
+    sq8_topk,
 )
 from parquetry_spark.textops import (  # noqa: E402
     bpe_ish_token_count,
@@ -1790,6 +1791,99 @@ def q_join_broadcast(spark, sf):
     )
 
 
+
+# --- sketches / BPE / SQ8 (round-5 additions) ------------------------------
+
+# fixed merge list for the bpe_apply oracle pair — applying a LEARNED
+# list would make the oracle data-dependent; a pinned list exercises
+# the exact same replace-chain plan the learned path compiles
+BPE_FIXED_MERGES = [
+    ("e", "_"),
+    ("s", "_"),
+    ("t", "h"),
+    ("th", "e"),
+    ("the", "_"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "n"),
+]
+
+# the oracle's replace-chain is GENERATED from the same pinned list
+_chain = "rep"
+for _a, _b in BPE_FIXED_MERGES:
+    _chain = f"replace({_chain}, '<{_a}><{_b}>', '<{_a}{_b}>')"
+BPE_APPLY_CHAIN = _chain
+
+from parquetry_spark.sketches import AM2_SCALED  # noqa: E402
+
+
+def q_hll_custkeys(spark, sf):
+    """HyperLogLog register table over orders.o_custkey (p=8, m=256,
+    md5-based, sketches.py): the mergeable distinct-count sketch
+    state — <=256 rows out of any input size, map-side combined."""
+    from parquetry_spark.sketches import hll_registers
+
+    return hll_registers(_t(spark, sf, "orders"), "o_custkey").orderBy(
+        "bucket"
+    )
+
+
+def q_hll_stats(spark, sf):
+    """HLL sufficient statistics + integer estimate (exact scaled-
+    integer arithmetic end to end — est = alpha*m^2*2^53 // ssc)."""
+    from parquetry_spark.sketches import hll_stats
+
+    return hll_stats(_t(spark, sf, "orders"), "o_custkey")
+
+
+def q_kmv_vocab_overlap(spark, sf):
+    """KMV bottom-k set-overlap sketch: vocabulary Jaccard sufficient
+    statistics between two crawl sources (k smallest distinct word
+    hashes of the union; inter = how many sit in both sketches)."""
+    from parquetry_spark.sketches import kmv_overlap
+    from parquetry_spark.textops import norm_words
+
+    docs = _t(spark, sf, "documents")
+    w = docs.select(
+        "source", F.explode(norm_words(F.col("text"))).alias("word")
+    ).where("word <> ''")
+    return kmv_overlap(w, "source", "word", "src0", "src1", k=64)
+
+
+def q_sq8_topk(spark, sf):
+    """Faiss-style SQ8 (8-bit scalar quantization) ANN: asymmetric
+    code-vs-float scoring, ordered double fold — bit-identical to
+    the SQL oracle's list_reduce replay."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return sq8_topk(emb, qv, k=10)
+
+
+def q_bpe_pairs(spark, sf):
+    """First BPE training iteration: corpus-wide weighted symbol-pair
+    counts (chars + end-of-word marker), top 100."""
+    from parquetry_spark.bpe import bpe_pair_counts
+
+    pc = bpe_pair_counts(_t(spark, sf, "documents"))
+    return pc.orderBy(F.desc("cnt"), "pair").limit(100)
+
+
+def q_bpe_apply(spark, sf):
+    """BPE tokenization with a pinned merge list (the same literal
+    replace-chain plan the learned path compiles): corpus token
+    histogram, top 50."""
+    from parquetry_spark.bpe import tokenize
+
+    toks = tokenize(_t(spark, sf, "documents"), BPE_FIXED_MERGES)
+    return (
+        toks.select(F.explode("bpe").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(50)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_reshape": q_scan_reshape,
@@ -1879,6 +1973,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown": q_agg_pushdown,
         "topk_per_group": q_topk_per_group,
         "join_broadcast": q_join_broadcast,
+        "hll_custkeys": q_hll_custkeys,
+        "hll_stats": q_hll_stats,
+        "kmv_vocab_overlap": q_kmv_vocab_overlap,
+        "sq8_topk": q_sq8_topk,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_apply": q_bpe_apply,
     }
 
 
@@ -3112,6 +3212,115 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
         ),
+        "hll_custkeys": (
+            # p=8 HLL registers from the first 60 bits of md5: bucket
+            # = top 8 bits, rho = 53 - bit_length(low 52 bits);
+            # bin()'s minimal binary string length IS bit_length
+            "WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS "
+            "VARCHAR)), 1, 15)) AS BIGINT) AS v FROM orders "
+            "WHERE o_custkey IS NOT NULL), "
+            "r AS (SELECT v >> 52 AS bucket, CASE WHEN "
+            "(v & 4503599627370495) = 0 THEN 53 ELSE "
+            "53 - length(bin(v & 4503599627370495)) END AS rho FROM h) "
+            "SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket "
+            "ORDER BY bucket"
+        ),
+        "hll_stats": (
+            # scaled-integer estimate: ssc = sum(2^(53-rho)) with
+            # 2^53 per empty register; est = alpha*m^2*2^53 // ssc
+            # (HUGEINT floor division — no floats anywhere)
+            "WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS "
+            "VARCHAR)), 1, 15)) AS BIGINT) AS v FROM orders "
+            "WHERE o_custkey IS NOT NULL), "
+            "r AS (SELECT v >> 52 AS bucket, CASE WHEN "
+            "(v & 4503599627370495) = 0 THEN 53 ELSE "
+            "53 - length(bin(v & 4503599627370495)) END AS rho FROM h), "
+            "regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket), "
+            "a AS (SELECT count(*) AS nonzero, "
+            "CAST(sum(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS ssc_nz "
+            "FROM regs) "
+            "SELECT 256 AS m, CAST(256 - nonzero AS BIGINT) AS zeros, "
+            "CAST(ssc_nz + (256 - nonzero) * (CAST(1 AS BIGINT) << 53) "
+            "AS BIGINT) AS ssc, "
+            f"CAST(CAST('{AM2_SCALED}' AS HUGEINT) // "
+            "CAST(ssc_nz + (256 - nonzero) * (CAST(1 AS BIGINT) << 53) "
+            "AS HUGEINT) AS BIGINT) AS est FROM a"
+        ),
+        "kmv_vocab_overlap": (
+            # bottom-64 distinct word-hash sketch per source, merged:
+            # rank the union of the two sketches, count both-sided
+            # members among the union's bottom-64
+            r"WITH w AS (SELECT source AS grp, unnest(string_split(trim("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')"
+            r"), ' ')) AS word FROM documents), "
+            "d AS (SELECT DISTINCT grp, CAST(('0x' || substr(md5(word), 1, "
+            "15)) AS BIGINT) AS h FROM w "
+            "WHERE grp IN ('src0', 'src1') AND word <> ''), "
+            "skt AS (SELECT grp, h, row_number() OVER ("
+            "PARTITION BY grp ORDER BY h) AS rk FROM d), "
+            "ph AS (SELECT h, count(*) AS sides FROM skt WHERE rk <= 64 "
+            "GROUP BY h), "
+            "tk AS (SELECT sides, row_number() OVER (ORDER BY h) AS rk "
+            "FROM ph) "
+            "SELECT CAST(count(*) AS BIGINT) AS k_eff, "
+            "CAST(coalesce(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS inter FROM tk WHERE rk <= 64"
+        ),
+        "sq8_topk": (
+            # asymmetric SQ8: per-dim (min, max) over the corpus,
+            # codes = clamp(floor((x-mn)*255/(mx-mn))), score =
+            # ordered left-to-right fold of code_i * w_i with w_i =
+            # q_i*(mx-mn)/255 — list_reduce replays Spark's
+            # aggregate() fold bit-for-bit
+            f"WITH s AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, "
+            "max(CAST(embedding[i] AS DOUBLE)) AS mx FROM embeddings, "
+            f"unnest(range(1, {EMB_DIM + 1})) t(i) GROUP BY i), "
+            "lists AS (SELECT list(mn ORDER BY i) AS mns, "
+            "list(CASE WHEN mx > mn THEN 255.0/(mx-mn) ELSE 0.0 END "
+            "ORDER BY i) AS scs, list(mx ORDER BY i) AS mxs FROM s), "
+            "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "ws AS (SELECT [CAST(qe[i] AS DOUBLE) * (mxs[i]-mns[i]) / 255.0 "
+            f"for i in range(1, {EMB_DIM + 1})] AS w FROM q, lists), "
+            "sc AS (SELECT e.vec_id, list_reduce("
+            "[CAST(least(255, greatest(0, CAST(floor((CAST(e.embedding[i] "
+            "AS DOUBLE) - mns[i]) * scs[i]) AS BIGINT))) AS DOUBLE) * w[i] "
+            f"for i in range(1, {EMB_DIM + 1})], (a, b) -> a + b) AS score "
+            "FROM embeddings e, lists, ws) "
+            "SELECT vec_id, CAST(floor(score * 1e6) AS BIGINT) AS score_u "
+            "FROM sc ORDER BY score_u DESC, vec_id LIMIT 10"
+        ),
+        "bpe_pairs": (
+            # first BPE iteration: weighted (char, next-char|END)
+            # counts over the word-frequency table, END = '_'
+            r"WITH w AS (SELECT unnest(string_split(trim("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')"
+            r"), ' ')) AS word FROM documents), "
+            "v AS (SELECT word, count(*) AS wc FROM w WHERE word <> '' "
+            "GROUP BY word), "
+            "p AS (SELECT unnest(list_concat("
+            "[substr(word, i, 1) || ' ' || substr(word, i+1, 1) "
+            "for i in range(1, length(word))], "
+            "[substr(word, length(word), 1) || ' _'])) AS pair, wc FROM v) "
+            "SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p "
+            "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100"
+        ),
+        "bpe_apply": (
+            # the engine's wrapped-symbol-string merge chain, replayed
+            # literally: '<c1><c2>...<_>' then one replace per pinned
+            # merge (LTR non-overlapping — identical in Java/DuckDB)
+            r"WITH w AS (SELECT unnest(string_split(trim("
+            r"regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')"
+            r"), ' ')) AS word FROM documents), "
+            "r0 AS (SELECT '<' || array_to_string(list_concat("
+            "regexp_split_to_array(word, ''), ['_']), '><') || '>' AS rep "
+            "FROM w WHERE word <> ''), "
+            f"m AS (SELECT {BPE_APPLY_CHAIN} AS rep2 FROM r0), "
+            "t AS (SELECT unnest(string_split(substr(rep2, 2, "
+            "length(rep2) - 2), '><')) AS token FROM m) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t "
+            "GROUP BY token ORDER BY cnt DESC, token LIMIT 50"
+        ),
+
         "temporal_render": """
             WITH u AS (
               SELECT o_orderkey,

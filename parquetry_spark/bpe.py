@@ -1,0 +1,171 @@
+"""Distributed BPE tokenizer training + application.
+
+Byte-pair encoding (Sennrich et al. 2016, the public subword-NMT
+paper) over the corpus, Spark-first:
+
+- Training runs on the WORD-FREQUENCY table, not the corpus: the
+  classic optimization — pair counts are sum(word_freq * pairs in
+  word), so after one corpus pass (norm_words explode + groupBy
+  word) every merge iteration touches only the vocabulary, which is
+  orders of magnitude smaller than 100 TB of text and stays fully
+  distributed (the driver sees ONE row per iteration: the argmax
+  pair).
+- Symbol sequences are represented as a flat string `<s1><s2>...`
+  (each symbol wrapped in `<`/`>` sentinels — safe because
+  norm_words output is `\\p{L}\\p{N}` only). Applying a merge (a,b)
+  is then a literal `replace('<a><b>' -> '<ab>')`: left-to-right,
+  non-overlapping, identical semantics in Java, DuckDB and Python —
+  which is what makes the whole pipeline oracle-checkable. The
+  wrap+terminate form is unambiguous: a pattern can never match
+  across a symbol boundary (`<a><b...` with a longer symbol `bc`
+  does not contain `<a><b>`).
+- Pair selection is deterministic: max count, ties broken by the
+  lexicographically SMALLEST pair — so training is reproducible
+  run-to-run and cluster-size-independent.
+- Application to documents is pure whole-stage codegen: split to
+  words, wrap to symbol strings, chain the merge replaces, split
+  back — no Python in the hot path, no shuffle at all.
+
+End-of-word marker: every word gets a final `_` symbol (norm_words
+strips `_` from text, so it cannot collide), the subword-NMT
+convention that lets merges distinguish suffix from infix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import norm_words
+
+END = "_"  # end-of-word symbol (norm_words can never emit it)
+
+
+def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) table — the one corpus-wide pass training needs.
+    Map-side combine on the explode, then a groupBy on the word."""
+    words = F.explode(norm_words(F.col(text_col))).alias("word")
+    return (
+        df.select(words)
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def word_to_rep(word: Column) -> Column:
+    """`'abc'` → `'<a><b><c><_>'` — the wrapped symbol-string form."""
+    syms = F.concat(F.split(word, ""), F.array(F.lit(END)))
+    return F.concat(F.lit("<"), F.array_join(syms, "><"), F.lit(">"))
+
+
+def pair_counts(reps: DataFrame, rep_col: str = "rep", weight_col: str = "cnt") -> DataFrame:
+    """Weighted adjacent-symbol pair counts over the current symbol
+    state. A pair is rendered `'a b'` (space join — symbols are
+    space-free). Pure codegen projection + one small groupBy."""
+    syms = F.split(
+        F.substring(
+            F.col(rep_col), 2, F.length(F.col(rep_col)) - F.lit(2)
+        ),
+        "><",
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - F.lit(1)),
+        lambda i: F.concat(
+            F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+        ),
+    )
+    return (
+        reps.where(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("pair"), F.col(weight_col))
+        .groupBy("pair")
+        .agg(F.sum(weight_col).cast("long").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """First-iteration pair counts straight from a corpus: the
+    (char, next-char-or-END) histogram that seeds BPE training."""
+    vocab = word_freq(df, text_col)
+    reps = vocab.select(word_to_rep(F.col("word")).alias("rep"), "cnt")
+    return pair_counts(reps)
+
+
+def apply_merges(rep: Column, merges: list[tuple[str, str]]) -> Column:
+    """Fold the learned merges over a symbol string, in order. Each
+    merge is one literal `replace` — the chain is a single codegen
+    projection."""
+    out = rep
+    for a, b in merges:
+        out = F.replace(
+            out, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>")
+        )
+    return out
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from a corpus.
+
+    One corpus pass builds the word-frequency table (cached); every
+    iteration re-derives the current symbol state by folding the
+    merges learned so far over the BASE representation — stateless
+    lineage (no iterative cache chain to checkpoint, resume = rerun
+    with the merge list), at the cost of an O(merges) expression
+    chain per iteration, which stays a single projection stage.
+    Only the argmax row crosses to the driver each iteration.
+    """
+    vocab = df if set(df.columns) >= {"word", "cnt"} else word_freq(df, text_col)
+    base = vocab.select(
+        word_to_rep(F.col("word")).alias("rep"), "cnt"
+    ).persist()
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            reps = base.select(
+                apply_merges(F.col("rep"), merges).alias("rep"), "cnt"
+            )
+            top = (
+                pair_counts(reps)
+                .where(F.col("cnt") >= min_count)
+                .orderBy(F.col("cnt").desc(), F.col("pair"))
+                .first()
+            )
+            if top is None:
+                break
+            a, b = top["pair"].split(" ", 1)
+            merges.append((a, b))
+        return merges
+    finally:
+        base.unpersist()
+
+
+def bpe_tokens(
+    text: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Tokenize a text column with a learned merge list: array of
+    subword tokens (END marker kept on word-final tokens, subword-NMT
+    style). Zero shuffle, zero Python — norm split, per-word wrap,
+    merge-replace chain, unwrap, flatten."""
+    words = F.filter(norm_words(text), lambda w: w != F.lit(""))
+    per_word = F.transform(
+        words,
+        lambda w: F.split(
+            F.regexp_replace(apply_merges(word_to_rep(w), merges), "^<|>$", ""),
+            "><",
+        ),
+    )
+    return F.flatten(per_word)
+
+
+def tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe",
+) -> DataFrame:
+    return df.withColumn(out_col, bpe_tokens(F.col(text_col), merges))

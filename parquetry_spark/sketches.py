@@ -1,0 +1,213 @@
+"""Distributed cardinality / set-overlap sketches.
+
+Two classic sketches a 100-TB corpus pipeline leans on constantly —
+"how many distinct hosts/users does this table hold" and "how much do
+two crawls overlap" — implemented so that BOTH the sketch state and
+the estimate are exact integers derived from md5, which makes every
+stage replayable bit-for-bit in ANSI SQL (DuckDB oracle) while the
+Spark side stays pure whole-stage-codegen column expressions:
+
+- HyperLogLog (Flajolet et al. 2007, the public HLL paper): p=8 →
+  m=256 registers. The hash is the first 15 hex chars of md5 (60
+  bits — 15 not 16 so the value fits a signed int64 exactly on both
+  engines); bucket = top 8 bits, rank rho = number of leading zeros
+  of the remaining 52 bits + 1 (capped at 53 for a zero remainder).
+  The register table (bucket, rho) is a 256-row groupBy-max — a
+  partial-aggregating map-side combine, the canonical mergeable
+  sketch shape: at cluster scale every executor folds its splits
+  into <=256 rows before the one tiny shuffle.
+- The HLL estimate itself is computed in SCALED INTEGER arithmetic:
+  sum(2^-rho) is kept as ssc = sum(2^(53-rho)) (int64; <= 256*2^53
+  < 2^62), and alpha_m * m^2 * 2^53 is a precomputed integer
+  constant divided by ssc in decimal(38,0)/HUGEINT — no floats
+  anywhere, so Spark and the SQL oracle agree to the last digit.
+- KMV / bottom-k (Bar-Yossef et al. 2002; the "k minimum values"
+  distinct sketch): per group keep the k smallest DISTINCT md5
+  values. Set overlap (crawl-vs-crawl Jaccard) from the bottom-k of
+  the UNION: J ~= |top-k of union that appear in both| / k — the
+  classic KMV Jaccard estimator, again integers only.
+
+Reference scope note: the reference tool (mutility/parquetry) has no
+sketching — these are the training-pipeline extensions the task
+brief asks for beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- HLL constants (p=8) ---------------------------------------------------
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+# 60-bit hash = 15 hex chars; top 8 bits bucket, low 52 bits ranked
+_REM_BITS = 60 - HLL_P  # 52
+_REM_MASK = (1 << _REM_BITS) - 1
+_RHO_CAP = _REM_BITS + 1  # 53
+# alpha_256 = 0.7213 / (1 + 1.079/m)  (the HLL paper's bias constant)
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# estimate = alpha * m^2 / sum(2^-rho)  ==  AM2_SCALED // ssc
+# with ssc = sum(2^(RHO_CAP - rho)) and AM2_SCALED = alpha*m^2*2^RHO_CAP.
+# AM2_SCALED ~= 4.2e20 — beyond int64, exact in decimal(38,0)/HUGEINT.
+AM2_SCALED = int(_ALPHA * HLL_M * HLL_M * (1 << _RHO_CAP))
+
+
+def _hash60(col: Column) -> Column:
+    """First 60 bits of md5 as int64 (exact; fits signed 64-bit)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_add(col: Column) -> tuple[Column, Column]:
+    """(bucket, rho) of one value — the per-row HLL projection.
+
+    Pure codegen: md5 + substring + conv + bit ops + a base-2 conv
+    for the leading-zero count (conv-to-binary's string length IS
+    bit_length, computed exactly — no float log2 at the boundary).
+    """
+    v = _hash60(col)
+    bucket = F.shiftright(v, _REM_BITS)
+    rem = v.bitwiseAND(F.lit(_REM_MASK))
+    bitlen = F.length(F.conv(rem.cast("string"), 10, 2))
+    rho = F.when(rem == 0, F.lit(_RHO_CAP)).otherwise(F.lit(_RHO_CAP) - bitlen)
+    return bucket, rho
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """HLL register table for `col`: (bucket, rho) with rho = max rank
+    seen in that bucket. <= 256 rows regardless of input size; the
+    groupBy is a map-side partial max over 256 keys, so the shuffle
+    carries <= 256 rows PER TASK — mergeable sketch semantics (union
+    of two tables' sketches = max per bucket over their registers).
+    """
+    bucket, rho = hll_add(F.col(col))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_stats(df: DataFrame, col: str) -> DataFrame:
+    """One-row sufficient statistics + integer estimate.
+
+    Columns: m, zeros (empty registers), ssc = sum(2^(53-rho)) with
+    empty registers contributing 2^53 each, and est = the raw HLL
+    estimate floor(alpha*m^2*2^53 / ssc) — all exact integers (the
+    division runs in decimal(38,0)). The small-range linear-counting
+    correction (m*ln(m/zeros)) needs a float ln, so it is NOT folded
+    in here; accuracy across cardinalities is asserted in tests,
+    and callers that want the corrected number apply it to (m,
+    zeros) driver-side.
+    """
+    regs = hll_registers(df, col)
+    agg = regs.agg(
+        F.count("*").alias("nonzero"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - rho)")
+        ).alias("ssc_nz"),
+    )
+    m = F.lit(HLL_M)
+    zeros = (m - F.col("nonzero")).alias("zeros")
+    ssc = (
+        F.col("ssc_nz") + (m - F.col("nonzero")) * F.lit(1 << _RHO_CAP)
+    ).alias("ssc")
+    out = agg.select(m.alias("m"), zeros, ssc)
+    # `div` = exact integral division on decimals (Spark SQL operator)
+    # — a float or decimal `/` could round the quotient up across an
+    # integer boundary and break the bit-exact oracle match.
+    est = F.expr(
+        f"CAST(CAST('{AM2_SCALED}' AS DECIMAL(38,0))"
+        " div CAST(ssc AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return out.withColumn("est", est)
+
+
+def hll_estimate(df: DataFrame, col: str) -> int:
+    """Driver-side corrected estimate (linear counting below 2.5m,
+    per the HLL paper). The distributed part is the 1-row stats
+    aggregate; only (m, zeros, est) cross to the driver."""
+    import math
+
+    row = hll_stats(df, col).first()
+    est, zeros, m = row["est"], row["zeros"], row["m"]
+    if est <= 5 * m // 2 and zeros > 0:
+        return int(round(m * math.log(m / zeros)))
+    return int(est)
+
+
+# --- KMV / bottom-k --------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group bottom-k sketch: the k smallest DISTINCT 60-bit md5
+    hashes of `value_col`. Output (group, rk, h) — the sketch state
+    itself, mergeable by re-ranking the union.
+
+    Scale shape: distinct() is a partial-agg dedup on (group, h);
+    the rank window then sees at most the distinct hashes per group
+    but ranks are needed only up to k, so the shuffle key is the
+    group and the per-group state the window holds is the hash
+    order — at 100 TB you'd cap pre-shuffle with a per-partition
+    bottom-k mapInArrow; at the gate scales the exact window IS the
+    per-group sort, and the output is k rows per group either way.
+    """
+    h = _hash60(F.col(value_col)).alias("h")
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), h)
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV Jaccard sufficient statistics for two groups.
+
+    Takes the k smallest distinct hashes of the UNION of the two
+    groups' value sets and counts how many of those appear in both
+    (inter) — J ~= inter/k_eff. Output one row: (k_eff, inter),
+    exact integers. k_eff < k when the union has fewer distinct
+    values than k (then the estimate is exact).
+
+    Computed FROM the two bottom-k sketches, not the raw sets: if h
+    is among the k smallest of the union and h ∈ A, it is among the
+    k smallest of A — so the union's bottom-k is derivable from the
+    (<= 2k)-row sketch union, and the final rank window only ever
+    sorts <= 2k rows. That makes overlap estimation a sketch-merge
+    (constant-size state), the property that lets crawl-vs-crawl
+    comparisons run pairwise over many snapshots without rescanning
+    the corpora."""
+    sk = kmv_sketch(
+        df.where(F.col(group_col).isin([group_a, group_b])),
+        group_col,
+        value_col,
+        k=k,
+    )
+    per_hash = sk.groupBy("h").agg(F.count("*").alias("sides"))
+    w = Window.orderBy("h")
+    topk = per_hash.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+    return topk.agg(
+        F.count("*").cast("long").alias("k_eff"),
+        F.coalesce(
+            F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("inter"),
+    )

@@ -1,0 +1,177 @@
+"""Distributed BPE training/application (bpe.py) vs a pure-Python
+reference implementation of the subword-NMT algorithm."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark import bpe
+
+
+# --- pure-Python reference BPE (Sennrich et al. algorithm) -----------------
+
+
+def _py_word_freq(texts):
+    c = collections.Counter()
+    for t in texts:
+        # \w keeps '_', norm_words does not — '_' splits words there
+        for w in re.sub(
+            r"[^\w]+|_+", " ", t.lower(), flags=re.UNICODE
+        ).split():
+            if w:
+                c[w] += 1
+    return c
+
+
+def _py_pairs(vocab):
+    pairs = collections.Counter()
+    for syms, cnt in vocab.items():
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += cnt
+    return pairs
+
+
+def _py_train(texts, n_merges):
+    wf = _py_word_freq(texts)
+    vocab = {tuple(list(w) + [bpe.END]): c for w, c in wf.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = _py_pairs(vocab)
+        if not pairs:
+            break
+        # max count, lexicographically smallest pair on ties
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        out = {}
+        for syms, cnt in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            out[tuple(ns)] = out.get(tuple(ns), 0) + cnt
+        vocab = out
+    return merges
+
+
+def _py_tokenize(word, merges):
+    syms = list(word) + [bpe.END]
+    for a, b in merges:
+        ns, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                ns.append(a + b)
+                i += 2
+            else:
+                ns.append(syms[i])
+                i += 1
+        syms = ns
+    return syms
+
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the fox and the hound went over the hill",
+    "lower lowest newer newest wider widest",
+    "low lower lowest new newer newest",
+    "hugging faces hug huggable thugs",
+    "Ein schneller brauner Fuchs springt",
+] * 3
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+
+
+def test_word_freq_matches_python(corpus_df):
+    got = {
+        r["word"]: r["cnt"] for r in bpe.word_freq(corpus_df).collect()
+    }
+    assert got == dict(_py_word_freq(CORPUS))
+
+
+def test_pair_counts_match_python(corpus_df):
+    got = {
+        tuple(r["pair"].split(" ", 1)): r["cnt"]
+        for r in bpe.bpe_pair_counts(corpus_df).collect()
+    }
+    wf = _py_word_freq(CORPUS)
+    vocab = {tuple(list(w) + [bpe.END]): c for w, c in wf.items()}
+    assert got == dict(_py_pairs(vocab))
+
+
+def test_train_matches_python_reference(corpus_df):
+    got = bpe.train_bpe(corpus_df, 12)
+    want = _py_train(CORPUS, 12)
+    assert got == want, (got, want)
+
+
+def test_tokenize_matches_python(corpus_df):
+    merges = bpe.train_bpe(corpus_df, 10)
+    rows = bpe.tokenize(corpus_df, merges).orderBy("doc_id").collect()
+    for r in rows:
+        words = [
+            w
+            for w in re.sub(
+                r"[^\w]+|_+", " ", r["text"].lower(), flags=re.UNICODE
+            ).split()
+            if w
+        ]
+        want = [t for w in words for t in _py_tokenize(w, merges)]
+        assert r["bpe"] == want, (r["text"], r["bpe"], want)
+
+
+def test_tokens_reconstruct_words(corpus_df):
+    merges = bpe.train_bpe(corpus_df, 15)
+    rows = bpe.tokenize(corpus_df, merges).collect()
+    for r in rows:
+        joined = "".join(r["bpe"]).replace(bpe.END, " ").strip()
+        words = " ".join(
+            w
+            for w in re.sub(
+                r"[^\w]+|_+", " ", r["text"].lower(), flags=re.UNICODE
+            ).split()
+            if w
+        )
+        assert joined == words
+
+
+def test_merge_determinism(corpus_df):
+    assert bpe.train_bpe(corpus_df, 8) == bpe.train_bpe(corpus_df, 8)
+
+
+def test_train_stops_when_exhausted(spark):
+    tiny = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    merges = bpe.train_bpe(tiny, 50)
+    # 'ab_' exhausts after 2 merges: (a,b) then (ab,_)
+    assert len(merges) == 2
+    assert merges[0] == ("a", "b")
+
+
+def test_apply_merges_overlapping_pairs(spark):
+    # 'aaaa' + merge (a,a): LTR non-overlapping → aa, aa, _
+    df = spark.createDataFrame([(0, "aaaa")], ["doc_id", "text"])
+    toks = bpe.tokenize(df, [("a", "a")]).first()["bpe"]
+    assert toks == ["aa", "aa", "_"]
+
+
+def test_multibyte_words(spark):
+    df = spark.createDataFrame([(0, "héllo wörld héllo")], ["doc_id", "text"])
+    pc = {
+        r["pair"]: r["cnt"] for r in bpe.bpe_pair_counts(df).collect()
+    }
+    assert pc["h é"] == 2 and pc["ö r"] == 1
+    merges = bpe.train_bpe(df, 3)
+    toks = bpe.tokenize(df, merges).first()["bpe"]
+    assert "".join(toks).replace(bpe.END, " ").strip() == "héllo wörld héllo"

@@ -684,3 +684,45 @@ def test_encoding_profile_counts(spark):
     assert got[6]["n_mojibake"] == 0 and got[6]["enc_clean"] == 1
     assert got[4]["n_ctrl"] == 2 and got[4]["enc_clean"] == 0  # \t \n exempt
     assert got[5]["enc_clean"] is None
+
+
+def test_sq8_topk_recall_and_determinism(spark):
+    """SQ8 asymmetric (ADC) top-k on the real embeddings table: high
+    recall vs the exact cosine baseline (embeddings are ~unit-norm,
+    so dot ≡ cosine ranking) and bit-stable across runs."""
+    from parquetry_spark.similarity import sq8_topk, sq8_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    got = sq8_topk(emb, q, k=10).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(set(ids) & set(exact)) >= 8, (ids, exact)
+    again = sq8_topk(emb, q, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    # trained stats reusable and bounded: 2*dim floats
+    mins, maxs = sq8_train(emb, dim=len(q))
+    assert len(mins) == len(q) and len(maxs) == len(q)
+    assert all(a <= b for a, b in zip(mins, maxs))
+    reused = sq8_topk(emb, q, k=10, stats=(mins, maxs)).collect()
+    assert [tuple(r) for r in reused] == [tuple(r) for r in got]
+
+
+def test_sq8_codes_in_range(spark):
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.similarity import _sq8_codes, sq8_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mins, maxs = sq8_train(emb, dim=64)
+    codes = emb.select(
+        _sq8_codes(F.col("embedding"), mins, maxs).alias("c")
+    )
+    row = codes.agg(
+        F.min(F.array_min("c")).alias("lo"),
+        F.max(F.array_max("c")).alias("hi"),
+        F.count(F.when(F.size("c") != 64, 1)).alias("bad"),
+    ).first()
+    assert row["lo"] >= 0 and row["hi"] <= 255 and row["bad"] == 0
+    # extremes are actually reached (min maps to 0, max to 255)
+    assert row["lo"] == 0 and row["hi"] == 255

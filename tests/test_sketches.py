@@ -1,0 +1,144 @@
+"""Cardinality / overlap sketches (sketches.py): HLL registers and
+integer estimate, KMV bottom-k overlap — determinism, mergeability,
+and accuracy against exact counts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquetry_spark import sketches as sk
+from parquetry_spark.textops import norm_words
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 5000 distinct keys, repeated 3x each, shuffled across partitions
+    return spark.range(15000).select(
+        (F.col("id") % 5000).alias("k"),
+        F.concat(F.lit("user-"), (F.col("id") % 5000)).alias("s"),
+    )
+
+
+def test_hll_registers_shape_and_determinism(ids):
+    regs = sk.hll_registers(ids, "s")
+    rows = regs.collect()
+    assert 0 < len(rows) <= sk.HLL_M
+    assert all(0 <= r["bucket"] < sk.HLL_M for r in rows)
+    assert all(1 <= r["rho"] <= 53 for r in rows)
+    again = sk.hll_registers(ids, "s").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hll_registers_insensitive_to_duplicates(ids, spark):
+    # a sketch of the DISTINCT keys is identical — duplicates can
+    # only re-hit the same (bucket, rho)
+    regs_all = sorted(map(tuple, sk.hll_registers(ids, "s").collect()))
+    regs_d = sorted(
+        map(tuple, sk.hll_registers(ids.select("s").distinct(), "s").collect())
+    )
+    assert regs_all == regs_d
+
+
+def test_hll_estimate_accuracy(ids):
+    est = sk.hll_estimate(ids, "s")
+    # standard error for m=256 is ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - 5000) / 5000 < 0.2, est
+
+
+def test_hll_estimate_small_range_linear_counting(spark):
+    small = spark.range(30).select(F.concat(F.lit("x"), "id").alias("s"))
+    est = sk.hll_estimate(small, "s")
+    # linear counting is near-exact at 30 << m
+    assert abs(est - 30) <= 2, est
+
+
+def test_hll_stats_integer_identity(ids):
+    row = sk.hll_stats(ids, "s").first()
+    # ssc must equal the recomputation from the register table
+    regs = {r["bucket"]: r["rho"] for r in sk.hll_registers(ids, "s").collect()}
+    ssc = sum(1 << (53 - rho) for rho in regs.values())
+    ssc += (256 - len(regs)) * (1 << 53)
+    assert row["ssc"] == ssc
+    assert row["zeros"] == 256 - len(regs)
+    assert row["est"] == sk.AM2_SCALED // ssc
+
+
+def test_hll_merge_is_register_max(spark, ids):
+    # union sketch == per-bucket max of the two sketches (mergeable)
+    a = ids.where("k < 2500")
+    b = ids.where("k >= 2000")
+    ra = {r["bucket"]: r["rho"] for r in sk.hll_registers(a, "s").collect()}
+    rb = {r["bucket"]: r["rho"] for r in sk.hll_registers(b, "s").collect()}
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    ru = {r["bucket"]: r["rho"] for r in sk.hll_registers(ids, "s").collect()}
+    assert merged == ru
+
+
+def test_kmv_sketch_bottom_k(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("v"), "id").alias("v"),
+    )
+    s = sk.kmv_sketch(df, "g", "v", k=16)
+    rows = s.collect()
+    assert len(rows) == 32  # 16 per group
+    for g in ("0", "1"):
+        hs = sorted(r["h"] for r in rows if r["grp"] == g)
+        assert len(set(hs)) == 16
+        # they are the 16 smallest hashes of that group's values
+        all_h = sorted(
+            r["h"]
+            for r in df.where(F.col("g") == g)
+            .select(sk._hash60(F.col("v")).alias("h"))
+            .distinct()
+            .collect()
+        )
+        assert hs == all_h[:16]
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    base = spark.range(500).select(F.concat(F.lit("w"), "id").alias("v"))
+    two = base.withColumn("g", F.lit("a")).union(
+        base.withColumn("g", F.lit("b"))
+    )
+    row = sk.kmv_overlap(two, "g", "v", "a", "b", k=64).first()
+    assert row["k_eff"] == 64 and row["inter"] == 64  # J = 1
+    disj = (
+        spark.range(500)
+        .select(F.concat(F.lit("p"), "id").alias("v"), F.lit("a").alias("g"))
+        .union(
+            spark.range(500).select(
+                F.concat(F.lit("q"), "id").alias("v"), F.lit("b").alias("g")
+            )
+        )
+    )
+    row = sk.kmv_overlap(disj, "g", "v", "a", "b", k=64).first()
+    assert row["k_eff"] == 64 and row["inter"] == 0  # J = 0
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    # A = 0..899, B = 600..1499 → |∩|=300, |∪|=1500, J = 0.2
+    a = spark.range(0, 900).select(
+        F.concat(F.lit("t"), "id").alias("v"), F.lit("a").alias("g")
+    )
+    b = spark.range(600, 1500).select(
+        F.concat(F.lit("t"), "id").alias("v"), F.lit("b").alias("g")
+    )
+    row = sk.kmv_overlap(a.union(b), "g", "v", "a", "b", k=128).first()
+    j = row["inter"] / row["k_eff"]
+    assert abs(j - 0.2) < 0.12, (row, j)
+
+
+def test_kmv_vocab_overlap_on_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = docs.select(
+        "source", F.explode(norm_words(F.col("text"))).alias("word")
+    ).where("word <> ''")
+    row = sk.kmv_overlap(w, "source", "word", "src0", "src1", k=64).first()
+    assert row["k_eff"] > 0
+    assert 0 <= row["inter"] <= row["k_eff"]
