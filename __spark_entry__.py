@@ -1859,6 +1859,22 @@ def q_sq8_topk(spark, sf):
     return sq8_topk(emb, qv, k=10)
 
 
+def q_pq_topk(spark, sf):
+    """Product-quantization ADC top-k (similarity.py::pq_*): codes
+    trained on a bounded hash-ordered sample, scored JVM-side from
+    the persisted m-byte codes column. NO oracle_sql entry BY
+    DESIGN: k-means codebook training is iterative and not
+    SQL-expressible — the rows-only driver check applies; the
+    full-oracle ANN evidence is carried by ann_topk / ivf_topk /
+    ivf_topk_batch / sq8_topk."""
+    from parquetry_spark.similarity import pq_codes, pq_topk, pq_train
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    books = pq_train(emb, m=8, k=32, sample=512, iters=8)
+    return pq_topk(pq_codes(emb, books), qv, books, k=10)
+
+
 def q_bpe_pairs(spark, sf):
     """First BPE training iteration: corpus-wide weighted symbol-pair
     counts (chars + end-of-word marker), top 100."""
@@ -1977,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_stats": q_hll_stats,
         "kmv_vocab_overlap": q_kmv_vocab_overlap,
         "sq8_topk": q_sq8_topk,
+        "pq_topk": q_pq_topk,
         "bpe_pairs": q_bpe_pairs,
         "bpe_apply": q_bpe_apply,
     }

@@ -726,3 +726,45 @@ def test_sq8_codes_in_range(spark):
     assert row["lo"] >= 0 and row["hi"] <= 255 and row["bad"] == 0
     # extremes are actually reached (min maps to 0, max to 255)
     assert row["lo"] == 0 and row["hi"] == 255
+
+
+def test_pq_codes_and_topk(spark):
+    """PQ (product quantization): codebook shape, code range, ADC
+    top-k recall vs exact cosine on the real embeddings table, and
+    end-to-end determinism (bounded-sample training is hash-ordered,
+    so results are cluster-size-independent)."""
+    import numpy as np
+
+    from parquetry_spark.similarity import pq_codes, pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, m=8, k=32, sample=512, iters=8)
+    assert books.shape == (8, 32, 8)
+    again = pq_train(emb, m=8, k=32, sample=512, iters=8)
+    assert np.array_equal(books, again)
+
+    codes = pq_codes(emb, books)
+    rows = codes.collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 32 for r in rows for c in r["codes"])
+
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    got = pq_topk(codes, q, books, k=10).collect()
+    ids = [r["vec_id"] for r in got]
+    # ADC over 8 subspaces x 32 cells: the query's own code must win
+    # and recall must beat random by a wide margin
+    assert ids[0] == 0
+    assert len(set(ids) & set(exact)) >= 5, (ids, exact)
+    rerun = pq_topk(pq_codes(emb, books), q, books, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in rerun]
+
+
+def test_pq_train_validates_dim(spark):
+    import pytest as _pytest
+
+    from parquetry_spark.similarity import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)
