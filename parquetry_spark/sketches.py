@@ -211,3 +211,43 @@ def kmv_overlap(
         .cast("long")
         .alias("inter"),
     )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union of HLL sketches = per-bucket max over their register
+    tables — the property that lets per-snapshot / per-partition
+    sketches roll up without rescanning: each input is <=256 rows,
+    so merging S snapshots costs S*256 rows total."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> int:
+    """Corrected estimate straight from a (merged) register table —
+    same integer ssc + driver-side linear-counting as hll_estimate."""
+    import math
+
+    row = regs.agg(
+        F.count("*").alias("nonzero"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - rho)")
+        ).alias("ssc_nz"),
+    ).first()
+    zeros = HLL_M - row["nonzero"]
+    ssc = (row["ssc_nz"] or 0) + zeros * (1 << _RHO_CAP)
+    est = AM2_SCALED // ssc
+    if est <= 5 * HLL_M // 2 and zeros > 0:
+        return int(round(HLL_M * math.log(HLL_M / zeros)))
+    return int(est)
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two bottom-k sketches (kmv_sketch outputs) per group:
+    re-rank the <=2k distinct hashes and keep the bottom k — the
+    same sketch shape back, so merging is associative and snapshots
+    fold pairwise."""
+    u = a.select("grp", "h").unionByName(b.select("grp", "h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return u.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -142,3 +142,37 @@ def test_kmv_vocab_overlap_on_documents(spark):
     row = sk.kmv_overlap(w, "source", "word", "src0", "src1", k=64).first()
     assert row["k_eff"] > 0
     assert 0 <= row["inter"] <= row["k_eff"]
+
+
+def test_hll_merge_operator_and_estimate(spark, ids):
+    a = ids.where("k < 2500")
+    b = ids.where("k >= 2000")
+    merged = sk.hll_merge(sk.hll_registers(a, "s"), sk.hll_registers(b, "s"))
+    whole = sk.hll_registers(ids, "s")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    est = sk.hll_estimate_from_registers(merged)
+    assert abs(est - 5000) / 5000 < 0.2, est
+    # estimate from registers == the one-shot estimator
+    assert est == sk.hll_estimate(ids, "s")
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.concat(F.lit("v"), "id").alias("v"),
+    )
+    first = df.where("id < 1200")
+    second = df.where("id >= 800")  # overlapping slice
+    m = sk.kmv_merge(
+        sk.kmv_sketch(first, "g", "v", k=32),
+        sk.kmv_sketch(second, "g", "v", k=32),
+        k=32,
+    )
+    direct = sk.kmv_sketch(df, "g", "v", k=32)
+    assert sorted(map(tuple, m.select("grp", "h", "rk").collect())) == sorted(
+        map(tuple, direct.select("grp", "h", "rk").collect())
+    )
