@@ -407,3 +407,32 @@ def stream_ingest_warc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_distinct_hll(
+    spark: SparkSession, in_dir: str, col: str = "url"
+) -> DataFrame:
+    """Continuous distinct-count over the ingest stream: maintain the
+    HLL register table (sketches.py) as a streaming aggregate.
+
+    State is EXACTLY the sketch — ≤256 (bucket, rho) rows however
+    many trillion values stream through — and the aggregate is the
+    sketch's own merge (max per bucket), so Structured Streaming's
+    incremental groupBy IS the textbook streaming-HLL algorithm: no
+    custom stateful operator needed, restarts recover the registers
+    from the checkpoint, and the result at any epoch equals the
+    batch sketch of everything ingested so far (tested). Attach with
+    outputMode('complete') (the full 256-row table each epoch is
+    cheaper than update-mode bookkeeping at this state size); feed
+    `sketches.hll_estimate_from_registers` for the number.
+    """
+    from .sketches import hll_add
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+    bucket, rho = hll_add(F.col(col))
+    return (
+        stream.where(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

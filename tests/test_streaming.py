@@ -292,3 +292,58 @@ def test_stream_curate_chunking_matches_batch(spark, tmp_path):
         tuple(r) for r in want.select(*key).collect()
     )
     assert got.count() > 120  # long pages actually split
+
+
+def test_stream_distinct_hll_equals_batch_sketch(spark, tmp_path):
+    """Streaming HLL: after two micro-batch file drops, the streaming
+    register table equals the batch sketch of the union, and the
+    estimate tracks the true distinct count."""
+    from parquetry_spark import sketches as sk
+    from parquetry_spark.streaming import stream_distinct_hll
+
+    in_dir = str(tmp_path / "hll_in")
+    ck = str(tmp_path / "hll_ck")
+    first = gen_pages(spark, 400, seed=11, n_hosts=20)
+    first.write.mode("overwrite").parquet(in_dir)
+
+    def run_once():
+        regs = stream_distinct_hll(spark, in_dir, col="url")
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("hll_regs")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["bucket"]: r["rho"]
+            for r in spark.sql("SELECT * FROM hll_regs").collect()
+        }
+
+    got1 = run_once()
+    batch1 = {
+        r["bucket"]: r["rho"]
+        for r in sk.hll_registers(spark.read.parquet(in_dir), "url").collect()
+    }
+    assert got1 == batch1
+
+    # second drop: new pages (different seed) appended to the dir —
+    # the restarted query recovers register state from the checkpoint
+    gen_pages(spark, 400, seed=23, n_hosts=20).write.mode("append").parquet(
+        in_dir
+    )
+    got2 = run_once()
+    all_df = spark.read.parquet(in_dir)
+    batch2 = {
+        r["bucket"]: r["rho"]
+        for r in sk.hll_registers(all_df, "url").collect()
+    }
+    assert got2 == batch2
+    # estimate sanity vs the true distinct url count
+    true = all_df.select("url").distinct().count()
+    est = sk.hll_estimate_from_registers(
+        sk.hll_registers(all_df, "url")
+    )
+    assert abs(est - true) / true < 0.25, (est, true)
