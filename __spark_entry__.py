@@ -3254,8 +3254,8 @@ def oracle_sql() -> dict[str, str]:
             "53 - length(bin(v & 4503599627370495)) END AS rho FROM h), "
             "regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket), "
             "a AS (SELECT count(*) AS nonzero, "
-            "CAST(sum(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS ssc_nz "
-            "FROM regs) "
+            "CAST(coalesce(sum(CAST(1 AS BIGINT) << (53 - rho)), 0) "
+            "AS BIGINT) AS ssc_nz FROM regs) "
             "SELECT 256 AS m, CAST(256 - nonzero AS BIGINT) AS zeros, "
             "CAST(ssc_nz + (256 - nonzero) * (CAST(1 AS BIGINT) << 53) "
             "AS BIGINT) AS ssc, "

@@ -346,6 +346,11 @@ def sq8_topk(
     if stats is None:
         stats = sq8_train(df, vec_col, dim)
     mins, maxs = stats
+    if len(mins) != dim or len(maxs) != dim:
+        raise ValueError(
+            f"stats dim {len(mins)}/{len(maxs)} != query dim {dim}"
+            " — stale or mismatched sq8_train stats"
+        )
     ws = [
         float(q) * (mx - mn) / 255.0 for q, mn, mx in zip(query, mins, maxs)
     ]

@@ -112,8 +112,11 @@ def hll_stats(df: DataFrame, col: str) -> DataFrame:
     )
     m = F.lit(HLL_M)
     zeros = (m - F.col("nonzero")).alias("zeros")
+    # coalesce: F.sum over an EMPTY register table (empty/all-null
+    # input) is NULL — without it ssc/est go NULL and callers crash
     ssc = (
-        F.col("ssc_nz") + (m - F.col("nonzero")) * F.lit(1 << _RHO_CAP)
+        F.coalesce(F.col("ssc_nz"), F.lit(0))
+        + (m - F.col("nonzero")) * F.lit(1 << _RHO_CAP)
     ).alias("ssc")
     out = agg.select(m.alias("m"), zeros, ssc)
     # `div` = exact integral division on decimals (Spark SQL operator)

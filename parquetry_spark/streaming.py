@@ -426,13 +426,10 @@ def stream_distinct_hll(
     cheaper than update-mode bookkeeping at this state size); feed
     `sketches.hll_estimate_from_registers` for the number.
     """
-    from .sketches import hll_add
+    from .sketches import hll_registers
 
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
-    bucket, rho = hll_add(F.col(col))
-    return (
-        stream.where(F.col(col).isNotNull())
-        .select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    # the batch operator works unchanged on a streaming DataFrame —
+    # ONE definition of the sketch aggregate, so batch and streaming
+    # can never drift
+    return hll_registers(stream, col)

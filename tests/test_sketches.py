@@ -176,3 +176,17 @@ def test_kmv_merge_equals_direct_sketch(spark):
     assert sorted(map(tuple, m.select("grp", "h", "rk").collect())) == sorted(
         map(tuple, direct.select("grp", "h", "rk").collect())
     )
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("s", T.StringType())])
+    )
+    row = sk.hll_stats(empty, "s").first()
+    assert row["zeros"] == 256 and row["ssc"] == 256 * (1 << 53)
+    assert row["est"] is not None
+    # all-null column behaves the same
+    nulls = spark.range(5).select(F.lit(None).cast("string").alias("s"))
+    assert sk.hll_estimate(nulls, "s") == 0
