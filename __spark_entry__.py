@@ -1875,6 +1875,23 @@ def q_pq_topk(spark, sf):
     return pq_topk(pq_codes(emb, books), qv, books, k=10)
 
 
+def q_budget_select(spark, sf):
+    """Token-budget data selection (curation.select_token_budget):
+    greedy quality-ranked prefix of the corpus under a 25k-token
+    budget — DCLM-style "take the best tokens" — computed with the
+    bucketed cumulative-sum shape (no single-partition global sort).
+    Output: selected doc_ids + integer running token total."""
+    from parquetry_spark.curation import select_token_budget
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        quality_score_micros(F.col("text")).alias("quality_u"),
+        token_count(F.col("text")).cast("long").alias("tok"),
+    )
+    sel = select_token_budget(docs, 25_000, "quality_u", "tok")
+    return sel.select("doc_id", "quality_u", "cum_tok").orderBy("doc_id")
+
+
 def q_bpe_pairs(spark, sf):
     """First BPE training iteration: corpus-wide weighted symbol-pair
     counts (chars + end-of-word marker), top 100."""
@@ -1994,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_vocab_overlap": q_kmv_vocab_overlap,
         "sq8_topk": q_sq8_topk,
         "pq_topk": q_pq_topk,
+        "budget_select": q_budget_select,
         "bpe_pairs": q_bpe_pairs,
         "bpe_apply": q_bpe_apply,
     }
@@ -3228,6 +3246,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, count(*) AS n_cust FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "budget_select": (
+            # the naive global form the engine's bucketed cumsum must
+            # equal: one window ordered (quality DESC, doc_id), keep
+            # while the inclusive running token total fits the budget
+            "WITH q AS (" + quality_sql("documents") + "), "
+            f"tk AS (SELECT doc_id, CAST({tok} AS BIGINT) AS tok "
+            "FROM documents), "
+            "j AS (SELECT q.doc_id, q.quality_u, tk.tok FROM q "
+            "JOIN tk USING (doc_id)), "
+            "c AS (SELECT doc_id, quality_u, CAST(sum(tok) OVER ("
+            "ORDER BY quality_u DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM j) "
+            "SELECT doc_id, quality_u, cum_tok FROM c "
+            "WHERE cum_tok <= 25000 ORDER BY doc_id"
         ),
         "hll_custkeys": (
             # p=8 HLL registers from the first 60 bits of md5: bucket

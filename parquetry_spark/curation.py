@@ -720,3 +720,81 @@ def chunk_documents(
         ),
         "n_chunks",
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Greedy data selection under a token budget: keep the prefix of
+    rows ordered (score DESC, id ASC) whose running token total stays
+    <= budget — the "take the best N-billion tokens" step of
+    quality-ranked corpus construction (DCLM/DoReMi-style selection).
+
+    Scale shape — a global running sum WITHOUT a one-partition sort:
+    scores are bucketized (monotone integer quantization, equal
+    scores always share a bucket), one small agg gives per-bucket
+    (rows, tokens), the driver prefix-sums the <= n_buckets rows,
+    and the exact per-row cumulative sum is a PER-BUCKET window
+    (parallel across buckets) plus the bucket's broadcast offset.
+    The single-partition window that a naive
+    `Window.orderBy(score)` would schedule never happens; worst
+    case degenerates to one bucket only when every row shares one
+    score. Output: selected rows + `cum_tok` (inclusive running
+    total, <= budget by construction).
+
+    Both score and token columns must be integers (the engine's
+    scoring is integer-micros end to end), which keeps the running
+    sums — and the DuckDB oracle replay — exact.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    s, t = F.col(score_col), F.col(token_col)
+    row = df.agg(F.min(s).alias("mn"), F.max(s).alias("mx")).first()
+    if row["mn"] is None:
+        return df.withColumn("cum_tok", F.lit(0).cast("long")).limit(0)
+    mn, mx = int(row["mn"]), int(row["mx"])
+    span = mx - mn + 1
+    num = (s.cast("long") - F.lit(mn)) * F.lit(n_buckets)
+    b = ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("int")
+    dfb = df.withColumn("__b", b)
+    per = (
+        dfb.groupBy("__b")
+        .agg(F.sum(t.cast("long")).alias("toks"))
+        .collect()
+    )
+    # prefix over buckets in score-descending order; buckets entirely
+    # past the budget are dropped before any window work
+    offs: dict[int, int] = {}
+    run = 0
+    cutoff = None
+    for rec in sorted(per, key=lambda r: -r["__b"]):
+        offs[rec["__b"]] = run
+        run += int(rec["toks"] or 0)
+        if run > budget and cutoff is None:
+            cutoff = rec["__b"]
+    if cutoff is not None:
+        dfb = dfb.where(F.col("__b") >= F.lit(cutoff))
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in offs.items()], ["__b", "__off"]
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        dfb.join(F.broadcast(off_df), "__b")
+        .withColumn(
+            "cum_tok",
+            (F.col("__off") + F.sum(t.cast("long")).over(w)).cast("long"),
+        )
+        .where(F.col("cum_tok") <= F.lit(budget))
+        .drop("__b", "__off")
+    )
+    return out

@@ -828,3 +828,56 @@ def test_chunk_documents_validation_and_zero_shuffle(spark):
         chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_select_token_budget_matches_global_prefix(spark):
+    """Bucketed cumulative selection == the naive global-sort greedy
+    prefix, across budgets incl. 0, exact-fit, and everything."""
+    import random
+
+    from parquetry_spark.curation import select_token_budget
+
+    rnd = random.Random(7)
+    rows = [
+        (i, rnd.randint(0, 500) * 1000, rnd.randint(1, 40))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score_u", "tok"])
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for budget in (0, 1, 137, 2_000, 10**9):
+        got = {
+            r["doc_id"]: r["cum_tok"]
+            for r in select_token_budget(
+                df, budget, "score_u", "tok"
+            ).collect()
+        }
+        cum, want = 0, {}
+        for i, s, t in order:
+            cum += t
+            if cum > budget:
+                break
+            want[i] = cum
+        assert got == want, (budget, len(got), len(want))
+
+
+def test_select_token_budget_single_score_bucket(spark):
+    from parquetry_spark.curation import select_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 42, 10) for i in range(50)], ["doc_id", "score_u", "tok"]
+    )
+    got = select_token_budget(df, 105, "score_u", "tok").collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(10))
+    assert max(r["cum_tok"] for r in got) == 100
+
+
+def test_select_token_budget_validates_and_empty(spark):
+    import pytest as _pytest
+
+    from parquetry_spark.curation import select_token_budget
+
+    df = spark.createDataFrame([(1, 5, 3)], ["doc_id", "score_u", "tok"])
+    with _pytest.raises(ValueError, match="budget"):
+        select_token_budget(df, -1, "score_u", "tok")
+    empty = df.limit(0)
+    assert select_token_budget(empty, 100, "score_u", "tok").count() == 0
