@@ -360,6 +360,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--chunk-overlap", type=int, default=0)
     p.add_argument(
+        "--budget-tokens", type=int, default=None, metavar="N",
+        help="keep only the best docs (quality-ranked, ties by id) "
+        "whose running token total fits N — greedy data selection "
+        "under a token budget (bucketed cumulative sums, no global "
+        "single-partition sort); runs after the per-doc gates so the "
+        "budget buys only surviving docs",
+    )
+    p.add_argument(
         "--split", default=None, metavar="GROUP_COL",
         help="add a group-atomic train/val split column on GROUP_COL",
     )
@@ -691,6 +699,25 @@ def main(argv: list[str] | None = None) -> int:
                 df = stratified_sample(
                     df, args.stratify, rates,
                     default_rate=args.default_rate, id_col=args.id_col,
+                )
+            if args.budget_tokens is not None:
+                from .curation import select_token_budget
+
+                df = (
+                    df.withColumn(
+                        "__q", quality_score_micros(F.col(args.text_col))
+                    )
+                    .withColumn(
+                        "__tok",
+                        token_count(F.col(args.text_col)).cast("long"),
+                    )
+                    .transform(
+                        lambda d: select_token_budget(
+                            d, args.budget_tokens, "__q", "__tok",
+                            id_col=args.id_col,
+                        )
+                    )
+                    .drop("__q", "__tok", "cum_tok")
                 )
             if args.split:
                 df = group_split(df, args.split, val_pct=args.val_pct)

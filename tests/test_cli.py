@@ -397,3 +397,46 @@ def test_cli_compact(spark, tmp_path, monkeypatch):
     res = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert res["compacted_files"] == 3 and res["new_files"] == 1
     assert cat.read(spark, "t").count() == 15
+
+
+def test_curate_budget_tokens(tmp_path, spark):
+    """--budget-tokens keeps the greedy quality-ranked prefix and
+    composes with the other gates in one pipeline."""
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "bt_in")
+    out = str(tmp_path / "bt_out")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(inp)
+
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.curation import select_token_budget
+    from parquetry_spark.textops import quality_score_micros, token_count
+
+    scored = docs.select(
+        "doc_id",
+        quality_score_micros(F.col("text")).alias("q"),
+        token_count(F.col("text")).cast("long").alias("t"),
+    )
+    want = {
+        r["doc_id"]
+        for r in select_token_budget(scored, 3000, "q", "t").collect()
+    }
+    assert 0 < len(want) < docs.count()
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "parquetry_spark.cli", "curate",
+            "--in", inp, "--out", out, "--budget-tokens", "3000",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        r2["doc_id"] for r2 in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    # cum_tok is an internal of the stage, not part of the output
+    assert "cum_tok" not in spark.read.parquet(out).columns
