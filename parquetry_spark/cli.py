@@ -395,6 +395,33 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", default="blocks")
     p.add_argument("--small-bytes", type=int, default=32 << 20)
     p.add_argument("--target-bytes", type=int, default=128 << 20)
+    p = sub.add_parser(
+        "train-bpe",
+        help="learn BPE merges from a documents table; writes a JSON "
+        "merge list usable by `tokenize` (training touches the "
+        "word-frequency table only — one corpus pass)",
+    )
+    p.add_argument("--in", dest="inp", required=True)
+    p.add_argument("--out", required=True, metavar="MERGES_JSON")
+    p.add_argument("--n-merges", type=int, default=100)
+    p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("--text-col", default="text")
+    p = sub.add_parser(
+        "tokenize",
+        help="apply a learned BPE merge list: adds `bpe` "
+        "(array<string>) and n_bpe_tokens; zero-shuffle codegen",
+    )
+    p.add_argument("--in", dest="inp", required=True)
+    p.add_argument("--merges", required=True, metavar="MERGES_JSON")
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p = sub.add_parser(
+        "distinct",
+        help="HyperLogLog distinct-count per column (integer-exact "
+        "registers; <=256 rows of state per column at any scale)",
+    )
+    p.add_argument("--in", dest="inp", required=True)
+    p.add_argument("--cols", required=True, metavar="CSV")
 
     args = ap.parse_args(argv)
 
@@ -759,6 +786,43 @@ def main(argv: list[str] | None = None) -> int:
             from .parity.meta import manifest_report
 
             manifest_report(spark, args.out).show(100, truncate=False)
+            return 0
+        if args.cmd == "train-bpe":
+            from .bpe import train_bpe
+
+            merges = train_bpe(
+                spark.read.parquet(args.inp),
+                args.n_merges,
+                text_col=args.text_col,
+                min_count=args.min_count,
+            )
+            with open(args.out, "w") as fh:
+                json.dump([list(m) for m in merges], fh)
+            print(json.dumps({"n_merges": len(merges), "out": args.out}))
+            return 0
+        if args.cmd == "tokenize":
+            from pyspark.sql import functions as F
+
+            from .bpe import tokenize as bpe_tokenize
+
+            with open(args.merges) as fh:
+                merges = [tuple(m) for m in json.load(fh)]
+            df = bpe_tokenize(
+                spark.read.parquet(args.inp), merges, text_col=args.text_col
+            ).withColumn("n_bpe_tokens", F.size("bpe"))
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"out": args.out, "n_merges": len(merges)}))
+            return 0
+        if args.cmd == "distinct":
+            from .sketches import hll_estimate
+
+            df = spark.read.parquet(args.inp)
+            est = {
+                c.strip(): hll_estimate(df, c.strip())
+                for c in args.cols.split(",")
+                if c.strip()
+            }
+            print(json.dumps(est))
             return 0
         if args.cmd == "compact":
             from .iceberg import compact_table

@@ -440,3 +440,56 @@ def test_curate_budget_tokens(tmp_path, spark):
     assert got == want
     # cum_tok is an internal of the stage, not part of the output
     assert "cum_tok" not in spark.read.parquet(out).columns
+
+
+def test_cli_train_bpe_tokenize_distinct(tmp_path, spark):
+    """train-bpe → tokenize round-trip through the CLI plus the HLL
+    distinct sketch report."""
+    import json as _json
+    import subprocess
+    import sys
+
+    inp = "/root/testdata/sf0.001/documents.parquet"
+    merges_path = str(tmp_path / "merges.json")
+    out = str(tmp_path / "tok_out")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "parquetry_spark.cli", *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout.strip().splitlines()[-1]
+
+    info = _json.loads(
+        run("train-bpe", "--in", inp, "--out", merges_path, "--n-merges", "12")
+    )
+    assert info["n_merges"] == 12
+    merges = _json.load(open(merges_path))
+    assert all(len(m) == 2 for m in merges)
+
+    _json.loads(run("tokenize", "--in", inp, "--merges", merges_path, "--out", out))
+    tok = spark.read.parquet(out)
+    assert "bpe" in tok.columns and "n_bpe_tokens" in tok.columns
+    row = tok.orderBy("doc_id").first()
+    assert row["n_bpe_tokens"] == len(row["bpe"]) > 0
+
+    # library parity: CLI tokens == bpe.tokenize with the same merges
+    from parquetry_spark.bpe import tokenize as lib_tokenize
+
+    lib = {
+        r2["doc_id"]: r2["bpe"]
+        for r2 in lib_tokenize(
+            spark.read.parquet(inp), [tuple(m) for m in merges]
+        ).collect()
+    }
+    got = {r2["doc_id"]: r2["bpe"] for r2 in tok.collect()}
+    assert got == lib
+
+    est = _json.loads(run("distinct", "--in", inp, "--cols", "doc_id,source"))
+    docs = spark.read.parquet(inp)
+    true_ids = docs.select("doc_id").distinct().count()
+    assert abs(est["doc_id"] - true_ids) / true_ids < 0.25
+    true_src = docs.select("source").distinct().count()
+    # linear-counting range: small bias, not exact
+    assert abs(est["source"] - true_src) <= 2, (est, true_src)
