@@ -690,9 +690,40 @@ def _encode_opaque_block(part_id: int, name: str, arr: pa.Array) -> dict:
     }
 
 
+def _nullable_type(t: pa.DataType) -> pa.DataType:
+    """Recursively relax nested field nullability. Spark's expected
+    arrow schema for array/struct columns always has nullable
+    children, but an IPC payload captured from a non-null expression
+    (e.g. a split() product) carries `not null` children — decode
+    must relax or the worker's schema verification rejects the
+    batch. Relaxing only widens; values are untouched."""
+    if pa.types.is_list(t):
+        return pa.list_(_nullable_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_nullable_type(t.value_type))
+    if pa.types.is_fixed_size_list(t):
+        return pa.list_(_nullable_type(t.value_type), t.list_size)
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [
+                pa.field(f.name, _nullable_type(f.type), nullable=True)
+                for f in t
+            ]
+        )
+    if pa.types.is_map(t):
+        return pa.map_(t.key_type, _nullable_type(t.item_type))
+    return t
+
+
 def _decode_opaque_block(payload: bytes, name: str) -> pa.Array:
-    tbl = pa.ipc.open_stream(pa.BufferReader(payload)).read_all()
-    return tbl.column(name).combine_chunks()
+    arr = (
+        pa.ipc.open_stream(pa.BufferReader(payload))
+        .read_all()
+        .column(name)
+        .combine_chunks()
+    )
+    want = _nullable_type(arr.type)
+    return arr if want == arr.type else arr.cast(want)
 
 
 # ---------------------------------------------------------------------------

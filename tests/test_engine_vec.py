@@ -111,3 +111,35 @@ def test_vec_engine_falls_back_on_child_nulls(spark):
     assert row["codec"] == "arrow_ipc"  # honest fallback, nothing dropped
     dec = decode_blocks(blocks, ["k", "v"], infer_ltypes(df)).orderBy("k").collect()
     assert dec[0]["v"] == [1.0, None] and dec[1]["v"] == [2.0, 3.0]
+
+
+def test_engine_roundtrips_pq_codes_and_bpe_tokens(spark):
+    """The compressed artifacts of the new operators feed back into
+    the codec engine: PQ codes (list<int>) ride the vec path, BPE
+    token arrays (list<string>) ride the opaque arrow_ipc fallback —
+    both bit-identical through encode → decode."""
+    from parquetry_spark.bpe import tokenize, train_bpe
+    from parquetry_spark.similarity import pq_codes, pq_train
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train(emb, m=8, k=16, sample=256, iters=4)
+    codes = pq_codes(emb, books)
+    lt = infer_ltypes(codes)
+    assert lt["codes"] == "vec_int32"
+    blocks = encode_table(codes, n_parts=2, url_col=None, ts_col=None)
+    dec = decode_blocks(blocks, ["vec_id", "codes"], lt)
+    got = {r["vec_id"]: r["codes"] for r in dec.collect()}
+    want = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert got == want
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    merges = train_bpe(docs, 10)
+    toks = tokenize(docs, merges).select("doc_id", "bpe")
+    lt2 = infer_ltypes(toks)
+    blocks2 = encode_table(toks, n_parts=2, url_col=None, ts_col=None)
+    dec2 = decode_blocks(blocks2, ["doc_id", "bpe"], lt2)
+    got2 = {r["doc_id"]: r["bpe"] for r in dec2.collect()}
+    want2 = {r["doc_id"]: r["bpe"] for r in toks.collect()}
+    assert got2 == want2
