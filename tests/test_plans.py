@@ -139,3 +139,58 @@ def test_simhash64_stays_in_codegen(spark):
         out.explain(mode="codegen")
     body = buf.getvalue()
     assert "Found 1 WholeStageCodegen subtrees." in body
+
+
+def test_bpe_tokenize_zero_shuffle_jvm_side(spark):
+    """BPE application is one narrow projection: no Exchange, no
+    Python eval — the merge chain compiles to codegen replaces."""
+    from parquetry_spark.bpe import tokenize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = tokenize(docs, [("t", "h"), ("th", "e"), ("e", "_")])
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sq8_scoring_take_ordered_no_shuffle(spark):
+    """SQ8 ADC top-k: quantize+fold is a projection feeding Spark's
+    TakeOrderedAndProject — no full sort, no shuffle, no Python."""
+    from parquetry_spark.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.first()["embedding"]]
+    plan = _plan(sq8_topk(emb, q, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_hll_registers_partial_aggregation(spark):
+    """The register groupBy must map-side combine (partial then final
+    HashAggregate) so <=256 rows per task cross the one shuffle."""
+    from parquetry_spark.sketches import hll_registers
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(hll_registers(orders, "o_custkey"))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_max" in plan or "partial" in plan
+
+
+def test_budget_select_windows_are_bucket_partitioned(spark):
+    """select_token_budget must never schedule the naive global
+    single-partition window: every windowspec carries the bucket
+    partition key."""
+    from parquetry_spark.curation import select_token_budget
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 * 1000).alias("score_u"),
+        (F.col("id") % 13 + 1).alias("tok"),
+    )
+    out = select_token_budget(df, 1000, "score_u", "tok")
+    plan = _plan(out)
+    assert "Window" in plan
+    # each windowspecdefinition must be partitioned by the bucket key
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.lstrip().startswith("__b"), frag[:80]
