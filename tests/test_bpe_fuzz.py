@@ -1,0 +1,112 @@
+"""Differential fuzz of distributed BPE (round 5): random unicode
+corpora are trained and tokenized BOTH by bpe.py (wrapped-symbol
+replace chains in Spark) and by a pure-Python implementation of the
+subword-NMT algorithm; merge lists and token streams must be
+identical.
+
+What the random space covers that the fixed-corpus test can't:
+  - symbols that are themselves multi-char after several merges
+    (replace-chain boundary ambiguity is the classic bug class);
+  - overlapping merge targets ('aa' on 'aaaa' — LTR non-overlap);
+  - multibyte code points (é, CJK, emoji) through split('')/substr;
+  - digits and mixed-script words via the \\p{L}\\p{N} normalizer;
+  - tie-breaks when several pairs share the max count (count desc,
+    pair asc must pick identically).
+
+Each example trains on Spark, so the example count is modest and the
+session fixture is reused (function-scoped-fixture health check
+suppressed deliberately: the session is stateless across examples).
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquetry_spark import bpe
+
+# word alphabet: repetition-heavy ASCII + multibyte letters + digits
+LETTERS = "aabbce" + "éñ漢字" + "01"
+words = st.text(alphabet=LETTERS, min_size=1, max_size=8)
+texts = st.lists(words, min_size=1, max_size=12).map(" ".join)
+corpora = st.lists(texts, min_size=1, max_size=8)
+
+
+def _norm_words(text):
+    # python twin of textops.norm_words for this alphabet (letters
+    # and digits only — spaces are the sole separator we generate)
+    return [w for w in text.lower().split() if w]
+
+
+def _py_train(texts, n_merges):
+    wf = collections.Counter(
+        w for t in texts for w in _norm_words(t)
+    )
+    vocab = {tuple(list(w) + [bpe.END]): c for w, c in wf.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        out = {}
+        for syms, cnt in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            out[tuple(ns)] = out.get(tuple(ns), 0) + cnt
+        vocab = out
+    return merges
+
+
+def _py_tokenize(word, merges):
+    syms = list(word) + [bpe.END]
+    for a, b in merges:
+        ns, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                ns.append(a + b)
+                i += 2
+            else:
+                ns.append(syms[i])
+                i += 1
+        syms = ns
+    return syms
+
+
+@pytest.mark.filterwarnings("ignore::UserWarning")
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpora, n_merges=st.integers(min_value=1, max_value=10))
+def test_bpe_train_and_tokenize_match_reference(spark, corpus, n_merges):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    got_merges = bpe.train_bpe(df, n_merges)
+    want_merges = _py_train(corpus, n_merges)
+    assert got_merges == want_merges, (corpus, got_merges, want_merges)
+
+    rows = bpe.tokenize(df, got_merges).orderBy("doc_id").collect()
+    for r in rows:
+        want = [
+            t
+            for w in _norm_words(r["text"])
+            for t in _py_tokenize(w, got_merges)
+        ]
+        assert r["bpe"] == want, (r["text"], got_merges, r["bpe"], want)
