@@ -768,3 +768,79 @@ def test_pq_train_validates_dim(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=7)
+
+
+def test_resize_pixels_box_and_nearest():
+    """Pure-numpy resize kernels: constancy, exact block averaging,
+    non-integer-ratio parity with a naive per-pixel reference."""
+    import numpy as np
+
+    from parquetry_spark.multimodal import resize_pixels
+
+    const = np.full((10, 14, 3), 137, dtype=np.uint8)
+    for method in ("box", "nearest"):
+        out = resize_pixels(const, 5, 7, method)
+        assert out.shape == (7, 5, 3)
+        assert (out == 137).all()
+
+    # integer 2x downsample == exact 2x2 block mean
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    out = resize_pixels(img, 4, 4, "box")
+    blocks = img.astype(np.float64).reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
+    assert np.array_equal(out, np.clip(np.rint(blocks), 0, 255).astype(np.uint8))
+
+    # non-integer ratio: compare against a naive fractional-cell
+    # average computed per target pixel
+    img = rng.randint(0, 256, (5, 7, 1)).astype(np.uint8)
+    out = resize_pixels(img, 3, 2, "box")
+    f = img[:, :, 0].astype(np.float64)
+    for ty in range(2):
+        for tx in range(3):
+            y0, y1 = 5 * ty / 2, 5 * (ty + 1) / 2
+            x0, x1 = 7 * tx / 3, 7 * (tx + 1) / 3
+            acc = wsum = 0.0
+            for y in range(int(np.floor(y0)), int(np.ceil(y1))):
+                wy = min(y + 1, y1) - max(y, y0)
+                for x in range(int(np.floor(x0)), int(np.ceil(x1))):
+                    wx = min(x + 1, x1) - max(x, x0)
+                    acc += f[y, x] * wy * wx
+                    wsum += wy * wx
+            want = int(np.clip(np.rint(acc / wsum), 0, 255))
+            assert abs(int(out[ty, tx, 0]) - want) <= 1, (ty, tx)
+
+    # upscale nearest replicates pixels
+    up = resize_pixels(img, 14, 10, "nearest")
+    assert up.shape == (10, 14, 1)
+    assert set(np.unique(up)) <= set(np.unique(img))
+
+
+def test_resize_images_stage(spark):
+    """mapInPandas resize over real BMP/PPM blobs: output payloads
+    re-decode at the target dims; undecodable blobs are dropped."""
+    import numpy as np
+
+    from parquetry_spark.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(6):
+        px = rng.randint(0, 256, (12 + i, 16 + i, 3)).astype(np.uint8)
+        blob = encode_bmp(px) if i % 2 == 0 else encode_ppm(px)
+        rows.append((i, bytearray(blob)))
+    rows.append((99, bytearray(b"\x89PNG fake-compressed")))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = resize_images(df, 8, 6).collect()
+    assert sorted(r["media_id"] for r in out) == list(range(6))
+    for r in out:
+        d = decode_image(bytes(r["payload"]))
+        assert (d["width"], d["height"]) == (8, 6)
+        assert (r["src_width"], r["src_height"]) == (
+            16 + r["media_id"],
+            12 + r["media_id"],
+        )
