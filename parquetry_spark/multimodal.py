@@ -6,7 +6,8 @@ Arrow batch shapes, vectorized UDF signatures — is real and tested.
 Decode status (r5): UNCOMPRESSED containers decode for REAL with
 pure numpy — BMP (BITMAPINFOHEADER, 24/32-bit BI_RGB, bottom-up or
 top-down, row padding) and PPM (P6) — including matching encoders so
-the path round-trips actual container bytes. Genuinely COMPRESSED
+the path round-trips actual container bytes, and a REAL resize stage
+(antialiased box average / nearest, pure numpy — resize_images). Genuinely COMPRESSED
 formats (PNG/JPEG/RLE-BMP/…) raise NotImplementedError: that codec
 work needs PIL/libvips-class libraries absent from this container.
 `fake=True` keeps the deterministic hash-derived double for oracle
