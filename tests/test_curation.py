@@ -881,3 +881,48 @@ def test_select_token_budget_validates_and_empty(spark):
         select_token_budget(df, -1, "score_u", "tok")
     empty = df.limit(0)
     assert select_token_budget(empty, 100, "score_u", "tok").count() == 0
+
+
+def test_select_token_budget_property(spark):
+    """Hypothesis net: bucketed cumulative selection ≡ the naive
+    global greedy prefix on random (score, token) tables — heavy
+    score ties, zero-token rows, tiny and huge budgets, and
+    single-value degenerate score distributions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from parquetry_spark.curation import select_token_budget
+
+    rows_st = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # score (few → ties)
+            st.integers(min_value=0, max_value=9),  # tokens (0 allowed)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_st, budget=st.integers(min_value=0, max_value=120))
+    def check(rows, budget):
+        data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+        df = spark.createDataFrame(data, ["doc_id", "score_u", "tok"])
+        got = {
+            r["doc_id"]: r["cum_tok"]
+            for r in select_token_budget(
+                df, budget, "score_u", "tok", n_buckets=7
+            ).collect()
+        }
+        cum, want = 0, {}
+        for i, s, t in sorted(data, key=lambda r: (-r[1], r[0])):
+            cum += t
+            if cum > budget:
+                break
+            want[i] = cum
+        assert got == want, (rows, budget, got, want)
+
+    check()
