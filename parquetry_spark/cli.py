@@ -730,6 +730,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.budget_tokens is not None:
                 from .curation import select_token_budget
 
+                for c in ("__q", "__tok", "cum_tok"):
+                    if c in df.columns:
+                        raise SystemExit(
+                            f"--budget-tokens reserves column {c!r}; "
+                            "rename it in the input"
+                        )
                 df = (
                     df.withColumn(
                         "__q", quality_score_micros(F.col(args.text_col))

@@ -753,15 +753,33 @@ def select_token_budget(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    for c in ("__b", "__off"):
+        if c in df.columns:
+            raise ValueError(f"input column {c!r} collides with internal scratch")
     s, t = F.col(score_col), F.col(token_col)
+    # NULL score has no rank and NULL tokens no cost — neither can
+    # participate in a greedy ranked prefix; excluded up front (the
+    # repo's null-passes convention is for EVIDENCE gates, and a
+    # budget is not an evidence gate)
+    df = df.where(s.isNotNull() & t.isNotNull())
     row = df.agg(F.min(s).alias("mn"), F.max(s).alias("mx")).first()
     if row["mn"] is None:
         return df.withColumn("cum_tok", F.lit(0).cast("long")).limit(0)
     mn, mx = int(row["mn"]), int(row["mx"])
     span = mx - mn + 1
-    num = (s.cast("long") - F.lit(mn)) * F.lit(n_buckets)
-    b = ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("int")
-    dfb = df.withColumn("__b", b)
+    # decimal(38,0) keeps the quantization exact for ANY int64 score
+    # span: (s-mn)*n_buckets can pass 2^63 and a double quotient can
+    # truncate across a bucket edge — both break the monotone-bucket
+    # invariant the offset math relies on
+    b = F.expr(
+        f"CAST((CAST({score_col} AS DECIMAL(38,0)) - {mn}) * {n_buckets}"
+        f" div CAST({span} AS DECIMAL(38,0)) AS INT)"
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    dfb = df.withColumn("__b", b).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted across the two driver actions AND the returned plan
+    # (the caller's materialization reuses it; Spark LRU reclaims it)
     per = (
         dfb.groupBy("__b")
         .agg(F.sum(t.cast("long")).alias("toks"))

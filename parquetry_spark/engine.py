@@ -711,7 +711,13 @@ def _nullable_type(t: pa.DataType) -> pa.DataType:
             ]
         )
     if pa.types.is_map(t):
-        return pa.map_(t.key_type, _nullable_type(t.item_type))
+        # map KEYS stay non-null (arrow invariant) but their nested
+        # children still need relaxing, as does keys_sorted
+        return pa.map_(
+            _nullable_type(t.key_type),
+            _nullable_type(t.item_type),
+            keys_sorted=t.keys_sorted,
+        )
     return t
 
 

@@ -570,7 +570,11 @@ def resize_images(
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     d = decode_image(bytes(b))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, IndexError):
+                    # NotImplementedError: compressed container;
+                    # ValueError/IndexError: truncated/corrupt header
+                    # or body (np.frombuffer short-buffer, int parse)
+                    # — one bad blob must not kill a crawl-scale stage
                     continue
                 px = d["pixels"][:, :, :3]  # BMP re-encode is 24-bit
                 out = resize_pixels(px, width, height, method)

@@ -926,3 +926,46 @@ def test_select_token_budget_property(spark):
         assert got == want, (rows, budget, got, want)
 
     check()
+
+
+def test_select_token_budget_null_rows_and_scratch_collision(spark):
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.curation import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, None, 5), (3, 20, None), (4, 30, 2)],
+        "doc_id long, score_u long, tok long",
+    )
+    got = select_token_budget(df, 100, "score_u", "tok").collect()
+    # NULL score (2) and NULL tokens (3) are excluded, others ranked
+    assert sorted(r["doc_id"] for r in got) == [1, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scratch"):
+        select_token_budget(
+            df.withColumn("__b", F.lit(1)), 10, "score_u", "tok"
+        )
+
+
+def test_select_token_budget_huge_score_span(spark):
+    """int64-extreme scores must bucket exactly (decimal arithmetic):
+    the greedy prefix still matches the naive reference."""
+    from parquetry_spark.curation import select_token_budget
+
+    big = 2**62
+    data = [
+        (0, -big, 7), (1, big, 3), (2, big - 1, 4), (3, 0, 5), (4, 17, 2),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, score_u long, tok long")
+    got = {
+        r["doc_id"]: r["cum_tok"]
+        for r in select_token_budget(df, 12, "score_u", "tok").collect()
+    }
+    cum, want = 0, {}
+    for i, s, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += t
+        if cum > 12:
+            break
+        want[i] = cum
+    assert got == want

@@ -844,3 +844,19 @@ def test_resize_images_stage(spark):
             16 + r["media_id"],
             12 + r["media_id"],
         )
+
+
+def test_resize_images_skips_corrupt_blobs(spark):
+    import numpy as np
+
+    from parquetry_spark.multimodal import encode_bmp, resize_images
+
+    good = encode_bmp(np.full((4, 4, 3), 9, dtype=np.uint8))
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(good[:20])),  # truncated BMP body
+        (2, bytearray(b"P6 trunc")),  # cut mid-header
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = resize_images(df, 2, 2).collect()
+    assert [r["media_id"] for r in out] == [0]
