@@ -144,6 +144,11 @@ def hll_estimate(df: DataFrame, col: str) -> int:
 
 # --- KMV / bottom-k --------------------------------------------------------
 
+# sub-buckets for the two-phase bottom-k (kmv_sketch): bounds the
+# rows any single rank window holds to max(group)/SUB_BUCKETS in
+# phase 1 and SUB_BUCKETS*k in phase 2
+SUB_BUCKETS = 32
+
 
 def kmv_sketch(
     df: DataFrame, group_col: str, value_col: str, k: int = 64
@@ -152,20 +157,27 @@ def kmv_sketch(
     hashes of `value_col`. Output (group, rk, h) — the sketch state
     itself, mergeable by re-ranking the union.
 
-    Scale shape: distinct() is a partial-agg dedup on (group, h);
-    the rank window then sees at most the distinct hashes per group
-    but ranks are needed only up to k, so the shuffle key is the
-    group and the per-group state the window holds is the hash
-    order — at 100 TB you'd cap pre-shuffle with a per-partition
-    bottom-k mapInArrow; at the gate scales the exact window IS the
-    per-group sort, and the output is k rows per group either way.
+    Scale shape — TWO-PHASE bottom-k: after the distinct (a
+    partial-agg dedup on (group, h)), hashes are first ranked inside
+    SUB_BUCKETS hash-split sub-buckets per group (each window holds
+    1/SUB_BUCKETS of the group) and capped at k; the final per-group
+    window then ranks at most SUB_BUCKETS*k rows. Correct because
+    the global bottom-k is contained in the union of every
+    sub-bucket's bottom-k. No single window ever sees a whole hot
+    group — the classic top-k-of-top-k shuffle discipline.
     """
     h = _hash60(F.col(value_col)).alias("h")
+    sub = F.pmod(F.xxhash64("h"), F.lit(SUB_BUCKETS)).alias("__sub")
+    w1 = Window.partitionBy("grp", "__sub").orderBy("h")
     w = Window.partitionBy("grp").orderBy("h")
     return (
         df.where(F.col(value_col).isNotNull())
         .select(F.col(group_col).alias("grp"), h)
         .distinct()
+        .select("grp", "h", sub)
+        .withColumn("__rk1", F.row_number().over(w1))
+        .where(F.col("__rk1") <= k)
+        .drop("__sub", "__rk1")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
