@@ -1892,6 +1892,18 @@ def q_budget_select(spark, sf):
     return sel.select("doc_id", "quality_u", "cum_tok").orderBy("doc_id")
 
 
+def q_pq_int(spark, sf):
+    """Oracle-exact PQ machinery (similarity.py::pq_int_topk): SQ8
+    codes → pinned integer codebooks → subspace argmin assignment →
+    integer ADC scoring — every step int64 with first-min ties, so
+    the SQL oracle replays assignment AND scoring bit-for-bit (the
+    trained-codebook pq_topk carries ranking quality; this carries
+    machinery exactness)."""
+    from parquetry_spark.similarity import pq_int_topk
+
+    return pq_int_topk(_t(spark, sf, "embeddings"), k=10)
+
+
 def q_bpe_pairs(spark, sf):
     """First BPE training iteration: corpus-wide weighted symbol-pair
     counts (chars + end-of-word marker), top 100."""
@@ -2011,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_vocab_overlap": q_kmv_vocab_overlap,
         "sq8_topk": q_sq8_topk,
         "pq_topk": q_pq_topk,
+        "pq_int": q_pq_int,
         "budget_select": q_budget_select,
         "bpe_pairs": q_bpe_pairs,
         "bpe_apply": q_bpe_apply,
@@ -3246,6 +3259,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, count(*) AS n_cust FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "pq_int": (
+            # SQ8 codes (same CTEs as sq8_topk) -> per-subspace
+            # squared-L2 argmin against the pinned integer codebook
+            # ((c*37 + d*11 + j*5) % 256), FIRST-min tie-break via
+            # list_position, -> integer ADC sum. All int64 — sums are
+            # order-free, so this replays the engine bit-for-bit.
+            f"WITH s AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, "
+            "max(CAST(embedding[i] AS DOUBLE)) AS mx FROM embeddings, "
+            f"unnest(range(1, {EMB_DIM + 1})) t(i) GROUP BY i), "
+            "lists AS (SELECT list(mn ORDER BY i) AS mns, "
+            "list(CASE WHEN mx > mn THEN 255.0/(mx-mn) ELSE 0.0 END "
+            "ORDER BY i) AS scs FROM s), "
+            "c8 AS (SELECT e.vec_id, "
+            "[least(255, greatest(0, CAST(floor((CAST(e.embedding[i] AS "
+            "DOUBLE) - mns[i]) * scs[i]) AS BIGINT))) "
+            f"for i in range(1, {EMB_DIM + 1})] AS c "
+            "FROM embeddings e, lists), "
+            "q AS (SELECT c AS qc FROM c8 WHERE vec_id = 0), "
+            "pj AS (SELECT c8.vec_id, t.j, "
+            "[ list_sum([ (c8.c[(t.j-1)*8+d] - ((cc*37 + (d-1)*11 + "
+            "(t.j-1)*5) % 256))**2 for d in range(1,9)]) "
+            "for cc in range(0,16) ] AS dl "
+            "FROM c8, unnest(range(1,9)) t(j)), "
+            "pjc AS (SELECT vec_id, j, "
+            "list_position(dl, list_min(dl)) - 1 AS cmin FROM pj), "
+            "sj AS (SELECT p.vec_id, p.j, "
+            "list_sum([ q.qc[(p.j-1)*8+d] * ((p.cmin*37 + (d-1)*11 + "
+            "(p.j-1)*5) % 256) for d in range(1,9)]) AS sjv "
+            "FROM pjc p, q), "
+            "sc AS (SELECT vec_id, sum(sjv) AS score FROM sj "
+            "GROUP BY vec_id) "
+            "SELECT vec_id, CAST(score AS BIGINT) AS score FROM sc "
+            "ORDER BY score DESC, vec_id LIMIT 10"
         ),
         "budget_select": (
             # the naive global form the engine's bucketed cumsum must

@@ -503,3 +503,92 @@ def pq_topk(
         F.floor(score * F.lit(1e6)).cast("long").alias("score_u"),
     )
     return scored.orderBy(F.desc("score_u"), F.col(id_col)).limit(k)
+
+
+# --- integer PQ over SQ8 codes (oracle-exact compressed cascade) -----------
+
+PQ_INT_M, PQ_INT_K, PQ_INT_DS = 8, 16, 8
+
+
+def pq_int_book(j: int, c: int, d: int) -> int:
+    """Pinned integer codebook entry (0..255) for the oracle-exact PQ
+    variant — a fixed affine-mod formula shared verbatim with the SQL
+    oracle. Trained codebooks (pq_train) rank better; this variant
+    exists to make the PQ MACHINERY — subspace argmin assignment and
+    ADC lookup scoring — bit-replayable: everything is int64 (sums
+    are order-free), ties break to the FIRST minimal centroid on
+    both engines."""
+    return (c * 37 + d * 11 + j * 5) % 256
+
+
+def pq_int_topk(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+    stats: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """PQ ADC top-k in pure integer arithmetic over the SQ8 code
+    cascade: float vectors → SQ8 uint8 codes (the oracle-exact
+    quantization) → per-subspace nearest pinned-codebook centroid
+    (squared L2 in int64, first-min tie-break) → score = sum of the
+    query's integer lookup tables at the assigned cells. One
+    mapInArrow pass (numpy int64 — exact regardless of SIMD order),
+    then TakeOrderedAndProject; ties (score DESC, id ASC)."""
+    m, kc, ds = PQ_INT_M, PQ_INT_K, PQ_INT_DS
+    dim = m * ds
+    if stats is None:
+        stats = sq8_train(df, vec_col, dim)
+    B = np.array(
+        [
+            [[pq_int_book(j, c, d) for d in range(ds)] for c in range(kc)]
+            for j in range(m)
+        ],
+        dtype=np.int64,
+    )
+    codes_df = df.select(
+        F.col(id_col), _sq8_codes(F.col(vec_col), *stats).alias("c8")
+    )
+    q8 = np.array(
+        codes_df.filter(F.col(id_col) == query_id).first()["c8"],
+        dtype=np.int64,
+    )
+    luts = np.array(
+        [
+            [int((q8[j * ds : (j + 1) * ds] * B[j][c]).sum()) for c in range(kc)]
+            for j in range(m)
+        ],
+        dtype=np.int64,
+    )
+    bc = df.sparkSession.sparkContext.broadcast((B, luts))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        Bv, Lv = bc.value
+        for b in batches:
+            arr = b.column(1)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            V = (
+                arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .reshape(len(arr), dim)
+            )
+            score = np.zeros(len(V), dtype=np.int64)
+            for j in range(m):
+                S = V[:, j * ds : (j + 1) * ds]
+                d2 = ((S[:, None, :] - Bv[j][None, :, :]) ** 2).sum(axis=2)
+                score += Lv[j][np.argmin(d2, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(score)], names=[id_col, "score"]
+            )
+
+    scored = codes_df.mapInArrow(kernel, out_schema)
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

@@ -47,7 +47,7 @@ def test_every_query_has_oracle_or_is_known_rows_only():
     """`oracle_sql()` must cover queries() except the documented
     rows-only set — a new query landing without an oracle silently
     downgrades its correctness gate."""
-    rows_only = {"encode_manifest_full", "pq_topk"}
+    rows_only = {"encode_manifest_full", "pq_topk"}  # pq_int is full-oracle
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles <= qs, f"oracles without queries: {sorted(oracles - qs)}"

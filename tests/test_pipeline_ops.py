@@ -860,3 +860,24 @@ def test_resize_images_skips_corrupt_blobs(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = resize_images(df, 2, 2).collect()
     assert [r["media_id"] for r in out] == [0]
+
+
+def test_pq_int_topk_deterministic_and_integer(spark):
+    """Oracle-exact integer PQ: deterministic across runs, scores are
+    exact int64, and the query's own vector ranks by its quantized
+    self-similarity (machinery check — ranking quality lives with
+    the trained-codebook pq_topk)."""
+    from parquetry_spark.similarity import pq_int_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = pq_int_topk(emb, k=10).collect()
+    b = pq_int_topk(emb, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(isinstance(r["score"], int) for r in a)
+    assert len(a) == 10
+    # stats reuse path
+    from parquetry_spark.similarity import sq8_train
+
+    stats = sq8_train(emb, dim=64)
+    c = pq_int_topk(emb, k=10, stats=stats).collect()
+    assert [tuple(r) for r in c] == [tuple(r) for r in a]
