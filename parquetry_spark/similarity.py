@@ -540,6 +540,11 @@ def pq_int_topk(
     dim = m * ds
     if stats is None:
         stats = sq8_train(df, vec_col, dim)
+    if len(stats[0]) != dim or len(stats[1]) != dim:
+        raise ValueError(
+            f"stats dim {len(stats[0])}/{len(stats[1])} != {dim}"
+            " — stale or mismatched sq8_train stats"
+        )
     B = np.array(
         [
             [[pq_int_book(j, c, d) for d in range(ds)] for c in range(kc)]
@@ -550,10 +555,10 @@ def pq_int_topk(
     codes_df = df.select(
         F.col(id_col), _sq8_codes(F.col(vec_col), *stats).alias("c8")
     )
-    q8 = np.array(
-        codes_df.filter(F.col(id_col) == query_id).first()["c8"],
-        dtype=np.int64,
-    )
+    qrow = codes_df.filter(F.col(id_col) == query_id).first()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id!r} not found in {id_col}")
+    q8 = np.array(qrow["c8"], dtype=np.int64)
     luts = np.array(
         [
             [int((q8[j * ds : (j + 1) * ds] * B[j][c]).sum()) for c in range(kc)]
@@ -572,15 +577,10 @@ def pq_int_topk(
     def kernel(batches):
         Bv, Lv = bc.value
         for b in batches:
-            arr = b.column(1)
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            V = (
-                arr.flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-                .reshape(len(arr), dim)
-            )
+            # codes are 0..255 — exactly representable in float64, so
+            # the shared helper's float path converts losslessly and
+            # keeps its loud ragged-vector check
+            V = _vec_matrix(b.column(1), dim).astype(np.int64)
             score = np.zeros(len(V), dtype=np.int64)
             for j in range(m):
                 S = V[:, j * ds : (j + 1) * ds]

@@ -881,3 +881,15 @@ def test_pq_int_topk_deterministic_and_integer(spark):
     stats = sq8_train(emb, dim=64)
     c = pq_int_topk(emb, k=10, stats=stats).collect()
     assert [tuple(r) for r in c] == [tuple(r) for r in a]
+
+
+def test_pq_int_topk_validation(spark):
+    import pytest as _pytest
+
+    from parquetry_spark.similarity import pq_int_topk, sq8_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="stale or mismatched"):
+        pq_int_topk(emb, stats=([0.0] * 32, [1.0] * 32))
+    with _pytest.raises(ValueError, match="query_id"):
+        pq_int_topk(emb, query_id=10**9, stats=sq8_train(emb, dim=64))
