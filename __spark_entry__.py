@@ -32,7 +32,12 @@ from parquetry_spark.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from parquetry_spark.engine import decode_blocks, encode_table, infer_ltypes  # noqa: E402
+from parquetry_spark.engine import (  # noqa: E402
+    decode_blocks,
+    encode_parquet,
+    encode_table,
+    infer_ltypes,
+)
 from parquetry_spark.multimodal import extract_features, media_table_from_pages  # noqa: E402
 from parquetry_spark.parity.filters import where  # noqa: E402
 from parquetry_spark.parity.limits import head_tail  # noqa: E402
@@ -206,9 +211,15 @@ def q_count(spark, sf):
 def q_roundtrip_text(spark, sf):
     """Encode documents(text,lang) through the codec pipeline, decode,
     emit md5 per doc — DuckDB oracle hashes the ORIGINALS: any codec
-    bit-error breaks the match (north-rule invariant)."""
+    bit-error breaks the match (north-rule invariant). Encode feeds
+    from the scan-side fast path (engine.encode_parquet): parquet
+    row-group slices read directly in the Python tasks — no JVM→Python
+    row serialization, no part_id shuffle (r6; same blocks machinery,
+    same decoded rows)."""
     df = _t(spark, sf, "documents").select("doc_id", "text", "lang")
-    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    blocks = encode_parquet(
+        spark, os.path.join(sf, "documents.parquet"), ["doc_id", "text", "lang"]
+    )
     dec = decode_blocks(blocks, ["doc_id", "text", "lang"], infer_ltypes(df))
     return dec.select(
         "doc_id", F.md5("text").alias("text_md5"), F.col("lang")
@@ -218,11 +229,11 @@ def q_roundtrip_text(spark, sf):
 def q_roundtrip_numeric(spark, sf):
     """Encode lineitem numerics/timestamps, decode, return values —
     delta_for/bitpack/dict exactness against the raw table."""
-    df = _t(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag"
-    )
-    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
     cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag"]
+    df = _t(spark, sf, "lineitem").select(*cols)
+    # scan-side encode (r6): pyarrow reads the row-group slices inside
+    # the tasks — drops the ~1 µs/value JVM row→Arrow pass + the shuffle
+    blocks = encode_parquet(spark, os.path.join(sf, "lineitem.parquet"), cols)
     return decode_blocks(blocks, cols, infer_ltypes(df)).select(*cols)
 
 
@@ -232,11 +243,10 @@ def q_roundtrip_float(spark, sf):
     bss byte-stream split, dict/plain fallback) must reproduce every
     bit. l_extendedprice is high-cardinality 2-decimal (alp's case);
     l_discount/l_tax are low-cardinality decimals (dict's case)."""
-    df = _t(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
-    )
-    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
     cols = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"]
+    df = _t(spark, sf, "lineitem").select(*cols)
+    # scan-side encode (r6) — see q_roundtrip_numeric
+    blocks = encode_parquet(spark, os.path.join(sf, "lineitem.parquet"), cols)
     return decode_blocks(blocks, cols, infer_ltypes(df)).select(*cols)
 
 
@@ -248,7 +258,10 @@ def q_roundtrip_vec(spark, sf):
     (Scalars because the driver's compare factorizes result columns;
     array cells would crash it.)"""
     df = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    blocks = encode_table(df, n_parts=4, url_col=None, ts_col=None)
+    # scan-side encode (r6) — see q_roundtrip_numeric
+    blocks = encode_parquet(
+        spark, os.path.join(sf, "embeddings.parquet"), ["vec_id", "embedding"]
+    )
     dec = decode_blocks(blocks, ["vec_id", "embedding"], infer_ltypes(df))
     return dec.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")

@@ -1,0 +1,85 @@
+"""Ad-hoc per-query measurement harness for the optimization rounds.
+
+NOT the driver bench (bench.py is frozen for measurement) — this is
+the guide-§1 isolation tool: per-query wall time with the same
+warm-up discipline as bench.py, optional `.explain("formatted")`
+capture into plans/<tag>/, and optional noop-sink isolation so the
+computation is timed without the count() shortcut.
+
+Usage:
+    python bench_extra.py [--sf DIR] [--queries a,b,c] [--plans TAG]
+                          [--noop] [--repeat N]
+
+Prints one line per query and a JSON summary line at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from bench import HEADLINE  # noqa: E402  (list of headline query names)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", default=None, help="comma list; default: bench HEADLINE")
+    ap.add_argument("--plans", default=None, help="dump explain('formatted') to plans/<TAG>/<q>.txt")
+    ap.add_argument("--suffix", default="", help="plan filename suffix, e.g. _before/_after")
+    ap.add_argument("--noop", action="store_true", help="time a noop write instead of count()")
+    ap.add_argument("--repeat", type=int, default=1, help="timed passes (min reported)")
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_HEADLINE_CAP", "16")))
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from parquetry_spark.session import get_spark
+
+    names = args.queries.split(",") if args.queries else list(HEADLINE)
+    qs = entrymod.queries()
+    spark = get_spark(f"bench-extra-{args.cores}", cores=args.cores, shuffle_partitions=args.cores)
+
+    def run_once(df):
+        if args.noop:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        spark.sparkContext.setJobDescription(f"bench_extra: {name}")
+        if args.plans:
+            os.makedirs(os.path.join(REPO, "plans", args.plans), exist_ok=True)
+            plan_path = os.path.join(REPO, "plans", args.plans, f"{name}{args.suffix}.txt")
+            with open(plan_path, "w") as fh:
+                fh.write(fn(spark, args.sf)._sc._jvm.PythonSQLUtils.explainString(
+                    fn(spark, args.sf)._jdf.queryExecution(), "formatted"))
+        try:
+            run_once(fn(spark, args.sf))  # warm-up pass (bench.py discipline)
+            best = 9e9
+            for _ in range(max(args.repeat, 1)):
+                t0 = time.time()
+                run_once(fn(spark, args.sf))
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+            print(f"{name:24s} {times[name]:.3f}s", flush=True)
+        except Exception as exc:
+            print(f"{name:24s} FAILED: {exc}", flush=True)
+            times[name] = -1.0
+        spark.sparkContext.setJobDescription(None)
+    print(json.dumps({"sf_dir": args.sf, "cores": args.cores,
+                      "noop": args.noop, "queries": times,
+                      "total": round(sum(t for t in times.values() if t > 0), 3)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

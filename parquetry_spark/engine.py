@@ -1143,6 +1143,120 @@ def encode_preserve(
     return tagged.mapInArrow(batch_kernel, BLOCK_SCHEMA)
 
 
+# chunk sizing bounds for encode_parquet (uncompressed bytes per chunk):
+# the adaptive term — input_bytes / (2 × parallelism) — dominates at
+# scale; the floor stops tiny inputs from becoming one task, the cap
+# keeps any single task's materialized slice inside the partition-size
+# discipline (module docstring: partitions ≲ a few hundred MB).
+_CHUNK_MIN_BYTES = 1 << 20
+_CHUNK_MAX_BYTES = 256 << 20
+
+
+def _parquet_chunk_plan(
+    path: str, parallelism: int, n_parts: int | None = None
+) -> list[tuple[str, int, int, int]]:
+    """Balanced (file, row_group, row_start, n_rows) chunks from parquet
+    FOOTER metadata only (no data read on the driver). Row groups larger
+    than the byte target are row-sliced into several chunks — each chunk
+    re-reads its row group and slices, trading bounded read amplification
+    for even task sizes (a 1-row-group file still fans out)."""
+    import pyarrow.parquet as _pq
+
+    from .sources import list_parquet_files
+
+    files = list_parquet_files(path)
+    if not files:
+        raise FileNotFoundError(f"encode_parquet: no parquet files under {path!r}")
+    rgs: list[tuple[str, int, int, int]] = []  # (file, rg, rows, bytes)
+    for p in files:
+        md = _pq.ParquetFile(p).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            if rg.num_rows:
+                rgs.append((p, g, rg.num_rows, rg.total_byte_size))
+    total_bytes = sum(r[3] for r in rgs)
+    if n_parts is not None:
+        target = max(1, -(-total_bytes // n_parts))
+    else:
+        target = min(
+            max(total_bytes // max(2 * parallelism, 1), _CHUNK_MIN_BYTES),
+            _CHUNK_MAX_BYTES,
+        )
+    chunks: list[tuple[str, int, int, int]] = []
+    for p, g, n, b in rgs:
+        k = min(max(round(b / target) or 1, 1), n)
+        step = -(-n // k)
+        chunks.extend((p, g, s, min(step, n - s)) for s in range(0, n, step))
+    return chunks
+
+
+def encode_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    n_parts: int | None = None,
+    block_comp: str | None = None,
+    bloom_cols: list[str] | None = None,
+) -> DataFrame:
+    """Scan-side encode: parquet → blocks with NO row exchange and NO
+    JVM→Python row conversion.
+
+    When the encode input is a parquet table (the dominant production
+    case), feeding it through a Spark scan costs one full pass of
+    row→Arrow serialization on the JVM side of every task — measured
+    here at ~1 µs/value, several times the encode kernel itself — plus
+    a shuffle to co-locate part_ids. This path skips both: the driver
+    plans balanced chunks from footer metadata (`_parquet_chunk_plan`),
+    one Spark task per chunk reads its row-group slice DIRECTLY with
+    pyarrow (column projection pushed into the parquet read) and runs
+    the SAME encode kernel on the Arrow table. part_id = chunk index —
+    deterministic for a fixed file set, like encode_preserve's
+    split-derived ids (NOT resume-stable under re-layout; use
+    encode_table for the salt/range/zorder clustered layouts).
+
+    Scale posture: chunk targets derive from input bytes and cluster
+    parallelism (bounded by _CHUNK_MIN/MAX_BYTES) — nothing is tuned
+    to a core count; at 100 TB the plan is ~400k chunk rows on the
+    driver (tuples of path/int — the same order of driver state as
+    Spark's own file index) and the blocks flow straight to the
+    downstream groupBy/write with perfect per-task balance.
+    """
+    chunks = _parquet_chunk_plan(
+        path, spark.sparkContext.defaultParallelism, n_parts
+    )
+    if not chunks:
+        return spark.createDataFrame([], BLOCK_SCHEMA)
+    if columns is None:
+        import pyarrow.parquet as _pq
+
+        from .sources import list_parquet_files
+
+        schema = _pq.ParquetFile(list_parquet_files(path)[0]).schema_arrow
+        columns = [c for c in schema.names if c.lower() not in ("part_id", "__z")]
+    kernel = _make_encode_kernel(
+        columns, sort_cols=[], block_comp=block_comp, bloom_cols=bloom_cols
+    )
+    cols = list(columns)
+
+    def read_encode(batches):
+        import pyarrow.parquet as _pq
+
+        for b in batches:
+            for cid in b.column(0).to_pylist():
+                p, g, start, n = chunks[cid]
+                tbl = _pq.ParquetFile(p).read_row_group(g, columns=cols)
+                tbl = tbl.slice(start, n).append_column(
+                    "part_id", pa.array(np.full(n, cid, dtype=np.int64))
+                )
+                yield from kernel(tbl).to_batches()
+
+    # range(n, numPartitions=n) pins chunk id i to partition i: every
+    # task carries exactly one chunk — no hash-bucket collisions, no
+    # straggler holding two groups (the groupBy path's failure mode)
+    base = spark.range(0, len(chunks), 1, len(chunks))
+    return base.mapInArrow(read_encode, BLOCK_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
