@@ -220,7 +220,7 @@ def q_roundtrip_text(spark, sf):
     blocks = encode_parquet(
         spark, os.path.join(sf, "documents.parquet"), ["doc_id", "text", "lang"]
     )
-    dec = decode_blocks(blocks, ["doc_id", "text", "lang"], infer_ltypes(df))
+    dec = decode_blocks(blocks, ["doc_id", "text", "lang"], infer_ltypes(df), colocated=True)
     return dec.select(
         "doc_id", F.md5("text").alias("text_md5"), F.col("lang")
     )
@@ -234,7 +234,7 @@ def q_roundtrip_numeric(spark, sf):
     # scan-side encode (r6): pyarrow reads the row-group slices inside
     # the tasks — drops the ~1 µs/value JVM row→Arrow pass + the shuffle
     blocks = encode_parquet(spark, os.path.join(sf, "lineitem.parquet"), cols)
-    return decode_blocks(blocks, cols, infer_ltypes(df)).select(*cols)
+    return decode_blocks(blocks, cols, infer_ltypes(df), colocated=True).select(*cols)
 
 
 def q_roundtrip_float(spark, sf):
@@ -247,7 +247,7 @@ def q_roundtrip_float(spark, sf):
     df = _t(spark, sf, "lineitem").select(*cols)
     # scan-side encode (r6) — see q_roundtrip_numeric
     blocks = encode_parquet(spark, os.path.join(sf, "lineitem.parquet"), cols)
-    return decode_blocks(blocks, cols, infer_ltypes(df)).select(*cols)
+    return decode_blocks(blocks, cols, infer_ltypes(df), colocated=True).select(*cols)
 
 
 def q_roundtrip_vec(spark, sf):
@@ -262,7 +262,7 @@ def q_roundtrip_vec(spark, sf):
     blocks = encode_parquet(
         spark, os.path.join(sf, "embeddings.parquet"), ["vec_id", "embedding"]
     )
-    dec = decode_blocks(blocks, ["vec_id", "embedding"], infer_ltypes(df))
+    dec = decode_blocks(blocks, ["vec_id", "embedding"], infer_ltypes(df), colocated=True)
     return dec.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select("vec_id", (F.col("pos") + 1).alias("pos"), "val")

@@ -188,7 +188,14 @@ def minhash_lsh_pairs(
         # falls back to a nested-loop join (measured 200s vs 3s on 5k
         # docs). Band id is embedded in the key string.
         keys.append(F.concat_ws(",", F.lit(str(b)), *[s.cast("string") for s in sl]))
-    banded = hashed.select(F.col(id_col), F.explode(F.array(*keys)).alias("key"))
+    # persist the banded keys: they feed BOTH sides of the self-join
+    # below, and without a cache Spark evaluates the 16 affine
+    # reprojections + explode once per side (measured: banded pass
+    # 0.59 s at sf1.0, candidates 1.79 s — two of the three re-runs
+    # are pure recomputation). Rows are (id, ~50 B key) — tiny.
+    banded = hashed.select(
+        F.col(id_col), F.explode(F.array(*keys)).alias("key")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -1497,6 +1497,7 @@ def decode_blocks(
     columns: list[str],
     ltypes: dict[str, str],
     where: str | None = None,
+    colocated: bool = False,
 ) -> DataFrame:
     """blocks → reconstructed rows (part_id + requested columns).
 
@@ -1506,6 +1507,17 @@ def decode_blocks(
     (SURVEY.md §4.2). Blocks are deduped on (part_id, column) first:
     a crash-rerun append can leave two identical copies of a block
     (the kernel is deterministic, so any copy is valid).
+
+    `colocated=True` (r6): the caller asserts every input partition
+    already holds COMPLETE (part_id, column) groups with no duplicates
+    — true for blocks flowing straight out of encode_parquet /
+    encode_preserve / encode_table (each encode task emits its part's
+    whole block set). Decode then runs as a shuffle-free mapInArrow
+    that groups rows inside each partition, removing the groupBy
+    exchange + its hash-bucket stragglers. Wrong use fails loudly:
+    a partition with an incomplete group hits the kernel's missing-
+    column KeyError, never silent row loss. Blocks re-read from
+    storage are NOT colocated — use the default path.
 
     `where` (parity filter DSL) pushes the expression's provable
     conjunctive ranges INTO the decode kernel (filter_bounds →
@@ -1575,12 +1587,28 @@ def decode_blocks(
     schema = T.StructType(
         [T.StructField("part_id", T.LongType())] + [spark_field(c) for c in columns]
     )
+    kernel = _make_decode_kernel(columns, bounds, sets)
+    if colocated:
+        # shuffle-free: groups are complete within each partition by
+        # the caller's contract; dedupe is unnecessary (fresh kernel
+        # output) and would force the very exchange this path removes
+        pruned = blocks.filter(F.col("column").isin(need))
+
+        def partition_kernel(batches):
+            got = [b for b in batches if b.num_rows]
+            if not got:
+                return
+            tbl = pa.Table.from_batches(got)
+            pids = tbl.column("part_id").to_numpy(zero_copy_only=False)
+            for pid in np.unique(pids):
+                out = kernel(tbl.filter(pa.array(pids == pid)))
+                yield from out.to_batches()
+
+        return pruned.mapInArrow(partition_kernel, schema)
     pruned = blocks.filter(F.col("column").isin(need)).dropDuplicates(
         ["part_id", "column"]
     )
-    return pruned.groupBy("part_id").applyInArrow(
-        _make_decode_kernel(columns, bounds, sets), schema
-    )
+    return pruned.groupBy("part_id").applyInArrow(kernel, schema)
 
 
 # ---------------------------------------------------------------------------

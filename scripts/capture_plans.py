@@ -1,0 +1,37 @@
+"""Capture .explain("formatted") output for named queries.
+
+Usage: python scripts/capture_plans.py q1,q2,... OUTDIR SUFFIX [SF_DIR]
+
+Runs against the repo rooted at the CURRENT WORKING DIRECTORY (so it
+can be pointed at a historical worktree to produce `_before` plans).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.getcwd())
+
+import __spark_entry__ as entrymod  # noqa: E402
+from parquetry_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    names = sys.argv[1].split(",")
+    outdir, suffix = sys.argv[2], sys.argv[3]
+    sf_dir = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark("capture-plans", cores=16, shuffle_partitions=16)
+    qs = entrymod.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(os.path.join(outdir, f"{name}{suffix}.txt"), "w") as fh:
+            fh.write(txt)
+        print(f"wrote {name}{suffix}.txt", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

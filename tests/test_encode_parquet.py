@@ -110,3 +110,30 @@ def test_encode_parquet_part_ids_unique_per_chunk(spark):
     # one block per (part, column): exactly 1 block row per part here
     assert all(r["n"] == 1 for r in per_part)
     assert len(per_part) == 6
+
+
+def test_decode_colocated_equals_grouped(spark):
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    path = os.path.join(SF, "lineitem.parquet")
+    df = spark.read.parquet(path).select(*cols)
+    lt = infer_ltypes(df)
+    blocks = encode_parquet(spark, path, cols, n_parts=5)
+    grouped = decode_blocks(blocks, cols, lt).select(*cols)
+    coloc = decode_blocks(blocks, cols, lt, colocated=True).select(*cols)
+    assert coloc.count() == df.count()
+    assert grouped.exceptAll(coloc).count() == 0
+    assert coloc.exceptAll(grouped).count() == 0
+
+
+def test_decode_colocated_with_where(spark):
+    cols = ["l_orderkey", "l_quantity"]
+    path = os.path.join(SF, "lineitem.parquet")
+    df = spark.read.parquet(path).select(*cols)
+    lt = infer_ltypes(df)
+    blocks = encode_parquet(spark, path, cols, n_parts=4)
+    dec = decode_blocks(blocks, cols, lt, where="l_quantity > 45", colocated=True)
+    # kernel mask is a necessary condition: superset of the exact filter
+    n_exact = df.filter("l_quantity > 45").count()
+    n_masked = dec.count()
+    assert n_masked >= n_exact
+    assert dec.filter("l_quantity > 45").count() == n_exact
