@@ -1944,56 +1944,13 @@ def q_bpe_apply(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "scan_reshape": q_scan_reshape,
-        "reshape_regroup": q_reshape_regroup,
-        "head": q_head,
-        "head_neg": q_head_neg,
-        "tail": q_tail,
-        "tail_neg": q_tail_neg,
-        "where_compare": q_where_compare,
-        "where_temporal": q_where_temporal,
-        "where_time": q_where_time,
-        "where_membership": q_where_membership,
-        "where_string_predicates": q_where_string_predicates,
-        "filter_then_shape": q_filter_then_shape,
-        "count": q_count,
-        "roundtrip_text": q_roundtrip_text,
-        "roundtrip_numeric": q_roundtrip_numeric,
-        "roundtrip_float": q_roundtrip_float,
-        "roundtrip_vec": q_roundtrip_vec,
-        "roundtrip_prefix": q_roundtrip_prefix,
-        "roundtrip_bc": q_roundtrip_bc,
-        "roundtrip_range": q_roundtrip_range,
-        "codec_stats": q_codec_stats,
-        "encode_manifest": q_encode_manifest,
-        "encode_manifest_full": q_encode_manifest_full,
-        "prune_decode": q_prune_decode,
-        "prune_decode_str": q_prune_decode_str,
-        "prune_decode_eq": q_prune_decode_eq,
-        "zorder_prune": q_zorder_prune,
-        "compact_decode": q_compact_decode,
-        "prune_decode_expr": q_prune_decode_expr,
-        "prune_decode_in": q_prune_decode_in,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "fingerprint": q_fingerprint,
-        "repetition": q_repetition,
-        "gopher_quality": q_gopher_quality,
-        "pii_scrub": q_pii_scrub,
-        "url_dedup": q_url_dedup,
-        "warc_roundtrip": q_warc_roundtrip,
-        "html_extract": q_html_extract,
-        "boilerplate": q_boilerplate,
-        "sessionize": q_sessionize,
-        "pack_sequences": q_pack_sequences,
-        "group_split": q_group_split,
-        "decontaminate": q_decontaminate,
-        "decontaminate_char": q_decontaminate_char,
-        "resample_domains": q_resample_domains,
-        "pipeline_curate": q_pipeline_curate,
-        "pipeline_curate_full": q_pipeline_curate_full,
-        "exact_dedup": q_exact_dedup,
+    # Dict order IS driver-gate coverage: the CORRECTNESS gate
+    # evaluates the FIRST 50 entries in insertion order, and
+    # CORRECTNESS_r01-r05 only ever covered the original first 50 —
+    # so the 46 operators added mid-r5 (sketches, BPE, PQ, curation/
+    # crawl/media/join waves) lead here, with four long-green section-2
+    # anchors filling the window (r5 verdict task #1; all 46 verified
+    # green against check_oracles at sf0.01 before reordering).
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "near_dedup": q_near_dedup,
@@ -2040,6 +1997,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "bpe_pairs": q_bpe_pairs,
         "bpe_apply": q_bpe_apply,
+        "scan_reshape": q_scan_reshape,
+        "roundtrip_text": q_roundtrip_text,
+        "where_temporal": q_where_temporal,
+        "encode_manifest": q_encode_manifest,
+        "reshape_regroup": q_reshape_regroup,
+        "head": q_head,
+        "head_neg": q_head_neg,
+        "tail": q_tail,
+        "tail_neg": q_tail_neg,
+        "where_compare": q_where_compare,
+        "where_time": q_where_time,
+        "where_membership": q_where_membership,
+        "where_string_predicates": q_where_string_predicates,
+        "filter_then_shape": q_filter_then_shape,
+        "count": q_count,
+        "roundtrip_numeric": q_roundtrip_numeric,
+        "roundtrip_float": q_roundtrip_float,
+        "roundtrip_vec": q_roundtrip_vec,
+        "roundtrip_prefix": q_roundtrip_prefix,
+        "roundtrip_bc": q_roundtrip_bc,
+        "roundtrip_range": q_roundtrip_range,
+        "codec_stats": q_codec_stats,
+        "encode_manifest_full": q_encode_manifest_full,
+        "prune_decode": q_prune_decode,
+        "prune_decode_str": q_prune_decode_str,
+        "prune_decode_eq": q_prune_decode_eq,
+        "zorder_prune": q_zorder_prune,
+        "compact_decode": q_compact_decode,
+        "prune_decode_expr": q_prune_decode_expr,
+        "prune_decode_in": q_prune_decode_in,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "gopher_quality": q_gopher_quality,
+        "pii_scrub": q_pii_scrub,
+        "url_dedup": q_url_dedup,
+        "warc_roundtrip": q_warc_roundtrip,
+        "html_extract": q_html_extract,
+        "boilerplate": q_boilerplate,
+        "sessionize": q_sessionize,
+        "pack_sequences": q_pack_sequences,
+        "group_split": q_group_split,
+        "decontaminate": q_decontaminate,
+        "decontaminate_char": q_decontaminate_char,
+        "resample_domains": q_resample_domains,
+        "pipeline_curate": q_pipeline_curate,
+        "pipeline_curate_full": q_pipeline_curate_full,
+        "exact_dedup": q_exact_dedup,
     }
 
 

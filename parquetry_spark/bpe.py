@@ -103,31 +103,45 @@ def apply_merges(rep: Column, merges: list[tuple[str, str]]) -> Column:
     return out
 
 
+# fold-depth bound for train_bpe: every REFOLD_EVERY merges the folded
+# symbol state is re-materialized (localCheckpoint), so no projection
+# ever carries more than this many replace nodes. Unbounded chains are
+# a real-vocab scale-killer: at 32k merges the n-deep expression tree
+# breaks Janino codegen long before the O(n^2) replace work matters.
+REFOLD_EVERY = 64
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 1,
+    refold_every: int = REFOLD_EVERY,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from a corpus.
 
-    One corpus pass builds the word-frequency table (cached); every
-    iteration re-derives the current symbol state by folding the
-    merges learned so far over the BASE representation — stateless
-    lineage (no iterative cache chain to checkpoint, resume = rerun
-    with the merge list), at the cost of an O(merges) expression
-    chain per iteration, which stays a single projection stage.
-    Only the argmax row crosses to the driver each iteration.
+    One corpus pass builds the word-frequency table (cached). Each
+    iteration derives the current symbol state from the last
+    MATERIALIZED state plus the ≤ `refold_every` merges learned since
+    it: when the pending chain reaches `refold_every`, the folded reps
+    are re-materialized with localCheckpoint (truncating both the
+    expression chain and the lineage), so every projection stays a
+    bounded-depth single stage at ANY vocabulary size. Resume is
+    unchanged — the merge list is the only state; rerunning with it
+    reproduces the same folds. Only the argmax row crosses to the
+    driver each iteration.
     """
     vocab = df if set(df.columns) >= {"word", "cnt"} else word_freq(df, text_col)
     base = vocab.select(
         word_to_rep(F.col("word")).alias("rep"), "cnt"
     ).persist()
+    folded = base  # last materialized symbol state
+    pending: list[tuple[str, str]] = []  # merges not yet folded in
     try:
         merges: list[tuple[str, str]] = []
         for _ in range(n_merges):
-            reps = base.select(
-                apply_merges(F.col("rep"), merges).alias("rep"), "cnt"
+            reps = folded.select(
+                apply_merges(F.col("rep"), pending).alias("rep"), "cnt"
             )
             top = (
                 pair_counts(reps)
@@ -139,6 +153,12 @@ def train_bpe(
                 break
             a, b = top["pair"].split(" ", 1)
             merges.append((a, b))
+            pending.append((a, b))
+            if len(pending) >= max(refold_every, 1):
+                folded = folded.select(
+                    apply_merges(F.col("rep"), pending).alias("rep"), "cnt"
+                ).localCheckpoint(eager=True)
+                pending = []
         return merges
     finally:
         base.unpersist()

@@ -472,48 +472,84 @@ def embedding_neardup_pairs(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df._jdf.rdd().getNumPartitions() < par:
+        # bucket keys + per-pair dots are CPU-bound; a single-file
+        # source arrives as one partition — spread it first (same
+        # guard as minhash_lsh_pairs)
+        df = df.repartition(par, id_col)
     signs = hyperplane_signs(n_tables, n_planes, dim)
     qv = F.transform(
         F.col(vec_col), lambda v: F.round(v.cast("double") * 1000000).cast("long")
     )
-    keyed = df.select(F.col(id_col), qv.alias("qv"))
     keys = []
     for t in range(n_tables):
         bucket = None
         for p in range(n_planes):
             s = F.array(*[F.lit(x) for x in signs[t][p]])
             dot = F.aggregate(
-                F.zip_with(F.col("qv"), s, lambda x, y: x * y.cast("long")),
+                F.zip_with(qv, s, lambda x, y: x * y.cast("long")),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             )
             bit = (dot > 0).cast("long") * F.lit(1 << p).cast("long")
             bucket = bit if bucket is None else bucket + bit
         keys.append(F.concat_ws("_", F.lit(str(t)), bucket.cast("string")))
-    banded = keyed.select(F.col(id_col), F.explode(F.array(*keys)).alias("key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Verify-then-dedup (r6): at low plane counts the bucket join's
+    # output is nearly dense (measured sf1.0: 103M joined pairs, 81M
+    # distinct — the old candidates-first dropDuplicates shuffled 103M
+    # id-pairs to save only 21% of the cosine work, ~100 s of the
+    # query). Instead the vectors (and their HOISTED norms — one
+    # sqrt(Σv²) per vector, the exact expression cosine() evaluates
+    # per pair, so the floats are bit-identical) ride through the
+    # bucket join, cos_u is computed inline, the threshold filter runs
+    # FIRST, and only the surviving result-sized rows are deduped and
+    # sorted. Same pair set, same cos_u values, no 100M-row exchange.
+    # The qv-derived bucket keys are evaluated once per row here (the
+    # explode dups only the computed key strings, not the projections).
+    #
+    d = lambda x: x.cast("double")  # noqa: E731
+
+    def _dot(a_col, b_col):
+        # the exact fold cosine() uses: 0.0 + a1·b1 + a2·b2 + … —
+        # keep this shape; an "unrolled" F.get sum was measured 3×
+        # SLOWER (the wide expression tree defeats codegen fusion)
+        return F.aggregate(
+            F.zip_with(a_col, b_col, lambda x, y: d(x) * d(y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+
+    nrm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, v: acc + d(v) * d(v))
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    ver = cand.join(va, "id_a").join(vb, "id_b")
+    banded = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        nrm.alias("nrm"),
+        F.explode(F.array(*keys)).alias("key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    dot = _dot(F.col("a.vec"), F.col("b.vec"))
     # integer ten-thousandths: threshold and value comparisons happen
     # on the SAME quantization in every engine (a raw float >= filter
     # can flip rows on last-ulp differences between engines)
-    cos_u = F.floor(cosine(F.col("va"), F.col("vb")) * 10000).cast("long")
+    cos_u = F.floor(
+        dot / F.greatest(F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)) * 10000
+    ).cast("long")
     return (
-        ver.select("id_a", "id_b", cos_u.alias("cos_u"))
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos_u.alias("cos_u"),
+        )
         .filter(F.col("cos_u") >= int(round(threshold * 10000)))
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 

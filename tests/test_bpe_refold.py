@@ -1,0 +1,60 @@
+"""train_bpe fold-depth bound (r6): re-materializing the folded reps
+every `refold_every` merges must not change the learned merge
+sequence, and the per-iteration projection must carry at most
+`refold_every` replace nodes."""
+
+import pyspark.sql.functions as F
+
+from parquetry_spark.bpe import apply_merges, train_bpe, word_freq, word_to_rep
+
+
+def _docs(spark):
+    rows = [(i, t) for i, t in enumerate([
+        "the cat sat on the mat", "the bat and the rat", "thin things there",
+        "rats eat oats", "cats eat bats", "the the the there then",
+    ] * 5)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_refold_preserves_merge_sequence(spark):
+    df = _docs(spark)
+    unbounded = train_bpe(df, 20, refold_every=10**9)
+    bounded = train_bpe(df, 20, refold_every=3)
+    assert bounded == unbounded
+
+
+def test_refold_bounds_replace_depth(spark):
+    # the mechanism itself: a localCheckpoint-ed fold truncates the
+    # expression chain — the NEXT projection's plan carries only the
+    # pending merges' replaces, not the full history
+    df = _docs(spark)
+    vocab = word_freq(df)
+    base = vocab.select(word_to_rep(F.col("word")).alias("rep"), "cnt")
+    history = [("t", "h"), ("th", "e"), ("the", "_"), ("a", "t")]
+    folded = base.select(
+        apply_merges(F.col("rep"), history).alias("rep"), "cnt"
+    ).localCheckpoint(eager=True)
+    pending = [("at", "_")]
+
+    def n_replace(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return plan.lower().count("replace(")
+
+    nxt = folded.select(apply_merges(F.col("rep"), pending).alias("rep"), "cnt")
+    unbounded = base.select(
+        apply_merges(F.col("rep"), history + pending).alias("rep"), "cnt"
+    )
+    # the checkpointed fold's plan carries only the pending replace;
+    # the unbounded fold's plan carries the whole history's chain
+    assert n_replace(nxt) < n_replace(unbounded)
+    assert n_replace(nxt) <= 2 * len(pending)
+
+
+def test_refold_completes_deeper_than_codegen_limit(spark):
+    # enough merges that an unbounded chain would be deep; bounded
+    # refold keeps every stage shallow and the run completes
+    df = _docs(spark)
+    merges = train_bpe(df, 40, refold_every=8)
+    assert len(merges) <= 40 and len(merges) > 10
