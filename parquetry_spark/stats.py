@@ -92,11 +92,55 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, sample: float = 0
     return out
 
 
-def partition_stats(values: np.ndarray) -> dict[str, float]:
-    """Exact numpy stats for one column chunk inside the encode worker."""
+def partition_stats(values) -> dict[str, float]:
+    """Exact numpy stats for one column chunk inside the encode worker.
+
+    Accepts a numpy array OR a pyarrow string/binary Array (the encode
+    kernel's zero-boxing varlen path — guide §4.2: stats computed on
+    Arrow buffers C-side, no Python object rows; the numbers are the
+    same by construction so codec selection is unchanged)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     n = len(values)
     if n == 0:
         return {"n": 0, "distinct": 0, "frac_run": 0.0, "avg_len": 0.0, "bitwidth": 0}
+    if isinstance(values, pa.Array):
+        cap = min(n, 65536)
+        sample = values.slice(0, cap)
+        distinct_est = int(pc.count_distinct(sample).as_py()) * (n / cap)
+        frac_run = (
+            float(
+                (pc.sum(pc.equal(values.slice(1), values.slice(0, n - 1))).as_py() or 0)
+                / (n - 1)
+            )
+            if n > 1
+            else 0.0
+        )
+        is_str = pa.types.is_string(values.type) or pa.types.is_large_string(values.type)
+        lens = (pc.utf8_length(sample) if is_str else pc.binary_length(sample)).to_numpy(
+            zero_copy_only=False
+        )
+        avg_len = float(np.mean(lens))
+        avg_prefix = 0.0
+        if n > 1:
+            from .codecs.base import varlen_to_blob  # local: deps one-way
+            from .codecs.prefix import common_prefix_lengths
+
+            pcap = min(n, 8192)
+            blob, blens, _ = varlen_to_blob(values.slice(0, pcap))
+            offs = np.zeros(pcap + 1, dtype=np.int64)
+            np.cumsum(blens, out=offs[1:])
+            pl = common_prefix_lengths(np.frombuffer(blob, dtype=np.uint8), offs)
+            avg_prefix = float(pl[1:].mean()) if pcap > 1 else 0.0
+        return {
+            "n": n,
+            "distinct": distinct_est,
+            "frac_run": frac_run,
+            "avg_len": avg_len,
+            "avg_prefix": avg_prefix,
+            "bitwidth": 0,
+        }
     is_obj = values.dtype.kind == "O"
     if is_obj:
         # distinct via pandas factorize-free path: set on a sample cap
