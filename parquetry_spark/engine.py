@@ -1172,7 +1172,11 @@ def encode_preserve(
 # scale; the floor stops tiny inputs from becoming one task, the cap
 # keeps any single task's materialized slice inside the partition-size
 # discipline (module docstring: partitions ≲ a few hundred MB).
-_CHUNK_MIN_BYTES = 1 << 20
+_CHUNK_MIN_BYTES = 256 << 10  # floor: keeps tasks meaningful, but low
+#   enough that a few-MB table still fans out across the cores (the
+#   byte target total/(2*parallelism) governs at any real scale; the
+#   floor only bites on small inputs, where slicing a row group costs
+#   a re-read measured at ~26 ms/1M rows — trivial vs the kernel)
 _CHUNK_MAX_BYTES = 256 << 20
 
 
@@ -1202,8 +1206,13 @@ def _parquet_chunk_plan(
     if n_parts is not None:
         target = max(1, -(-total_bytes // n_parts))
     else:
+        # one task wave: ~parallelism chunks for small inputs (each
+        # extra wave pays the row-group re-read plus per-task
+        # dispatch, measured to dominate any balance gain here), byte
+        # bounds for real scale (at 100 TB the MAX governs and the
+        # wave count is what it has to be)
         target = min(
-            max(total_bytes // max(2 * parallelism, 1), _CHUNK_MIN_BYTES),
+            max(total_bytes // max(parallelism, 1), _CHUNK_MIN_BYTES),
             _CHUNK_MAX_BYTES,
         )
     chunks: list[tuple[str, int, int, int]] = []
