@@ -749,7 +749,16 @@ def select_token_budget(
 
     Both score and token columns must be integers (the engine's
     scoring is integer-micros end to end), which keeps the running
-    sums — and the DuckDB oracle replay — exact.
+    sums — and the DuckDB oracle replay — exact; token counts must be
+    non-negative (validated — the bucket-drop prefix assumes a
+    monotone cumulative sum). The source DataFrame must be
+    DETERMINISTIC across re-evaluation: the bucket offsets are
+    collected once, and if LRU pressure evicts the persisted
+    bucketized intermediate, Spark recomputes it from source lineage —
+    a non-deterministic source could then disagree with the collected
+    offsets. Long-lived sessions calling this repeatedly should
+    unpersist after materializing the result (the CLI path's write
+    completes the reuse window).
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -762,9 +771,21 @@ def select_token_budget(
     # repo's null-passes convention is for EVIDENCE gates, and a
     # budget is not an evidence gate)
     df = df.where(s.isNotNull() & t.isNotNull())
-    row = df.agg(F.min(s).alias("mn"), F.max(s).alias("mx")).first()
+    row = df.agg(
+        F.min(s).alias("mn"), F.max(s).alias("mx"), F.min(t).alias("tmn")
+    ).first()
     if row["mn"] is None:
         return df.withColumn("cum_tok", F.lit(0).cast("long")).limit(0)
+    if int(row["tmn"]) < 0:
+        # precondition: the bucket-drop prefix logic assumes a
+        # MONOTONE cumulative token sum — a negative token count
+        # breaks it silently (rows inside budget could drop with
+        # their bucket). The CLI path guarantees >= 0; enforce it
+        # for the public API too.
+        raise ValueError(
+            f"select_token_budget: negative value in {token_col!r} "
+            f"(min {int(row['tmn'])}); token counts must be >= 0"
+        )
     mn, mx = int(row["mn"]), int(row["mx"])
     span = mx - mn + 1
     # decimal(38,0) keeps the quantization exact for ANY int64 score

@@ -215,10 +215,12 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     union = F.size(F.array_union(F.col("ha"), F.col("hb")))
     jac = (inter / F.greatest(union, F.lit(1))).alias("jaccard")
-    return (
-        ver.select("id_a", "id_b", jac)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .orderBy("id_a", "id_b")
+    # no final orderBy: the pair SET is the result (id_a < id_b makes
+    # rows canonical already); a global sort bought nothing but a
+    # range exchange + sort of every pair (guide §2.4 — ordering only
+    # to make output deterministic). Callers that need an order sort.
+    return ver.select("id_a", "id_b", jac).filter(
+        F.col("jaccard") >= jaccard_threshold
     )
 
 
@@ -313,7 +315,8 @@ def ngram_jaccard_pairs(
     verified = ver.select(
         "id_a", "id_b", (inter / F.greatest(union, F.lit(1))).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
-    return accepted.unionByName(verified).orderBy("id_a", "id_b")
+    # pair SET result — no global ordering sort (guide §2.4)
+    return accepted.unionByName(verified)
 
 
 # ---------------------------------------------------------------- simhash
@@ -403,10 +406,9 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
+    # pair SET result — no global ordering sort (guide §2.4)
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
 
 
@@ -550,8 +552,7 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_u") >= int(round(threshold * 10000)))
         .dropDuplicates(["id_a", "id_b"])
-        .orderBy("id_a", "id_b")
-    )
+    )  # pair SET result — no global ordering sort (guide §2.4)
 
 
 def connected_components(

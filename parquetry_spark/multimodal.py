@@ -515,6 +515,10 @@ def resize_pixels(
     the standard choice for thumbnail/downsample in a training
     pipeline. `nearest`: index gather (exact, fastest, aliases).
     """
+    if width < 1 or height < 1:
+        raise ValueError(
+            f"resize_pixels: target size must be >= 1x1, got {width}x{height}"
+        )
     h, w = px.shape[:2]
     if method == "nearest":
         yi = np.minimum((np.arange(height) + 0.5) * h / height, h - 1).astype(

@@ -288,6 +288,10 @@ def sq8_train(
             ]
         )
     ).first()
+    if row is None or row["mn0"] is None:
+        raise ValueError(
+            f"sq8_train: empty input or all-null {vec_col!r} — nothing to train on"
+        )
     mins = [float(row[f"mn{i}"]) for i in range(dim)]
     maxs = [float(row[f"mx{i}"]) for i in range(dim)]
     return mins, maxs
@@ -387,7 +391,12 @@ def pq_train(
     Lloyd iterations, so training is reproducible at any cluster
     size and the driver never holds more than sample × dim floats.
     Returns (m, k, dim/m) float64 codebooks."""
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"pq_train: empty input or all-null {vec_col!r} — nothing to train on"
+        )
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     ds = dim // m
