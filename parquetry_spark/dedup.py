@@ -262,7 +262,12 @@ def ngram_jaccard_pairs(
         .filter(F.col("df_") <= max_gram_df)
         .select("gram")
     )
-    exr = ex.join(rare, "gram")
+    # persisted: exr feeds the self-join's two aliases AND the n_rare
+    # per-doc count below — without the cache the ex⋈rare join (the
+    # most expensive narrow pass in this pipeline) is recomputed for
+    # the shape the exchange-reuse optimizer can't unify (measured
+    # ~0.6 s of the query at sf0.1). Rows are (id, gram) — no text.
+    exr = ex.join(rare, "gram").persist(StorageLevel.MEMORY_AND_DISK)
     # shared-RARE-gram count per candidate pair: one aggregated join,
     # 16-byte rows — never an array op. When either side has zero hot
     # grams, i_rare IS the exact intersection and the pair is decided
@@ -555,6 +560,50 @@ def embedding_neardup_pairs(
     )  # pair SET result — no global ordering sort (guide §2.4)
 
 
+def _components_driver(spark, pair_rows, id_type, nodes, id_col) -> DataFrame:
+    """Union-find labeling of a BOUNDED pair list (the caller has
+    already proven |pairs| <= driver_cap): min-id representative per
+    component, identical to the iterative fixpoint's labeling."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pair_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id — the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(x, find(x)) for x in parent]
+    schema = StructType(
+        [StructField("a", id_type, False), StructField("comp", id_type, False)]
+    )
+    map_df = spark.createDataFrame(rows, schema)
+    if nodes is None:
+        return map_df.select(F.col("a").alias(id_col), "comp")
+    # total labeling over `nodes`: mapped ids take their component,
+    # everything else is a singleton (comp = own id); the map is
+    # edge-endpoint-sized (≤ 2·driver_cap) — always broadcastable
+    return (
+        nodes.select(F.col(id_col)).distinct()
+        .join(F.broadcast(map_df), F.col(id_col) == F.col("a"), "left")
+        .select(id_col, F.coalesce("comp", F.col(id_col)).alias("comp"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -562,6 +611,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    driver_cap: int = 2_000_000,
 ) -> DataFrame:
     """Cluster formation over near-duplicate PAIRS: (id, comp) where
     comp is the minimum node id in the pair-connected component — the
@@ -569,17 +619,34 @@ def connected_components(
     and an actual dedup decision ("keep comp's representative, drop
     the rest").
 
-    Algorithm: iterative min-label propagation — each round every
-    node takes the min of its own label and its neighbors' labels,
-    until a fixpoint. Rounds needed = the component graph's diameter,
-    which for near-dup clusters is tiny (duplicates of a page all
-    pair with each other or a hub copy; diameters beyond ~5 are
-    pathological), so the loop is bounded and short. At 10^12-doc
-    scale each round is one shuffle of the EDGE list (ids only — text
-    never enters this operator) plus a co-partitioned label join; the
-    per-round driver action is a scalar changed-count, never data.
-    `max_iter` is a hard cap; hitting it raises rather than silently
-    returning a half-converged clustering.
+    Two regimes, picked by a BOUNDED probe of the edge count:
+
+    * ``|edges| <= driver_cap`` (default 2M pairs ≈ 32 MB of ids —
+      the common case: a thresholded near-dup pair set is a tiny
+      fraction of the corpus): union-find on the driver. One Spark
+      job collects the pair list (via ``limit(cap+1)`` so the pull is
+      bounded BEFORE it happens, never an unbounded collect), the
+      min-id labeling is computed in O(E α(E)) locally, and the
+      result returns as a broadcast (id → comp) map joined to the
+      node set — zero iterative rounds, zero label shuffles. An
+      iterative fixpoint pays several Spark jobs per round of
+      pure scheduling overhead for a graph this small (measured:
+      ~2 s/round at sf0.1 for 512 edges).
+    * ``|edges| > driver_cap``: distributed iterative min-label
+      propagation — each round every node takes the min of its own
+      label and its neighbors' labels, until a fixpoint. Rounds
+      needed = the component graph's diameter (tiny for near-dup
+      clusters; duplicates all pair with each other or a hub copy).
+      Each round is one shuffle of the EDGE list (ids only — text
+      never enters this operator): the edge cache and each round's
+      labels are co-partitioned on the join key, so the only
+      exchange is the b→a message regroup. The per-round driver
+      action is a scalar changed-count, never data. `max_iter` is a
+      hard cap; hitting it raises rather than silently returning a
+      half-converged clustering.
+
+    Both regimes produce the identical labeling (min node id per
+    component; pytest-asserted across the cap boundary).
 
     `nodes` (optional) adds isolated documents as singleton
     components (comp = own id) and RESTRICTS the output to that set —
@@ -589,23 +656,48 @@ def connected_components(
     full corpus is the common case; labeling only inside `nodes`
     would silently split their components).
 
-    The returned DataFrame is an eagerly local-checkpointed labeling:
-    already materialized, lineage truncated, and no internal cache
-    left pinned (the per-round persists are released before return).
+    The returned DataFrame leaves no internal cache pinned: the
+    driver path is a cheap broadcast-join plan; the iterative path
+    returns an eagerly local-checkpointed labeling (per-round
+    persists released before return).
     """
+    # Bounded probe-and-collect: at most driver_cap+1 pair rows cross
+    # to the driver, decided BEFORE the pull. If the graph fits, the
+    # whole fixpoint collapses into local union-find.
+    probe = edges.select(src, dst).limit(driver_cap + 1).collect()
+    if len(probe) <= driver_cap:
+        return _components_driver(
+            edges.sparkSession, probe, edges.schema[src].dataType,
+            nodes, id_col,
+        )
+    # Persist the symmetrized edge list BEFORE anything derives from
+    # it: the first driver action below would otherwise re-run the
+    # caller's whole pair-detection pipeline once for the label
+    # bootstrap and AGAIN for the edge cache (measured: two full
+    # ngram-jaccard passes at sf0.1 — half the query's wall time).
+    # Partitioned by the join key so every round's edge⋈label join
+    # (and the label side, itself the output of an "a"-keyed join)
+    # reuses this partitioning: one exchange per round (the b→a
+    # message regroup), guide §2.4.
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition(par, "a")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e.count()
     base = e.select("a").distinct()
     if nodes is not None:
         node_ids = nodes.select(F.col(id_col).alias("a")).distinct()
         base = base.union(node_ids).distinct()
-    labels = base.select("a", F.col("a").alias("comp")).persist()
-    labels.count()
-    e = e.persist()
-    e.count()
+    pinned = base.select("a", F.col("a").alias("comp")).repartition(
+        par, "a"
+    ).persist()
+    pinned.count()
+    labels = pinned
     try:
         for _ in range(max_iter):
             msgs = (
@@ -614,24 +706,26 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("comp").alias("mcomp"))
             )
-            new_labels = (
+            # carry the change flag INSIDE the round's result: the
+            # fixpoint test is then a filter-count on the cached frame,
+            # not an extra old⋈new join pass per round (guide §2.4)
+            new_pinned = (
                 labels.join(msgs, on="a", how="left")
                 .select(
                     "a",
                     F.least(
                         F.col("comp"), F.coalesce("mcomp", F.col("comp"))
                     ).alias("comp"),
+                    (F.coalesce("mcomp", F.col("comp")) < F.col("comp")).alias(
+                        "_chg"
+                    ),
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="a")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            changed = new_pinned.filter("_chg").count()
+            pinned.unpersist()
+            pinned = new_pinned
+            labels = new_pinned.select("a", "comp")
             if changed == 0:
                 out = labels.select(F.col("a").alias(id_col), "comp")
                 if nodes is not None:
@@ -643,9 +737,9 @@ def connected_components(
                 # frame could never unpersist them, and each invocation
                 # would otherwise pin a full labeling until session end
                 out = out.localCheckpoint(eager=True)
-                labels.unpersist()
+                pinned.unpersist()
                 return out
-        labels.unpersist()  # the cap path must not pin the last round
+        pinned.unpersist()  # the cap path must not pin the last round
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds the cap — raise max_iter)"

@@ -1,0 +1,87 @@
+"""Build an sf1.0-scale replica of /root/testdata/sf0.1 by key-offset
+replication (guide §1: measure at the scale the driver measures at).
+
+Each fact table is concatenated R times; copy i offsets every key/id
+column by i * (max_key + 1) of the base table, with foreign keys offset
+by the SAME constant as the primary key they reference, so joins fan
+out exactly as at a true larger scale factor (no artificial key
+collisions, no cross-copy matches). Dimension tables (nation, region)
+keep their natural size, as a real larger SF would. Output is written
+with 1M-row row groups to match the driver generator's layout.
+
+Timing-only data: replica outputs are never compared to oracles.
+
+Usage: python scripts/make_replica.py [src_dir] [dst_dir] [R]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _offsets(src: str) -> dict[str, int]:
+    """max+1 per primary-key domain, read from the base tables."""
+    out = {}
+    for tbl, col in [
+        ("customer", "c_custkey"), ("orders", "o_orderkey"),
+        ("part", "p_partkey"), ("supplier", "s_suppkey"),
+        ("events", "event_id"), ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]:
+        t = pq.read_table(os.path.join(src, f"{tbl}.parquet"), columns=[col])
+        out[tbl] = pc.max(t.column(0)).as_py() + 1
+    t = pq.read_table(os.path.join(src, "events.parquet"), columns=["user_id"])
+    out["user"] = pc.max(t.column(0)).as_py() + 1
+    return out
+
+
+# table -> [(column, key_domain)]
+KEYED = {
+    "customer": [("c_custkey", "customer")],
+    "orders": [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "lineitem": [("l_orderkey", "orders"), ("l_partkey", "part"), ("l_suppkey", "supplier")],
+    "part": [("p_partkey", "part")],
+    "supplier": [("s_suppkey", "supplier")],
+    "events": [("event_id", "events"), ("user_id", "user")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+}
+DIMS = ["nation", "region"]
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    off = _offsets(src)
+
+    for tbl, keys in KEYED.items():
+        base = pq.read_table(os.path.join(src, f"{tbl}.parquet"))
+        copies = [base]
+        for i in range(1, reps):
+            t = base
+            for col, dom in keys:
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t.column(idx), pa.scalar(i * off[dom], t.schema.field(idx).type))
+                t = t.set_column(idx, t.schema.field(idx), shifted)
+            copies.append(t)
+        out = pa.concat_tables(copies)
+        pq.write_table(out, os.path.join(dst, f"{tbl}.parquet"),
+                       row_group_size=1_000_000)
+        print(f"{tbl}: {base.num_rows} x {reps} -> {out.num_rows}")
+
+    for tbl in DIMS:
+        t = pq.read_table(os.path.join(src, f"{tbl}.parquet"))
+        pq.write_table(t, os.path.join(dst, f"{tbl}.parquet"))
+        print(f"{tbl}: {t.num_rows} (dim, unreplicated)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

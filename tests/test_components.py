@@ -37,10 +37,34 @@ def test_without_nodes_only_edge_endpoints_labeled(spark):
 def test_max_iter_cap_raises(spark):
     from parquetry_spark.dedup import connected_components
 
-    # a path of length 6: min label needs ~5 rounds to reach the end
+    # a path of length 6: min label needs ~5 rounds to reach the end.
+    # driver_cap=0 forces the distributed iterative path (the default
+    # driver union-find has no notion of rounds to cap).
     path = [(i, i + 1) for i in range(1, 7)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_edges(spark, path), max_iter=2)
+        connected_components(_edges(spark, path), max_iter=2, driver_cap=0)
+
+
+def test_driver_and_iterative_paths_agree(spark):
+    """The union-find fast path (|edges| <= driver_cap) and the
+    distributed fixpoint must produce the identical labeling,
+    including propagation through ids outside `nodes` and singleton
+    totalization."""
+    from parquetry_spark.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 5), (7, 7)]
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 5, 7, 10, 11, 20, 99]], "doc_id long"
+    )
+    kw = dict(nodes=nodes, id_col="doc_id")
+    fast = connected_components(_edges(spark, edges), **kw)
+    slow = connected_components(_edges(spark, edges), driver_cap=0, **kw)
+    as_map = lambda df: {r["doc_id"]: r["comp"] for r in df.collect()}
+    got_fast, got_slow = as_map(fast), as_map(slow)
+    assert got_fast == got_slow
+    # 21 is outside nodes but bridges 20 and 5: one component via it
+    assert got_fast[20] == got_fast[5] == 5
+    assert got_fast[99] == 99  # singleton totalization
 
 
 def test_cycle_converges(spark):
