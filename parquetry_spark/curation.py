@@ -179,13 +179,24 @@ def char_ngrams(text_col: str | Column, k: int) -> Column:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    norm = F.trim(F.regexp_replace(F.lower(col), "[ \t\n\x0b\f\r]+", " "))
-    m = F.length(norm) - F.lit(k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), m), lambda i: F.substr(norm, i, F.lit(k))
-    )
-    return F.array_distinct(
-        F.when(m >= F.lit(1), grams).otherwise(F.array().cast("array<string>"))
+    from .textops import bind1
+
+    def build(norm: Column) -> Column:
+        # norm is bind1-bound: referenced per emitted gram inside the
+        # interpreted transform lambda, the inline form re-ran the
+        # whitespace-normalize regex once per gram (see textops.bind1)
+        m = F.length(norm) - F.lit(k - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), m), lambda i: F.substr(norm, i, F.lit(k))
+        )
+        return F.array_distinct(
+            F.when(m >= F.lit(1), grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    return bind1(
+        F.trim(F.regexp_replace(F.lower(col), "[ \t\n\x0b\f\r]+", " ")), build
     )
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .textops import tokens
+from .textops import bind1, tokens
 
 _U32 = 1 << 32
 
@@ -82,15 +82,22 @@ def exact_dedup_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # --------------------------------------------------------------- minhash
 def word_shingles(col: Column, n: int = 5) -> Column:
     """Distinct word n-gram shingles (whole doc if shorter than n) —
-    the Common-Crawl-style dedup unit (Broder shingling)."""
-    toks = tokens(col)
-    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    the Common-Crawl-style dedup unit (Broder shingling). The token
+    split is bind1-bound: referenced 4× in an interpreted
+    higher-order tree, it would otherwise re-split per reference."""
+
+    def build(toks: Column) -> Column:
+        grams = F.when(
+            F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
-    )
-    return F.array_distinct(grams)
+        return F.array_distinct(grams)
+
+    return bind1(tokens(col), build)
 
 
 def shingle_hashes(col: Column, n_words: int = 5, base_hash: str = "xxhash") -> Column:
@@ -245,14 +252,8 @@ def ngram_jaccard_pairs(
     runs of consecutive grams, which are (almost always) rare —
     the standard prefix/frequency-filter trade in similarity joins.
     """
-    toks = tokens(F.col(text_col))
-    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
-    g = df.select(F.col(id_col), F.array_distinct(grams).alias("grams")).persist(
+    grams = word_shingles(F.col(text_col), n)  # bind1-bound token split
+    g = df.select(F.col(id_col), grams.alias("grams")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     ex = g.select(id_col, F.explode("grams").alias("gram"))

@@ -27,6 +27,23 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def bind1(value, fn) -> Column:
+    """Evaluate `value` ONCE per row and pass it to `fn` as a bound
+    lambda variable.
+
+    Higher-order functions (transform/filter/aggregate lambdas) are
+    CodegenFallback in Spark: the expression tree runs interpreted,
+    with NO subexpression elimination — an expensive subtree (a
+    regex-normalize split, a hash array) referenced k times inside
+    such a tree is re-computed k times per row, and inside a
+    generator lambda it can re-run once per OUTPUT element (measured:
+    the 4-gram explode over sf0.1 documents dropped 4.4 s → 0.7 s
+    from this one hoist). Wrapping as `transform(array(value), fn)[1]`
+    makes `value` an evaluated-once lambda argument; the result
+    expression is otherwise identical."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def token_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
 
@@ -165,22 +182,32 @@ def word_gram_array(col: Column, n: int) -> Column:
     gram). curation.word_ngrams is the distinct view of this."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    words = norm_words(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    ok = (F.size(words) >= F.lit(n)) & (F.element_at(words, 1) != F.lit(""))
-    return F.when(ok, grams).otherwise(F.array().cast("array<string>"))
+
+    def build(words: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+        ok = (F.size(words) >= F.lit(n)) & (F.element_at(words, 1) != F.lit(""))
+        return F.when(ok, grams).otherwise(F.array().cast("array<string>"))
+
+    # bind norm_words ONCE (see bind1): the four `words` references
+    # above would otherwise re-run the regex-normalize+split per row —
+    # measured 4.4 s vs 0.7 s for the 4-gram explode over sf0.1
+    # documents (guide §1/§4: the expression itself is the per-task
+    # work)
+    return bind1(norm_words(col), build)
 
 
 def word_count_norm(col: Column) -> Column:
     """Number of normalized words (0 for empty/symbol-only text)."""
-    words = norm_words(col)
-    return (
-        F.when(F.element_at(words, 1) != F.lit(""), F.size(words))
+    return bind1(
+        norm_words(col),
+        lambda words: F.when(
+            F.element_at(words, 1) != F.lit(""), F.size(words)
+        )
         .otherwise(F.lit(0))
-        .cast("long")
+        .cast("long"),
     )
 
 
@@ -190,11 +217,14 @@ def dup_word_frac_micros(col: Column) -> Column:
     MassiveText/Gopher repetition signals; high values flag listings,
     keyword stuffing and boilerplate that simple length/stopword
     quality scores miss. Row-local (no shuffle)."""
-    words = norm_words(col)
-    ok = F.element_at(words, 1) != F.lit("")
-    n = F.when(ok, F.size(words)).otherwise(F.lit(0)).cast("long")
-    nd = F.size(F.array_distinct(words)).cast("long")
-    return _frac_micros(n - nd, n)
+
+    def build(words: Column) -> Column:
+        ok = F.element_at(words, 1) != F.lit("")
+        n = F.when(ok, F.size(words)).otherwise(F.lit(0)).cast("long")
+        nd = F.size(F.array_distinct(words)).cast("long")
+        return _frac_micros(n - nd, n)
+
+    return bind1(norm_words(col), build)
 
 
 def top_gram_frac_micros(col: Column, n: int = 2) -> Column:
@@ -312,12 +342,17 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def _gopher_signals(t: Column) -> dict[str, Column]:
+def _gopher_signals(t: Column, words: Column, lines: Column) -> dict[str, Column]:
     """THE single definition of the Gopher document-shape signals —
     `gopher_quality_profile` (and its DuckDB oracle) and
     `gopher_gate` both build on these expressions, so gate, profile
-    and oracle cannot drift apart."""
-    words = norm_words(t)
+    and oracle cannot drift apart.
+
+    `words`/`lines` arrive as bind1-bound lambda variables (the
+    norm_words split and the non-blank line split): the signal
+    expressions below reference them ~10×, and higher-order-function
+    trees run interpreted with no subexpression elimination — inlined,
+    each reference re-ran its split per row (see bind1)."""
     ok = F.element_at(words, 1) != F.lit("")
     n = F.when(ok, F.size(words)).otherwise(F.lit(0)).cast("long")
     total_chars = F.when(ok, F.aggregate(
@@ -330,7 +365,6 @@ def _gopher_signals(t: Column) -> dict[str, Column]:
     dots = F.floor(
         (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
     )
-    lines = F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != "")
     n_lines = F.size(lines).cast("long")
     bullet = F.size(
         F.filter(lines, lambda ln: F.trim(ln).rlike("^[-*•]"))
@@ -352,6 +386,23 @@ def _gopher_signals(t: Column) -> dict[str, Column]:
         "ellipsis": ellipsis,
         "stop_hits": stop_hits,
     }
+
+
+def _gopher_lines(t: Column) -> Column:
+    """Non-blank line array (a trailing newline is not a line)."""
+    return F.filter(F.split(t, "\n"), lambda ln: F.trim(ln) != "")
+
+
+def _gopher_bound(t: Column, build) -> Column:
+    """Evaluate `build(signals_dict)` with the word and line splits
+    each bound exactly once per row (nested bind1)."""
+    return bind1(
+        norm_words(t),
+        lambda words: bind1(
+            _gopher_lines(t),
+            lambda lines: build(_gopher_signals(t, words, lines)),
+        ),
+    )
 
 
 def gopher_quality_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -378,29 +429,42 @@ def gopher_quality_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     words, ≤0.1 symbol ratio, ≤90% bullet lines, ≤30% ellipsis
     lines, ≥2 stopwords."""
     t = F.col(text_col)
-    s = _gopher_signals(t)
-    n, n_lines = s["n"], s["n_lines"]
-    return df.withColumns(
-        {
-            "n_words": F.when(t.isNotNull(), n),
-            "mean_word_len_micros": F.when(
-                t.isNotNull(), _frac_micros(s["total_chars"], n)
+
+    def build(s: dict[str, Column]) -> Column:
+        n, n_lines = s["n"], s["n_lines"]
+        return F.struct(
+            F.when(t.isNotNull(), n).alias("n_words"),
+            F.when(t.isNotNull(), _frac_micros(s["total_chars"], n)).alias(
+                "mean_word_len_micros"
             ),
-            "alpha_word_micros": F.when(
-                t.isNotNull(), _frac_micros(s["alpha"], n)
+            F.when(t.isNotNull(), _frac_micros(s["alpha"], n)).alias(
+                "alpha_word_micros"
             ),
-            "symbol_word_micros": F.when(
-                t.isNotNull(), _frac_micros(s["sym"], n)
+            F.when(t.isNotNull(), _frac_micros(s["sym"], n)).alias(
+                "symbol_word_micros"
             ),
-            "bullet_line_micros": F.when(
-                t.isNotNull(), _frac_micros(s["bullet"], n_lines)
+            F.when(t.isNotNull(), _frac_micros(s["bullet"], n_lines)).alias(
+                "bullet_line_micros"
             ),
-            "ellipsis_line_micros": F.when(
-                t.isNotNull(), _frac_micros(s["ellipsis"], n_lines)
+            F.when(t.isNotNull(), _frac_micros(s["ellipsis"], n_lines)).alias(
+                "ellipsis_line_micros"
             ),
-            "stop_hits": F.when(t.isNotNull(), s["stop_hits"]),
-        }
-    )
+            F.when(t.isNotNull(), s["stop_hits"]).alias("stop_hits"),
+        )
+
+    # two-step projection: the bound struct materializes ONCE as `_gq`
+    # and the field expansion reads it — CollapseProject will not
+    # inline a non-cheap alias referenced 7 times, so the splits run
+    # once per row, not once per output column
+    fields = [
+        "n_words", "mean_word_len_micros", "alpha_word_micros",
+        "symbol_word_micros", "bullet_line_micros",
+        "ellipsis_line_micros", "stop_hits",
+    ]
+    tmp = df.withColumn("_gq", _gopher_bound(t, build))
+    return tmp.withColumns(
+        {c: F.col("_gq")[c] for c in fields}
+    ).drop("_gq")
 
 
 # ---------------------------------------------------------------------------
@@ -612,16 +676,18 @@ def gopher_gate(col: Column) -> Column:
     lines, ≤ 30% ellipsis lines, ≥ 2 of the fixed 8 stopwords. One
     boolean Column — pure row-local codegen, integer arithmetic only,
     composes into any plan as a filter."""
-    s = _gopher_signals(col)
-    n, n_lines = s["n"], s["n_lines"]
-    return (
-        (n >= 50)
-        & (n <= 100_000)
-        & (s["total_chars"] >= 3 * n)
-        & (s["total_chars"] <= 10 * n)
-        & (s["alpha"] * 10 >= n * 8)
-        & (s["sym"] * 10 <= n)
-        & (s["bullet"] * 10 <= n_lines * 9)
-        & (s["ellipsis"] * 10 <= n_lines * 3)
-        & (s["stop_hits"] >= 2)
-    )
+    def build(s: dict[str, Column]) -> Column:
+        n, n_lines = s["n"], s["n_lines"]
+        return (
+            (n >= 50)
+            & (n <= 100_000)
+            & (s["total_chars"] >= 3 * n)
+            & (s["total_chars"] <= 10 * n)
+            & (s["alpha"] * 10 >= n * 8)
+            & (s["sym"] * 10 <= n)
+            & (s["bullet"] * 10 <= n_lines * 9)
+            & (s["ellipsis"] * 10 <= n_lines * 3)
+            & (s["stop_hits"] >= 2)
+        )
+
+    return _gopher_bound(col, build)

@@ -97,13 +97,20 @@ def host_suffixes(host: str | Column) -> Column:
     every subdomain). Row-local array expression: split once, then
     one slice+join per suffix; label count bounds the fan-out (~≤10),
     so the explode downstream is O(labels), not O(hosts²)."""
+    from .textops import bind1
+
     h = F.col(host) if isinstance(host, str) else host
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(labels, i, n), "."),
-    )
+
+    def build(labels: Column) -> Column:
+        n = F.size(labels)
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(labels, i, n), "."),
+        )
+
+    # bind the split once: the interpreted transform lambda would
+    # otherwise re-split per emitted suffix (see textops.bind1)
+    return bind1(F.split(h, r"\."), build)
 
 
 def filter_blocked_hosts(
