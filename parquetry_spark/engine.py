@@ -1781,15 +1781,13 @@ def run_encode(
         # rank edges are the layout's identity, exactly like salt maps
         # and range boundaries: first run samples + persists, resumes
         # reload so part assignment is a pure function of the data
-        from .partitioning import sample_quantile_edges
+        from .partitioning import sample_quantile_edges_multi
 
         if os.path.exists(zedges_path):
             with open(zedges_path) as fh:
                 zorder_edges = _json.load(fh)
         else:
-            zorder_edges = {
-                c: sample_quantile_edges(df, c) for c in (zorder_cols or [])
-            }
+            zorder_edges = sample_quantile_edges_multi(df, list(zorder_cols or []))
             os.makedirs(out_dir, exist_ok=True)
             with open(zedges_path, "w") as fh:
                 _json.dump(zorder_edges, fh)

@@ -170,3 +170,30 @@ def test_nulls_and_constant_dimension(spark):
     assert rows[2][1] == 0
     # b null (bucket 0) but c=5.0 > edge 2.0 → c contributes: z > 0
     assert rows[1][1] > 0
+
+
+def test_arrow_kernel_matches_column_path(spark):
+    """The vectorized searchsorted kernel and the pure-Column
+    _rank_bucket path must assign identical (__z, part_id) — nulls,
+    NaN (sorts after every double in both engines) and a low-
+    cardinality dimension included."""
+    from pyspark.sql import functions as F
+
+    from parquetry_spark.partitioning import _rank_bucket, zorder_value
+
+    rows = [
+        (i, float(i * i % 97) if i % 13 else None, (i * 7) % 51)
+        for i in range(500)
+    ]
+    rows.append((9999, float("nan"), 3))
+    df = spark.createDataFrame(rows, "a long, b double, c long")
+    edges = {"b": [5.0, 20.0, 60.0, 90.0], "c": [10.0, 25.0, 40.0]}
+    fast = assign_part_id_zorder(df, ["b", "c"], 8, edges=edges)
+    z = zorder_value(
+        [_rank_bucket(F.col(c), edges[c], 8) for c in ["b", "c"]], 8
+    )
+    pid = F.shiftright(z * F.lit(8), 16).cast("int")
+    slow = df.withColumn("__z", z).withColumn("part_id", pid)
+    got = {r["a"]: (r["__z"], r["part_id"]) for r in fast.collect()}
+    want = {r["a"]: (r["__z"], r["part_id"]) for r in slow.collect()}
+    assert got == want
