@@ -128,8 +128,13 @@ def minhash_signature(col: Column, n_words: int = 5, n_hashes: int = 32,
     32 bits), then n affine reprojections (a_i·h + b_i, odd a_i —
     bijective mod 2^32), each reduced with array_min. 1 string-hash
     pass + n cheap int passes instead of n string-hash passes
-    (measured 10×+ on long docs)."""
-    return _sig_from_hashes(shingle_hashes(col, n_words, base_hash), n_hashes)
+    (measured 10×+ on long docs). The shingle-hash array is bind1-
+    bound: the n reprojections each reference it, and inlined they
+    would each re-run the string-hash pass (interpreted HOF tree)."""
+    return bind1(
+        shingle_hashes(col, n_words, base_hash),
+        lambda harr: F.array(*_sig_from_hashes(harr, n_hashes)),
+    )
 
 
 def _sig_from_hashes(harr: Column, n_hashes: int) -> list[Column]:
@@ -352,13 +357,23 @@ def simhash(col: Column, bits: int = 64, base_hash: str = "xxhash") -> Column:
             lambda a, v: a + v,
         ),
     )
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        bit = F.when(
-            F.element_at(votes, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        out = out.bitwiseOR(bit)
-    return out
+
+    def collapse(votes: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for i in range(bits):
+            bit = F.when(
+                F.element_at(votes, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            out = out.bitwiseOR(bit)
+        return out
+
+    # bind the vote array ONCE (textops.bind1): the bit-collapse loop
+    # references `votes` `bits` times, and inlined each reference
+    # re-ran the whole per-token vote aggregation (interpreted HOF —
+    # no subexpression elimination): bits× the fold per row and a
+    # bits×-duplicated expression tree for the optimizer
+    return bind1(votes, collapse)
 
 
 def simhash_pairs(
@@ -377,6 +392,13 @@ def simhash_pairs(
     differences by pigeonhole), then exact popcount verification.
     """
     width = bits // bands
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df._jdf.rdd().getNumPartitions() < par:
+        # signature computation is CPU-bound per row; a single-file
+        # source arrives as one partition — spread it first (same
+        # discipline as minhash_lsh_pairs)
+        df = df.repartition(par, id_col)
     sh = df.select(F.col(id_col), simhash(F.col(text_col), bits, base_hash).alias("sh"))
     banded = sh.select(
         id_col,
@@ -394,7 +416,13 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "sh", "bk.band", "bk.key")
+    ).select(id_col, "sh", "bk.band", "bk.key").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # persisted: the banded rows feed BOTH sides of the self-join —
+    # without the cache the bit-vote aggregation (the expensive
+    # per-token fold) runs once per side (same rationale as the
+    # minhash band cache; rows are (id, 3×int) — tiny)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -487,22 +515,35 @@ def embedding_neardup_pairs(
         # guard as minhash_lsh_pairs)
         df = df.repartition(par, id_col)
     signs = hyperplane_signs(n_tables, n_planes, dim)
-    qv = F.transform(
-        F.col(vec_col), lambda v: F.round(v.cast("double") * 1000000).cast("long")
+
+    def build_keys(qv: Column) -> Column:
+        # qv (the integer-quantized vector) arrives as a bind1-bound
+        # lambda variable: the n_tables·n_planes projections below
+        # each reference it, and inlined each reference re-ran the
+        # whole quantization transform per row (interpreted HOF tree
+        # — see textops.bind1)
+        keys = []
+        for t in range(n_tables):
+            bucket = None
+            for p in range(n_planes):
+                s = F.array(*[F.lit(x) for x in signs[t][p]])
+                dot = F.aggregate(
+                    F.zip_with(qv, s, lambda x, y: x * y.cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                bit = (dot > 0).cast("long") * F.lit(1 << p).cast("long")
+                bucket = bit if bucket is None else bucket + bit
+            keys.append(F.concat_ws("_", F.lit(str(t)), bucket.cast("string")))
+        return F.array(*keys)
+
+    keys_arr = bind1(
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.round(v.cast("double") * 1000000).cast("long"),
+        ),
+        build_keys,
     )
-    keys = []
-    for t in range(n_tables):
-        bucket = None
-        for p in range(n_planes):
-            s = F.array(*[F.lit(x) for x in signs[t][p]])
-            dot = F.aggregate(
-                F.zip_with(qv, s, lambda x, y: x * y.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bit = (dot > 0).cast("long") * F.lit(1 << p).cast("long")
-            bucket = bit if bucket is None else bucket + bit
-        keys.append(F.concat_ws("_", F.lit(str(t)), bucket.cast("string")))
     # Verify-then-dedup (r6): at low plane counts the bucket join's
     # output is nearly dense (measured sf1.0: 103M joined pairs, 81M
     # distinct — the old candidates-first dropDuplicates shuffled 103M
@@ -535,7 +576,7 @@ def embedding_neardup_pairs(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         nrm.alias("nrm"),
-        F.explode(F.array(*keys)).alias("key"),
+        F.explode(keys_arr).alias("key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     joined = a.join(
