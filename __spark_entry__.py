@@ -1089,7 +1089,10 @@ def q_host_rank(spark, sf):
     from parquetry_spark.graph import extract_links, host_graph, pagerank_hosts
 
     d = F.col("doc_id")
-    pages = _t(spark, sf, "documents").select(
+    # spread: the anchor-extraction regex chain is CPU-bound per page
+    # and the synthesized pages inherit the 1-row-group scan. No-op
+    # on wide scans.
+    pages = _spread(_t(spark, sf, "documents"), "doc_id").select(
         F.concat(
             F.lit("https://h"), (d % 7).cast("string"), F.lit(".example/p/"),
             d.cast("string"),
@@ -1637,7 +1640,10 @@ def q_lm_coverage(spark, sf):
     ref = docs.filter(F.col("doc_id") % 5 == 0)
     bi = train_ngram_counts(ref, n=2, top_k=50_000)
     uni = train_ngram_counts(ref, n=1, top_k=50_000)
-    return lm_score(docs, bi, uni).select(
+    # spread the SCORING side only (per-doc gram work is CPU-bound;
+    # measured 1.56 s → 0.94 s on the 1-row-group scan); the model
+    # side is an aggregation — already exchange-bound. No-op at scale.
+    return lm_score(_spread(docs, "doc_id"), bi, uni).select(
         "doc_id", "n_grams", "n_seen", "coverage_micros"
     )
 
@@ -1998,7 +2004,11 @@ def q_bpe_apply(spark, sf):
     histogram, top 50."""
     from parquetry_spark.bpe import tokenize
 
-    toks = tokenize(_t(spark, sf, "documents"), BPE_FIXED_MERGES)
+    # spread the narrow scan: the merge replace-chain is heavy enough
+    # per row that a 1-row-group source leaves 15 cores idle
+    # (measured 2.5 s → 1.6 s; contrast lang_id, where the spread
+    # loses). No-op on wide scans.
+    toks = tokenize(_spread(_t(spark, sf, "documents"), "doc_id"), BPE_FIXED_MERGES)
     return (
         toks.select(F.explode("bpe").alias("token"))
         .groupBy("token")

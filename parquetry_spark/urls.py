@@ -84,10 +84,19 @@ def url_dedup_key(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds `canon_url` plus `url_group_n` (how many rows share the
     canonical key) — the grouping step before "keep one per page".
     One shuffle on the canonical key; the key is a short string, the
-    document body never enters the exchange."""
+    document body never enters the exchange. The count attaches as an
+    unordered window over the key — the older groupBy+join shape paid
+    a second exchange for the join AND re-evaluated the whole
+    canonicalization expression once per side (guide §2.4: two
+    operations keyed the same way share one exchange). Group sizes
+    are per-page duplicate counts — bounded, so the window buffers
+    stay small at any scale."""
+    from pyspark.sql.window import Window
+
     keyed = df.withColumn("canon_url", canonical_url(url_col))
-    counts = keyed.groupBy("canon_url").agg(F.count("*").alias("url_group_n"))
-    return keyed.join(counts, on="canon_url")
+    return keyed.withColumn(
+        "url_group_n", F.count(F.lit(1)).over(Window.partitionBy("canon_url"))
+    )
 
 
 def host_suffixes(host: str | Column) -> Column:
