@@ -406,11 +406,17 @@ def q_prune_decode(spark, sf):
     """Zone-map pruned decode (r3): encode documents, prune block
     metadata on a doc_id range (partitions whose [zmin,zmax] cannot
     intersect are never fetched/decoded), decode the survivors and
-    apply the exact predicate. Must equal a plain SQL range filter."""
+    apply the exact predicate. Must equal a plain SQL range filter.
+    Encode side is the scan-side fast path (engine.encode_parquet —
+    no JVM→Python row pass, no shuffle; chunk-indexed parts over the
+    doc_id-ordered source give TIGHTER zone maps than the old hash
+    parts, so the metadata prune is also more selective)."""
     from parquetry_spark.engine import prune_blocks
 
-    df = _t(spark, sf, "documents").select("doc_id", "lang")
-    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    blocks = encode_parquet(
+        spark, os.path.join(sf, "documents.parquet"), ["doc_id", "lang"],
+        n_parts=8,
+    )
     lo, hi = 100, 299
     pruned = prune_blocks(blocks, "doc_id", lo=lo, hi=hi)
     dec = decode_blocks(pruned, ["doc_id", "lang"], {"doc_id": "int64", "lang": "str"})
@@ -429,8 +435,11 @@ def q_prune_decode_expr(spark, sf):
     from parquetry_spark.engine import prune_blocks_for_expr
     from parquetry_spark.parity.filters import where
 
-    df = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    # scan-side encode fast path (see q_prune_decode)
+    blocks = encode_parquet(
+        spark, os.path.join(sf, "documents.parquet"),
+        ["doc_id", "lang", "n_chars"], n_parts=8,
+    )
     expr = 'doc_id >= 150 and doc_id < 450 and lang != "de"'
     ltypes = {"doc_id": "int64", "lang": "str", "n_chars": "int64"}
     pruned = prune_blocks_for_expr(blocks, expr, ltypes)
@@ -454,8 +463,11 @@ def q_prune_decode_in(spark, sf):
     from parquetry_spark.engine import prune_blocks_for_expr
     from parquetry_spark.parity.filters import where
 
-    df = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    blocks = encode_table(df, n_parts=8, url_col=None, ts_col=None)
+    # scan-side encode fast path (see q_prune_decode)
+    blocks = encode_parquet(
+        spark, os.path.join(sf, "documents.parquet"),
+        ["doc_id", "lang", "n_chars"], n_parts=8,
+    )
     expr = 'lang in ["en", "zh"] and n_chars >= 120'
     ltypes = {"doc_id": "int64", "lang": "str", "n_chars": "int64"}
     pruned = prune_blocks_for_expr(blocks, expr, ltypes)
@@ -1968,7 +1980,9 @@ def q_budget_select(spark, sf):
     Output: selected doc_ids + integer running token total."""
     from parquetry_spark.curation import select_token_budget
 
-    docs = _t(spark, sf, "documents").select(
+    # spread before the quality regex chain (CPU-bound, 1-row-group
+    # scan); no-op on wide scans
+    docs = _spread(_t(spark, sf, "documents"), "doc_id").select(
         "doc_id",
         quality_score_micros(F.col("text")).alias("quality_u"),
         token_count(F.col("text")).cast("long").alias("tok"),

@@ -781,7 +781,16 @@ def select_token_budget(
     # participate in a greedy ranked prefix; excluded up front (the
     # repo's null-passes convention is for EVIDENCE gates, and a
     # budget is not an evidence gate)
-    df = df.where(s.isNotNull() & t.isNotNull())
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.where(s.isNotNull() & t.isNotNull()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # persisted BEFORE the min/max probe: the caller's score/token
+    # expressions (typically a quality regex chain over text) would
+    # otherwise re-evaluate for the probe, the bucket materialization
+    # AND the returned plan; same LRU/determinism caveats as before
+    # (see docstring), same footprint as the old dfb persist.
     row = df.agg(
         F.min(s).alias("mn"), F.max(s).alias("mx"), F.min(t).alias("tmn")
     ).first()
@@ -807,11 +816,9 @@ def select_token_budget(
         f"CAST((CAST({score_col} AS DECIMAL(38,0)) - {mn}) * {n_buckets}"
         f" div CAST({span} AS DECIMAL(38,0)) AS INT)"
     )
-    from pyspark.storagelevel import StorageLevel
-
-    dfb = df.withColumn("__b", b).persist(StorageLevel.MEMORY_AND_DISK)
-    # persisted across the two driver actions AND the returned plan
-    # (the caller's materialization reuses it; Spark LRU reclaims it)
+    # __b is a cheap integer expression over the persisted rows — no
+    # second persist needed
+    dfb = df.withColumn("__b", b)
     per = (
         dfb.groupBy("__b")
         .agg(F.sum(t.cast("long")).alias("toks"))
