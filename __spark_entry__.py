@@ -758,8 +758,23 @@ def q_warc_roundtrip(spark, sf):
     tag = os.path.abspath(sf).strip(os.sep).replace(os.sep, "_")
     out_dir = os.path.join(tempfile.gettempdir(), f"parquetry_warc_rt_{tag}")
     shutil.rmtree(out_dir, ignore_errors=True)
-    write_warc(pages.repartition(4), out_dir, gzip_members=True)
-    got = read_warc(spark, out_dir, split_size=16 << 10)
+    # gzip-member compression is CPU-bound: write with one partition
+    # per core instead of a fixed 4 (the file count stays bounded by
+    # the core count; the read side splits inside files anyway)
+    par = spark.sparkContext.defaultParallelism
+    write_warc(pages.repartition(par), out_dir, gzip_members=True)
+    # split size scales with the written bytes (4·par splits, floored
+    # at the 16 KB torture setting, capped at 4 MB): the fixed 16 KB
+    # produced ~9000 read tasks at the 10× replica — pure scheduling
+    # overhead — while still keeping every split far smaller than a
+    # file, so records cross split edges and the ownership contract
+    # is exercised (the every-offset chop tests pin the semantics)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(out_dir) for f in fs
+    )
+    split = min(4 << 20, max(16 << 10, total // (4 * par)))
+    got = read_warc(spark, out_dir, split_size=split)
     return got.select(
         "url", "warc_ts", extract_html_text("html").alias("text")
     )
@@ -978,10 +993,23 @@ def q_pipeline_curate(spark, sf):
     df = _t(spark, sf, "documents")
     ev = df.filter(F.col("doc_id") % 23 == 0)
     tr = df.filter(F.col("doc_id") % 23 != 0)
-    kept = exact_dedup_docs(tr).filter(
+    # Stage order matters: the checkpoint sits BETWEEN dedup and the
+    # quality gate. Placed above the gate, the gate's regex chain is
+    # a deterministic filter and Catalyst pushes it below the dedup
+    # join all the way to the (single-row-group) scan — serializing
+    # the most expensive expression on one core and running it over
+    # the pre-dedup corpus. The checkpoint is a hard barrier: quality
+    # runs over the DEDUPED corpus only, spread across cores
+    # (measured 14.0 s → 2.4 s at the 10× replica, where dedup
+    # crushes the duplicated corpus before the regexes ever run).
+    deduped = (
+        exact_dedup_docs(tr)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=True)
+    )
+    kept = _spread(deduped, "doc_id").filter(
         quality_score_micros(F.col("text")) >= F.lit(650_000)
     )
-    kept = kept.select("doc_id", "lang", "text").localCheckpoint(eager=True)
     clean = decontaminate(kept, ev, n=4).filter(~F.col("contaminated"))
     packed = pack_sequences(
         clean.select("doc_id", "lang", token_count(F.col("text")).alias("n_tokens")),
@@ -1020,10 +1048,17 @@ def q_pipeline_curate_full(spark, sf):
     df = _t(spark, sf, "documents")
     ev = df.filter(F.col("doc_id") % 23 == 0)
     tr = df.filter(F.col("doc_id") % 23 != 0)
-    kept = exact_dedup_docs(tr).filter(
+    # checkpoint BETWEEN dedup and the quality gate — see
+    # q_pipeline_curate for why (filter pushdown would otherwise
+    # serialize the regex chain on the single-row-group scan)
+    deduped = (
+        exact_dedup_docs(tr)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=True)
+    )
+    kept = _spread(deduped, "doc_id").filter(
         quality_score_micros(F.col("text")) >= F.lit(650_000)
     )
-    kept = kept.select("doc_id", "lang", "text").localCheckpoint(eager=True)
     clean = decontaminate(kept, ev, n=4).filter(~F.col("contaminated"))
     base = clean.select(
         "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
