@@ -1625,7 +1625,10 @@ def q_media_features(spark, sf):
     """Multimodal plumbing over documents-as-blobs (fake decode);
     media_id carries doc_id through so n_bytes/sha are DuckDB-
     replicable (sha256 + octet_length over the utf-8 payload)."""
-    pages = _t(spark, sf, "documents").select(
+    # spread: sha256 over the blob bytes is CPU-heavy enough that the
+    # one-time shuffle of the narrow scan pays for itself (measured
+    # 3.8 s → 1.0 s at the 10× replica); no-op on wide scans
+    pages = _spread(_t(spark, sf, "documents"), "doc_id").select(
         F.col("doc_id"), F.encode("text", "utf-8").alias("html")
     )
     media = media_table_from_pages(pages, "html", id_col="doc_id")
