@@ -1580,7 +1580,10 @@ def q_ann_topk(spark, sf):
         F.transform("embedding", lambda x: x.cast("double")).alias("qv")
     )
     scored = df.crossJoin(F.broadcast(q)).select(
-        "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine")
+        # raw fold, no round(.,6) — the oracle floors the UNROUNDED
+        # list_cosine_similarity; a pre-round flips floor(x*1e4) at a
+        # 1e-6 boundary (sf0.001 vec 402: 2745 vs the oracle's 2744)
+        "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cosine")
     )
     top = scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(10)
     return top.select("vec_id", F.floor(F.col("cosine") * 1e4).cast("long").alias("cos_u"))

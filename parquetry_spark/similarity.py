@@ -40,10 +40,18 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k for one query vector (the oracle baseline)."""
+    """Exact cosine top-k for one query vector (the oracle baseline).
+
+    The cosine is the RAW double of the sequential fold — no
+    round(.,6): the DuckDB oracles floor the unrounded
+    list_cosine_similarity, and a pre-round can flip floor(x*1e4) at
+    a 1e-6 boundary (found at sf0.001: round-to-6 pushed 0.274499857…
+    up to 0.2745 → 2745 vs the oracle's 2744). The fold itself is
+    bit-identical to DuckDB's sequential C++ loop (verified on the
+    boundary vector)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = df.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine")
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
@@ -184,7 +192,8 @@ def ivf_topk(
     cells = [c[0] for c in probes]
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = assigned.filter(F.col("cell").isin(cells)).select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cosine")
+        # raw fold, no round(.,6) — see brute_force_topk
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
@@ -254,7 +263,8 @@ def ivf_topk_batch(
     scored = assigned.join(probed, "cell").select(
         F.col("__qid").alias(q_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+        # raw fold, no round(.,6) — see brute_force_topk
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
     w = W.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (

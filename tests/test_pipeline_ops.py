@@ -141,7 +141,9 @@ def test_embedding_neardup(vectors):
 def test_brute_force_topk(vectors):
     q = vectors.filter("vec_id = 0").first()["embedding"]
     top = brute_force_topk(vectors, q, k=3).collect()
-    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+    # raw fold (no round-to-6 — oracle-parity fix): self-similarity is
+    # 1.0 up to the fold's last ulp
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-12
     assert {r["vec_id"] for r in top} == {0, 100, 101}
 
 
@@ -371,7 +373,8 @@ def test_ivf_topk_batch_partial_probe_recall(vectors):
         [Row(query_id=0, embedding=vectors.filter("vec_id = 0").first()["embedding"])]
     )
     got = ivf_topk_batch(assigned, cents, queries, k=3, n_probe=2).collect()
-    assert got and got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
+    # raw fold: self-similarity is 1.0 up to the last ulp
+    assert got and got[0]["vec_id"] == 0 and abs(got[0]["cosine"] - 1.0) < 1e-12
 
 
 def test_ivf_cell_assignment_complete(vectors):
